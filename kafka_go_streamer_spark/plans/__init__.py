@@ -1,0 +1,16 @@
+"""Named query registry: every operator from SURVEY.md §2 is exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle twin. Importing this package populates the registry."""
+
+from kafka_go_streamer_spark.plans.registry import ORACLES, QUERIES, query
+
+# populate the registry
+from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
+    dedup,
+    relational,
+    routing_queries,
+    similarity,
+    text,
+)
+
+__all__ = ["QUERIES", "ORACLES", "query"]

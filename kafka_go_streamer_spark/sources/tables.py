@@ -1,0 +1,45 @@
+"""Batch table sources over the driver-provided parquet test data.
+
+Parquet is the batch-source analogue of the reference's only source (a
+Kafka consumer, reference main.go:348-367): columnar scan with predicate
+pushdown and column pruning — filters and projections written against
+these DataFrames reach the scan (check ``PushedFilters`` / ``ReadSchema``
+in ``df.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at every scale factor
+#: (region/nation are fixed-size; supplier/part/customer grow slowly).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"name": sec, ...}, "sf": <float>}
+
+Results are materialized through the noop sink (full execution, no
+driver-side collect cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_go_streamer_spark.plans import QUERIES
+from kafka_go_streamer_spark.session import get_spark, sf_dir
+
+#: Headline set: one representative per operator family, weighted toward
+#: the scale-sensitive ones (joins, windows, LSH, similarity).
+HEADLINE = [
+    "route_documents",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_revenue_by_nation",
+    "join_top_orders",
+    "window_topk_parts_per_brand",
+    "window_running_sum",
+    "window_tumbling_hourly",
+    "window_session_per_user",
+    "json_extraction",
+    "text_quality",
+    "text_fingerprints",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucket_pairs",
+    "multimodal_decode_meta",
+]
+
+
+def main() -> None:
+    target = sf_dir()
+    m = re.search(r"sf([0-9.]+)", target)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("kgs-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, target).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

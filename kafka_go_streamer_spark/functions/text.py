@@ -1,0 +1,156 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines: tokenization, language-ID heuristic, quality scoring, and
+document fingerprinting.
+
+All built from JVM-side ``pyspark.sql.functions`` (split / filter /
+transform / aggregate higher-order functions + regexp) — no Python UDFs
+anywhere, so the expressions stay inside whole-stage codegen and cost
+the same as any other projection at 100 TB.
+
+Every expression has a deterministic ANSI-SQL twin (emitted by the
+``*_sql`` helpers) so the DuckDB oracle replays identical logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small + frozen: the heuristic must be exactly
+#: reproducible in SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "y", "es", "un", "en", "que"),
+    "fr": ("le", "la", "de", "et", "est", "un", "dans", "que"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, or single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def words_sql(expr: str) -> str:
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def word_count_sql(expr: str) -> str:
+    return f"len({words_sql(expr)})::INTEGER"
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_RE}'))::INTEGER"
+
+
+def stopword_hits_in(ws: Column, lang: str) -> Column:
+    """Number of tokens in a pre-bound words array that are stopwords of
+    ``lang`` (bind ``words(text)`` once per row, then call this per
+    language — avoids re-splitting the text for every language)."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(ws, lambda w: w.isin(*sw)))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    return stopword_hits_in(words(text), lang)
+
+
+def stopword_hits_sql(expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({words_sql(expr)}, "
+        f"w -> list_contains([{lst}], w)))::INTEGER"
+    )
+
+
+def lang_id_from_words(ws: Column) -> Column:
+    """Heuristic language ID from a pre-bound words array: argmax of
+    stopword hits with a fixed tie-break priority (en > de > es > fr),
+    'und' when no hits."""
+    hits = {lang: stopword_hits_in(ws, lang) for lang in STOPWORDS}
+    return (
+        F.when(
+            (hits["en"] > 0)
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"]),
+            "en",
+        )
+        .when(
+            (hits["de"] > 0)
+            & (hits["de"] >= hits["es"])
+            & (hits["de"] >= hits["fr"]),
+            "de",
+        )
+        .when((hits["es"] > 0) & (hits["es"] >= hits["fr"]), "es")
+        .when(hits["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+
+
+def lang_id(text: Column) -> Column:
+    return lang_id_from_words(words(text))
+
+
+def lang_id_sql(expr: str) -> str:
+    h = {lang: stopword_hits_sql(expr, lang) for lang in STOPWORDS}
+    return f"""CASE
+      WHEN {h['en']} > 0 AND {h['en']} >= {h['de']} AND {h['en']} >= {h['es']} AND {h['en']} >= {h['fr']} THEN 'en'
+      WHEN {h['de']} > 0 AND {h['de']} >= {h['es']} AND {h['de']} >= {h['fr']} THEN 'de'
+      WHEN {h['es']} > 0 AND {h['es']} >= {h['fr']} THEN 'es'
+      WHEN {h['fr']} > 0 THEN 'fr'
+      ELSE 'und' END"""
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Share of characters that are ASCII letters."""
+    return F.round(
+        F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+        / F.greatest(F.length(text), F.lit(1)),
+        4,
+    )
+
+
+def alpha_ratio_sql(expr: str) -> str:
+    return (
+        f"round(length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) * 1.0"
+        f" / greatest(length({expr}), 1), 4)"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of case/punctuation-normalized
+    text (stable across engines)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"[^A-Za-z0-9 ]", "")))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(lower(regexp_replace({expr}, '[^A-Za-z0-9 ]', '', 'g')))"
+
+
+def bag_fingerprint(text: Column) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct word
+    set — catches shuffled-word duplicates exact hashing misses."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(words(text))), " ")
+    )
+
+
+def bag_fingerprint_sql(expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct({words_sql(expr)})), ' '))"
+    )

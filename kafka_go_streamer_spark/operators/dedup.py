@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines.
+
+Three tiers, all shuffle-disciplined:
+
+* **exact** — md5-fingerprint groupBy: one shuffle on the fingerprint,
+  map-side combine, no pairwise work ever.
+* **near-dup via MinHash + LSH** — shingle -> K independent minhash
+  signatures -> band buckets -> candidate pairs via equi-join on the
+  bucket key -> exact Jaccard verification on candidates only. The
+  pairwise explosion is confined to same-bucket groups; everything else
+  is linear scans + equi-joins, which is what makes it viable at 100 TB
+  (brute-force all-pairs is O(n^2) and is never materialized).
+* **n-gram Jaccard verification** — exact set overlap, used as the
+  verifier stage on LSH candidates.
+
+Hash discipline: minhash h_k(s) = md5(k || '|' || s) compared as hex
+strings — identical in Spark and DuckDB, so the whole pipeline is
+oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.text import (
+    bag_fingerprint,
+    bag_fingerprint_sql,
+    words,
+    words_sql,
+)
+
+#: Number of independent minhash signatures. Bands of size 1 (b=K, r=1):
+#: candidate probability = 1-(1-j)^K, tuned for the low-similarity regime;
+#: raise r for high-threshold dedup at production scale.
+NUM_HASHES = 4
+SHINGLE_SIZE = 3
+
+
+def shingles(text: Column) -> Column:
+    """Distinct ``SHINGLE_SIZE``-word shingles of the lowercased text.
+    Documents shorter than one shingle contribute their whole word join
+    as a single shingle (so every doc has >= 1)."""
+    w = words(text)
+    n = F.size(w)
+    make = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_SIZE),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k + 1) for k in range(SHINGLE_SIZE)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= SHINGLE_SIZE, make).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def shingles_sql(words_col: str) -> str:
+    """DuckDB twin of :func:`shingles`, over a pre-bound words column
+    (bind ``words_sql(text)`` in a CTE first; DuckDB lists are
+    1-indexed so the range shifts by one vs the Spark form)."""
+    w = words_col
+    joined = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(SHINGLE_SIZE))
+    return (
+        f"CASE WHEN len({w}) >= {SHINGLE_SIZE} "
+        f"THEN list_distinct(list_transform("
+        f"range(1, len({w}) - {SHINGLE_SIZE - 2}), i -> {joined})) "
+        f"ELSE [array_to_string({w}, ' ')] END"
+    )
+
+
+def minhash_sig(sh: Column, k: int) -> Column:
+    """k-th minhash: lexicographic min of md5('k|' + shingle)."""
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))
+    )
+
+
+def minhash_sig_sql(sh_expr: str, k: int) -> str:
+    return f"list_min(list_transform({sh_expr}, s -> md5('{k}|' || s)))"
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append shingle set + NUM_HASHES minhash signature columns."""
+    sh = shingles(F.col(text_col))
+    out = df.withColumn("_shingles", sh)
+    for k in range(NUM_HASHES):
+        out = out.withColumn(f"sig{k}", minhash_sig(F.col("_shingles"), k))
+    return out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact (bag-normalized) dedup: assign every row the canonical
+    (minimum) id of its fingerprint group.
+
+    Scale: single shuffle on the 32-char fingerprint; no pairwise work."""
+    fp = bag_fingerprint(F.col(text_col)).alias("fp")
+    grouped = (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), bag_fingerprint(F.col(text_col)).alias("fp"))
+        .join(grouped, "fp")
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str = "text") -> str:
+    fp = bag_fingerprint_sql(text_col)
+    return f"""
+    WITH f AS (SELECT {id_col}, {fp} AS fp FROM {table}),
+         g AS (SELECT fp, min({id_col}) AS canonical_id,
+                      count(*) AS group_size
+               FROM f GROUP BY fp)
+    SELECT f.{id_col}, g.canonical_id, g.group_size,
+           f.{id_col} = g.canonical_id AS is_canonical
+    FROM f JOIN g USING (fp)
+    """
+
+
+#: SimHash width. 32 bits keeps the generated expression tree (one
+#: aggregate per bit) compact while remaining selective for word-set
+#: similarity; widen to 64 for production corpora.
+SIMHASH_BITS = 32
+
+
+def _word_hash64(w: Column) -> Column:
+    """Stable 60-bit integer hash of a word: first 15 hex chars of md5,
+    identical in the SQL twin (DuckDB '0x..'::BIGINT)."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column) -> Column:
+    """SimHash over the distinct word set: bit b of the signature is the
+    sign of sum_w (+1 if bit b of hash(w) else -1).
+
+    Cost shape: one md5 per word (hashes materialized once into an
+    array), then SIMHASH_BITS integer-only array aggregates — all inside
+    codegen, no shuffle."""
+    hashes = F.transform(F.array_distinct(words(text)), _word_hash64)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        bitsum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when((F.shiftright(h, b) % 2) == 1, 1).otherwise(-1),
+        )
+        sig = sig + F.when(bitsum > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_sql(words_col: str) -> str:
+    """DuckDB twin of :func:`simhash` over a pre-bound words column."""
+    h = "('0x' || substr(md5(w), 1, 15))::BIGINT"
+    terms = []
+    for b in range(SIMHASH_BITS):
+        bitsum = (
+            f"list_sum(list_transform(list_distinct({words_col}), "
+            f"w -> CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {bitsum} > 0 THEN {2**b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_intersection: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH + exact-Jaccard
+    verification.
+
+    Plan shape (the part that matters at scale):
+      1. one narrow pass computes shingles + K signatures;
+      2. signatures unpivot to (band, key, id) — rows = K x docs;
+      3. self-equi-join on (band, key) -> candidates (never all pairs);
+      4. distinct candidate ids re-join shingle sets, exact Jaccard
+         filters false positives.
+    """
+    from pyspark import StorageLevel
+
+    # Materialize signatures ONCE (eagerly). Without this, Catalyst's
+    # project collapse inlines the shingle+md5 pipeline into every
+    # downstream branch (band explode + both candidate joins),
+    # multiplying the hashing work ~K^2 times; a lazy persist doesn't
+    # help because all uses live inside one action. At cluster scale
+    # this is the standard "signature table" materialization step.
+    sigs = with_minhash(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"sig{k}").alias("key")
+                    )
+                    for k in range(NUM_HASHES)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col).alias("id"), F.col("_shingles"))
+    out = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.array_intersect(F.col("sa._shingles"), F.col("sb._shingles"))
+            ).alias("n_common"),
+            F.round(
+                jaccard(F.col("sa._shingles"), F.col("sb._shingles")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("n_common") >= min_intersection)
+    )
+    return out
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    min_intersection: int = 2,
+) -> str:
+    sh = shingles_sql("w")
+    sig_cols = ",\n           ".join(
+        f"{minhash_sig_sql('sh', k)} AS sig{k}" for k in range(NUM_HASHES)
+    )
+    band_union = "\n      UNION ALL\n".join(
+        f"      SELECT id, {k} AS band, sig{k} AS key FROM sigs"
+        for k in range(NUM_HASHES)
+    )
+    return f"""
+    WITH w0 AS (SELECT {id_col} AS id, {words_sql(text_col)} AS w FROM {table}),
+    docs AS (SELECT id, {sh} AS sh FROM w0),
+    sigs AS (
+      SELECT id, sh,
+           {sig_cols}
+      FROM docs
+    ),
+    bands AS (
+{band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::INTEGER AS n_common,
+           round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0 /
+                 (len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 4) AS jaccard
+    FROM cand c
+    JOIN sigs sa ON c.id_a = sa.id
+    JOIN sigs sb ON c.id_b = sb.id
+    WHERE len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) >= {min_intersection}
+    """

@@ -7,10 +7,12 @@ from kafka_go_streamer_spark.plans.registry import ORACLES, QUERIES, query
 # populate the registry
 from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     dedup,
+    multimodal_queries,
     relational,
     routing_queries,
     similarity,
     text,
+    windows,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,128 @@
+"""Deduplication queries over ``documents`` — thin registrations over
+``operators/dedup.py`` (same module emits both the Spark plan and the
+DuckDB oracle SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    words_sql,
+)
+from kafka_go_streamer_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_sql,
+    jaccard,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    shingles,
+    shingles_sql,
+    simhash,
+    simhash_sql,
+)
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+
+@query(
+    "dedup_exact_hash",
+    oracle=f"""
+    SELECT {fingerprint_sql('text')} AS fp,
+           min(doc_id) AS canonical_id,
+           count(*)    AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5-fingerprint hash-groupBy: one shuffle on the
+    32-char fingerprint, map-side combine, scales to any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_assignment",
+    oracle=exact_dedup_sql("documents", "doc_id", "text"),
+)
+def dedup_exact_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical-id assignment under bag-normalized
+    fingerprinting (order-shuffled duplicates collapse too)."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=minhash_lsh_pairs_sql("documents", "doc_id", "text", min_intersection=2),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash signatures -> LSH band buckets ->
+    candidate equi-join -> exact-Jaccard verification. The only pairwise
+    work happens inside shared buckets — never across the full corpus."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", min_intersection=2
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w0 AS (SELECT doc_id, {words_sql('text')} AS w FROM documents)
+    SELECT doc_id, {simhash_sql('w')} AS simhash
+    FROM w0
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document: near-identical word sets land on
+    near-identical 32-bit signatures; pair generation then buckets on
+    signature bands (Hamming-LSH) instead of comparing all pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w0 AS (SELECT doc_id, source, {words_sql('text')} AS w FROM documents),
+         s AS (SELECT doc_id, source, {shingles_sql('w')} AS sh FROM w0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
+           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+                 (len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4)
+             AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) >= 3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard between documents, blocked
+    by the source column — the blocking key bounds the pairwise work per
+    group, the standard scale pattern when a natural partition exists."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "source", shingles(F.col("text")).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter >= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.source").alias("source"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis queries over the ``documents`` table: token counting,
+quality scoring, language ID, fingerprinting. Thin registrations over
+the expression builders in ``functions/text.py`` — the Spark column and
+the DuckDB SQL derive from the same module, one source of truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions import text as X
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {X.word_count_sql('text')}  AS n_words,
+           {X.token_count_sql('text')} AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace word count + BPE-ish token count per document.
+
+    Scale: pure narrow projection; regexp_count/split are codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.word_count(F.col("text")).alias("n_words"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {X.word_count_sql('text')} AS n_words,
+           {X.alpha_ratio_sql('text')} AS alpha_ratio,
+           round({X.stopword_hits_sql('text', 'en')} * 1.0
+                 / greatest({X.word_count_sql('text')}, 1), 4) AS stopword_ratio,
+           CASE WHEN {X.word_count_sql('text')} >= 20
+                 AND {X.alpha_ratio_sql('text')} > 0.6
+                THEN 'keep' ELSE 'filter' END AS verdict
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / alphabetic ratio / stopword ratio and a
+    keep/filter verdict — the standard pretraining-corpus gate.
+
+    The words array and both ratios are bound once via intermediate
+    columns so the split/regexp work is done once per row, not once per
+    output expression."""
+    d = load_table(spark, sf_dir, "documents")
+    bound = d.select(
+        "doc_id",
+        X.word_count(F.col("text")).alias("n_words"),
+        X.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        X.stopword_hits(F.col("text"), "en").alias("_sw_hits"),
+    )
+    return bound.select(
+        "doc_id",
+        "n_words",
+        "alpha_ratio",
+        F.round(F.col("_sw_hits") / F.greatest(F.col("n_words"), F.lit(1)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.when((F.col("n_words") >= 20) & (F.col("alpha_ratio") > 0.6), "keep")
+        .otherwise("filter")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {X.lang_id_sql('text')} AS predicted_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic vs the labeled lang column.
+    Words are split once into an intermediate column; the per-language
+    hit counts all filter that one array."""
+    d = load_table(spark, sf_dir, "documents")
+    bound = d.select(
+        "doc_id", "lang", X.words(F.col("text")).alias("_words")
+    )
+    return bound.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id_from_words(F.col("_words")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           {X.fingerprint_sql('text')}     AS fp,
+           {X.bag_fingerprint_sql('text')} AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact and order-insensitive document fingerprints (md5-based,
+    engine-stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.bag_fingerprint(F.col("text")).alias("bag_fp"),
+    )

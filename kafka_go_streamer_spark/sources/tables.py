@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,8 +32,22 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """The driver parquet stores event time as TIMESTAMP(NANOS); Spark
+    reads it as LONG nanos (``spark.sql.legacy.parquet.nanosAsLong``).
+    Truncate to microseconds with integer division — the same ns->us
+    truncation DuckDB applies, so oracle comparisons agree. (A float
+    division would silently lose precision on epoch-nanos magnitudes.)
+    """
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _fix_nanos(df) if name == "events" else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

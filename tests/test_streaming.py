@@ -1,0 +1,75 @@
+"""Streaming smoke: the same routing core under the micro-batch runtime
+with a file source (no Kafka in this environment), mirroring the
+reference's compose-test topology (docker-compose-test.yml) without
+infrastructure. Assertions reuse the batch golden oracle — identical
+routing semantics in both runtimes."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_routing import GOLDEN_OPENSTACK, SPLITER_OPENSTACK
+
+from kafka_go_streamer_spark.streaming import start_file_stream_router
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    (d / "batch1.txt").write_text(
+        "\n".join(v for _, v, _ in GOLDEN_OPENSTACK[:3]) + "\n"
+    )
+    (d / "batch2.txt").write_text(
+        "\n".join(v for _, v, _ in GOLDEN_OPENSTACK[3:]) + "\n"
+    )
+    return str(d)
+
+
+def test_file_stream_routing_matches_batch_golden(spark, input_dir):
+    q = start_file_stream_router(
+        spark, SPLITER_OPENSTACK, input_dir, query_name="routed_smoke"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT value, topic FROM routed_smoke").collect()
+    got = {r["value"]: r["topic"] for r in out}
+    # every golden message routed to its expected topic...
+    expected = {v: t for _, v, t in GOLDEN_OPENSTACK}
+    assert got == expected
+    # ...including exactly-one-route (no message appears twice)
+    assert len(out) == len(GOLDEN_OPENSTACK)
+
+
+def test_streaming_windowed_agg_with_watermark(spark, sf_dir, tmp_path):
+    """Tumbling window + watermark on a parquet file stream: the
+    streaming-native form of window_tumbling_hourly."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.sources.tables import load_table
+
+    import shutil
+
+    from kafka_go_streamer_spark.sources.tables import _fix_nanos
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    # raw schema (ts as LONG nanos), converted by the same helper batch uses
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _fix_nanos(spark.readStream.schema(raw_schema).parquet(str(src_dir)))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) AS total FROM win_smoke").collect()[0]["total"]
+    want = load_table(spark, sf_dir, "events").count()
+    assert got == want

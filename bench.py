@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_go_streamer_spark.plans import QUERIES
-from kafka_go_streamer_spark.session import get_spark, sf_dir
+from kafka_go_streamer_spark.session import get_spark, sf_dir, warm_python_workers
 
 #: Headline set: one representative per operator family, weighted toward
 #: the scale-sensitive ones (joins, windows, LSH, similarity).
@@ -49,6 +49,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", target)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("kgs-bench")
+    # session warmup: JVM codegen paths + Python worker daemons, so the
+    # per-query numbers measure the queries rather than session spin-up
+    warm_python_workers(spark)
+    spark.read.parquet(f"{target}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

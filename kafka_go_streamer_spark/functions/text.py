@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small + frozen: the heuristic must be exactly
 #: reproducible in SQL.
@@ -118,7 +120,7 @@ def lang_id_sql(expr: str) -> str:
 
 def alpha_ratio(text: Column) -> Column:
     """Share of characters that are ASCII letters."""
-    return F.round(
+    return stable_round(
         F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
         / F.greatest(F.length(text), F.lit(1)),
         4,

@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.functions.vectors import (
     as_double,
     cosine,
@@ -82,7 +84,7 @@ def topk_cosine(
     out = df.select(
         F.col(id_col),
         "label",
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        stable_round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)

@@ -11,6 +11,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     relational,
     routing_queries,
     similarity,
+    sql_api,
     text,
     windows,
 )

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.functions.text import (
     fingerprint,
     fingerprint_sql,
@@ -20,8 +22,8 @@ from kafka_go_streamer_spark.operators.dedup import (
     minhash_lsh_pairs_sql,
     shingles,
     shingles_sql,
-    simhash,
     simhash_sql,
+    simhash_table,
 )
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
@@ -87,7 +89,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical 32-bit signatures; pair generation then buckets on
     signature bands (Hamming-LSH) instead of comparing all pairs."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhash_table(d, "doc_id", "text")
 
 
 @query(
@@ -123,6 +125,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.col("a.source").alias("source"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+            stable_round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
         )
     )

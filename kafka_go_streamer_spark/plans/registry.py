@@ -20,6 +20,49 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def stabilize_rounds(sql: str) -> str:
+    """Rewrite every ``round(<expr>, <n>)`` in an oracle to
+    ``round((<expr>) + 1e-9, <n>)`` — the SQL half of
+    ``functions.rounding.stable_round`` (see that module for why exact
+    decimal ties make Spark and DuckDB disagree). Paren-aware scan, no
+    regex over nested expressions."""
+    out = []
+    i, n = 0, len(sql)
+    lower = sql.lower()
+    while i < n:
+        j = lower.find("round(", i)
+        # skip identifiers ending in 'round(' that aren't the function
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = lower.find("round(", j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        # find the matching close paren and the top-level comma
+        depth = 0
+        k = j + len("round(")
+        arg_start, comma = k, -1
+        while k < n:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0 and comma == -1:
+                comma = k
+            k += 1
+        if comma == -1:  # single-arg round: leave untouched
+            out.append(sql[j:k + 1])
+        else:
+            expr = stabilize_rounds(sql[arg_start:comma])  # handle nesting
+            scale = sql[comma + 1 : k]
+            out.append(f"round(({expr}) + 1e-9,{scale})")
+        i = k + 1
+    return "".join(out)
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle=None`` marks a genuinely
     non-SQL-expressible op (driver records a weaker rows-only check)."""
@@ -29,7 +72,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = stabilize_rounds(oracle)
         return fn
 
     return deco

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -59,12 +61,12 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(
+            stable_round(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
@@ -72,9 +74,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -100,10 +102,10 @@ def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total"),
+            stable_round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            stable_round(F.min("o_totalprice"), 2).alias("min_price"),
+            stable_round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
 
@@ -149,7 +151,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -169,7 +171,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .agg(stable_round(F.sum("l_extendedprice"), 2).alias("sum_price"))
     )
 
 
@@ -203,7 +205,7 @@ def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in kinds:
         counts = counts.withColumn(k, F.coalesce(F.col(k), F.lit(0)))
     pv = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
-        F.round(F.sum("value"), 2).alias("purchase_value")
+        stable_round(F.sum("value"), 2).alias("purchase_value")
     )
     return counts.join(pv, "user_id", "left")
 
@@ -224,10 +226,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/median/correlation."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
-        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        stable_round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        stable_round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        stable_round(F.median("l_extendedprice"), 4).alias("median_price"),
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
 
 
@@ -277,7 +279,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -315,7 +317,7 @@ def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "c_mktsegment")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -503,7 +505,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        stable_round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
 
 
@@ -529,7 +531,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+        stable_round(F.avg("value").over(w), 4).alias("moving_avg"),
     )
 
 
@@ -702,15 +704,15 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_delta"),
+        stable_round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_delta"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        stable_round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        stable_round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        stable_round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
-        F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
-        F.round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
+        stable_round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
+        stable_round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
         F.signum(F.col("l_extendedprice") - 50000).alias("price_sign"),
     )
 

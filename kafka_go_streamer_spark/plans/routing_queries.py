@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.config import Extractor, Split, Spliter
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.routing import route, route_and_filter, routing_case_sql
@@ -146,7 +148,7 @@ def route_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("topic")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
         )
     )
 

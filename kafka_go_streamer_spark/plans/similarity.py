@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
 from kafka_go_streamer_spark.operators.similarity import (
     hyperplanes,
@@ -48,7 +50,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -88,7 +90,7 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.col("a.sig").alias("sig"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+            stable_round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
                 "cos_sim"
             ),
         )
@@ -122,6 +124,6 @@ def sim_neardup_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cos_sim"),
+            stable_round(cos, 6).alias("cos_sim"),
         )
     )

@@ -1,0 +1,127 @@
+"""Queries expressed through the SQL API (``spark.sql`` over temp
+views) and the array/higher-order-function family — same Catalyst plans
+as the DataFrame API, registered to prove the SQL surface end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+
+@query(
+    "sql_api_monthly_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS ym,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1
+    """,
+)
+def sql_api_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue rollup written as literal Spark SQL — Catalyst
+    produces the same plan as the DataFrame form; registered through
+    temp views like a warehouse query."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('month', o.o_orderdate), 'yyyy-MM') AS ym,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+        FROM v_orders o JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus <> 'F'
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "sql_api_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def sql_api_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join) — customers above their nation's average balance."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal
+        FROM v_customer c
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM v_customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w)::INTEGER                                   AS n_words,
+           len(list_distinct(w))::INTEGER                    AS n_distinct,
+           w[1]                                              AS first_word,
+           list_sort(list_distinct(w))[1]                    AS min_word,
+           array_to_string(list_slice(w, 2, 4), '-')         AS mid_words,
+           list_contains(w, 'spark')                         AS has_spark,
+           len(list_filter(w, x -> length(x) > 5))::INTEGER  AS n_long_words
+    FROM w0
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function family: size, distinct, indexing,
+    sort, slice, contains, lambda filter — all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bound = d.select("doc_id", w.alias("w"))
+    return bound.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.col("w").getItem(0).alias("first_word"),
+        F.array_sort(F.array_distinct("w")).getItem(0).alias("min_word"),
+        F.array_join(F.slice("w", 2, 3), "-").alias("mid_words"),
+        F.array_contains("w", "spark").alias("has_spark"),
+        F.size(F.filter("w", lambda x: F.length(x) > 5)).alias("n_long_words"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (quantile_cont semantics). The
+    approximate variant (approx_percentile / t-digest) is the scale
+    path but engine-specific, so the exact one carries the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        stable_round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        stable_round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )

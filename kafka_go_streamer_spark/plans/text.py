@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
@@ -68,7 +70,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "alpha_ratio",
-        F.round(F.col("_sw_hits") / F.greatest(F.col("n_words"), F.lit(1)), 4).alias(
+        stable_round(F.col("_sw_hits") / F.greatest(F.col("n_words"), F.lit(1)), 4).alias(
             "stopword_ratio"
         ),
         F.when((F.col("n_words") >= 20) & (F.col("alpha_ratio") > 0.6), "keep")

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
+
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -37,7 +39,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -69,7 +71,7 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round(F.avg("value"), 4).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "avg_value")
     )
@@ -110,7 +112,7 @@ def window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            stable_round(F.sum("value"), 2).alias("session_value"),
         )
         .select(
             "user_id",

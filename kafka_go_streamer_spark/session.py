@@ -53,3 +53,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Force-start the Python UDF worker daemons. The first pandas-UDF
+    task in a session pays ~30-40 s of worker spin-up (pandas/pyarrow
+    imports per daemon) on this container; paying it once up front keeps
+    that constant out of per-query timings."""
+
+    def _identity(it):
+        yield from it
+
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_identity, "id long").count()

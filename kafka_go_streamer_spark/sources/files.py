@@ -1,0 +1,56 @@
+"""File-based sources: text / csv / json batch and streaming readers.
+
+The reference's only non-Kafka input is a flat text corpus
+(sample_input.txt, one raw message value per line) cat'd into Kafka for
+demos; ``read_message_lines`` reproduces exactly that shape — a
+(key NULL, value STRING) frame the routing core consumes directly.
+Explicit schemas everywhere: schema inference is a full extra pass over
+the data and is banned at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_message_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited message values -> (key, value) like the Kafka
+    projection (reference main.go:496-499; corpus shape of
+    sample_input.txt)."""
+    return spark.read.text(path).select(
+        F.lit(None).cast("string").alias("key"),
+        F.col("value"),
+    )
+
+
+def stream_message_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming variant of :func:`read_message_lines` (file source)."""
+    return spark.readStream.text(path).select(
+        F.lit(None).cast("string").alias("key"),
+        F.col("value"),
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath. The
+    test/driver environment ships without it; the streaming router then
+    runs on file sources only."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False

@@ -54,7 +54,11 @@ def decode_images(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
     Arrow moves each partition to Python in columnar batches; the
     decode loop is per-batch, not per-row-serialized. Narrow transform:
     partitioning and ordering of the input are preserved, no shuffle."""
-    src = df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -82,12 +82,30 @@ def minhash_sig_sql(sh_expr: str, k: int) -> str:
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append shingle set + NUM_HASHES minhash signature columns."""
-    sh = shingles(F.col(text_col))
-    out = df.withColumn("_shingles", sh)
-    for k in range(NUM_HASHES):
-        out = out.withColumn(f"sig{k}", minhash_sig(F.col("_shingles"), k))
-    return out
+    """Shingle set + NUM_HASHES minhash signature columns, one row per
+    input row (keyed by every non-text column of ``df``).
+
+    Shape: explode shingles to rows, hash each shingle once per hash
+    function as a SCALAR md5 (small codegen methods, vectorized), then
+    one hash-aggregate takes the per-doc minimums and rebuilds the
+    distinct shingle set via collect_set. The array-expression form
+    (array_min over md5-transform arrays) compiles to a huge generated
+    method with erratic JIT behavior — this relational form is the one
+    that behaves at scale: fan-out, narrow hashing, single map-side-
+    combined shuffle on the document key."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    keys = [c for c in df.columns if c != text_col]
+    ex = fan_out(df).select(
+        *keys, F.explode(shingles(F.col(text_col))).alias("_sh")
+    )
+    return ex.groupBy(*keys).agg(
+        F.collect_set("_sh").alias("_shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("_sh")))).alias(f"sig{k}")
+            for k in range(NUM_HASHES)
+        ],
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -159,7 +177,9 @@ def simhash_table(
     bit-aggregate (32x the hashing work — measured 10x slower); this
     form costs one md5 per word plus one shuffle on the id, and
     parallelizes by rows x words at any scale."""
-    exploded = df.select(
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    exploded = fan_out(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
     )
@@ -211,18 +231,20 @@ def minhash_lsh_pairs(
       4. distinct candidate ids re-join shingle sets, exact Jaccard
          filters false positives.
     """
-    from pyspark import StorageLevel
-
-    # Materialize signatures ONCE (eagerly). Without this, Catalyst's
-    # project collapse inlines the shingle+md5 pipeline into every
-    # downstream branch (band explode + both candidate joins),
-    # multiplying the hashing work ~K^2 times; a lazy persist doesn't
-    # help because all uses live inside one action. At cluster scale
-    # this is the standard "signature table" materialization step.
+    # Materialize signatures ONCE (eager localCheckpoint). Without a
+    # materialization barrier, Catalyst's project collapse inlines the
+    # shingle+md5 pipeline into every downstream branch (band explode +
+    # both candidate joins), multiplying the hashing work ~K^2 times
+    # (measured 8x slower). localCheckpoint over persist(): it truncates
+    # lineage the same way but its blocks are auto-removed by the
+    # ContextCleaner once the result is collected — repeated invocations
+    # in one long-lived session (the driver's harness) don't accumulate
+    # dead cache entries. At cluster scale this is the standard
+    # "signature table" materialization; swap for a real checkpoint/
+    # table write when executor loss matters.
     sigs = with_minhash(
         df.select(F.col(id_col), F.col(text_col)), text_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    ).localCheckpoint(eager=True)
     bands = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(

@@ -110,7 +110,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard between documents, blocked
     by the source column — the blocking key bounds the pairwise work per
     group, the standard scale pattern when a natural partition exists."""
-    d = load_table(spark, sf_dir, "documents")
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     s = d.select("doc_id", "source", shingles(F.col("text")).alias("sh"))
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

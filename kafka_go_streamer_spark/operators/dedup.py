@@ -288,6 +288,75 @@ def minhash_lsh_pairs(
     return out
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation with path
+    compression — the dedup-cluster step that turns near-duplicate PAIRS
+    into duplicate GROUPS (every doc gets the minimum doc-id of its
+    component as ``component_id``).
+
+    ``nodes`` has one column ``id``; ``edges`` has ``id_a``/``id_b``.
+
+    Scale shape: this is the standard alternating "neighbor-min + label
+    compression" fixpoint (the simplified form of large-star/small-star
+    used by GraphX/GraphFrames connected components). Each round is two
+    equi-joins + one min-aggregate — all shuffle-on-key, no pairwise
+    blowup — and path compression makes convergence O(log n) rounds
+    instead of O(diameter), which is what makes it viable when a dedup
+    graph has million-node chains at corpus scale. Labels are
+    re-materialized per round (``localCheckpoint``) so the plan doesn't
+    grow exponentially with iterations; the driver-side loop is bounded
+    and runs one tiny ``count()`` action per round for convergence.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    "comp", F.coalesce("nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # path compression: follow comp -> comp's own label one hop
+        redir = stepped.select(
+            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+        )
+        compressed = (
+            stepped.join(redir, stepped.comp == redir.cid, "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("ccomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_lsh_pairs_sql(
     table: str,
     id_col: str,

@@ -1,0 +1,290 @@
+"""Extended analytics surface: as-of join, range-band join, time-
+hierarchy rollup, histogram, deterministic sampling, embedding
+centroids, and dedup connected components.
+
+These close out the operator families a training-data pipeline needs
+beyond the core relational set; each docstring states the plan property
+that matters at 100 TB. The reference engine (p53/kafka-go-streamer)
+has none of these — its only operators are the routing set surveyed in
+SURVEY.md §2.1 (main.go:348-651); this module is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.operators.asof import asof_join
+from kafka_go_streamer_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+)
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+
+@query(
+    "join_asof_last_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.event_type,
+           round(p.purchase_value + 1e-9, 2) AS purchase_value_asof,
+           p.ts AS matched_time
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: annotate every event with the user's most recent
+    purchase at-or-before the event time (DuckDB twin: native ASOF
+    JOIN). Right side is pre-deduplicated to one row per (user, ts) so
+    tie-breaking is deterministic on both engines.
+
+    Scale: implemented as union + carry-forward window (operators/
+    asof.py) — one shuffle on the key, no per-group pandas merge, no
+    pairwise work; survives keys whose history doesn't fit one task."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id", "event_type")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        stable_round(F.col("purchase_value_asof"), 2).alias(
+            "purchase_value_asof"
+        ),
+        "matched_time",
+    )
+
+
+#: (band_name, lo, hi) — deliberately non-uniform widths so the band
+#: lookup is a genuine range join, not a computable bin.
+QUANTITY_BANDS = [("low", 1.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)]
+
+
+@query(
+    "join_range_quantity_bands",
+    oracle=f"""
+    SELECT b.band_name, count(*) AS n,
+           round(sum(l.l_extendedprice) + 1e-9, 2) AS revenue
+    FROM lineitem l
+    JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QUANTITY_BANDS)})
+         b(band_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: classify each lineitem into a non-uniform quantity
+    band via interval containment, then aggregate revenue per band.
+
+    Scale: the band table is broadcast, so the range predicate runs as
+    a broadcast nested-loop over a HANDFUL of intervals — a narrow
+    O(rows x bands) pass with zero shuffle of the fact table. (For
+    uniform bands you'd compute the bin arithmetically; the general
+    interval case is this pattern, with interval-binning to convert to
+    an equi-join when the band list itself grows large.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        QUANTITY_BANDS, "band_name string, lo double, hi double"
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "agg_time_rollup_hierarchy",
+    oracle="""
+    SELECT year(ts)::INTEGER AS y, month(ts)::INTEGER AS m,
+           day(ts)::INTEGER AS d,
+           count(*) AS n, round(sum(value) + 1e-9, 2) AS total
+    FROM events
+    GROUP BY ROLLUP(y, m, d)
+    """,
+)
+def agg_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one pass produces the
+    day, month, year, and grand-total aggregates of the event stream
+    (the continuous-aggregate cascade of a time-series store).
+
+    Scale: ROLLUP computes all grains in a single shuffle with
+    map-side partial aggregation — versus N separate groupBys reading
+    the fact table N times."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+HIST_BUCKET_WIDTH = 5000
+HIST_MAX_BIN = 19
+
+
+@query(
+    "agg_histogram_prices",
+    oracle=f"""
+    SELECT least(floor(l_extendedprice / {HIST_BUCKET_WIDTH}),
+                 {HIST_MAX_BIN})::INTEGER AS bin,
+           count(*) AS n,
+           round(min(l_extendedprice) + 1e-9, 2) AS lo,
+           round(max(l_extendedprice) + 1e-9, 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price with a clamped overflow
+    bin — the distribution-profiling primitive for data quality checks.
+
+    Scale: bin id is computed arithmetically (no range join, no sort);
+    one shuffle on ~20 bins with map-side combine, so cost is a single
+    narrow scan regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / HIST_BUCKET_WIDTH),
+        F.lit(HIST_MAX_BIN),
+    ).cast("int")
+    return (
+        li.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.min("l_extendedprice"), 2).alias("lo"),
+            stable_round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice) + 1e-9, 2) AS total
+    FROM orders
+    WHERE substr(md5(o_orderkey::VARCHAR), 1, 1) IN ('0', '1')
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample by key-hash prefix, summarized per
+    stratum. Unlike TABLESAMPLE / rand(), the hash predicate is (a)
+    reproducible across engines and runs, and (b) a pure row-local
+    filter — it pushes into the scan, needs no state, and the same
+    predicate selects the same sample on any cluster size, which is
+    what makes hash sampling the standard for corpus-scale eval
+    splits."""
+    o = load_table(spark, sf_dir, "orders")
+    sampled = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+            "0", "1"
+        )
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(v::DOUBLE) + 1e-9, 6) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, element-wise — the
+    building block for k-means-style IVF training and cluster-based
+    corpus curation.
+
+    Scale: posexplode fans rows x dims, then ONE hash aggregate on
+    (label, pos) with map-side partial avg — no collect of vectors to
+    the driver, no per-group pandas; dims are bounded (64) so the
+    fan-out factor is a constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        stable_round(F.avg(F.col("v").cast("double")), 6).alias("centroid")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {minhash_lsh_pairs_sql("documents", "doc_id", "text", min_intersection=2)}
+    ),
+    e(a, b) AS (
+      SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id)
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS from near-duplicate PAIRS: MinHash-LSH
+    candidate pairs become graph edges; iterative min-label propagation
+    (operators/dedup.py:connected_components) assigns every document
+    the minimum doc-id of its connected component, plus the component
+    size — the "keep one per cluster" step of corpus dedup.
+
+    Oracle: DuckDB recursive CTE computing min over the transitive
+    closure — same fixpoint, different engine mechanism."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("component_size"),
+    )

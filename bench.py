@@ -58,18 +58,20 @@ def main() -> None:
     warm_python_workers(spark)
     spark.read.parquet(f"{target}/region.parquet").count()
 
-    # best-of-2 per query: this box is shared with the driver harness,
-    # and a single run can absorb multi-second external CPU spikes; the
-    # minimum reflects the plan's actual cost
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+    # min over 3 INTERLEAVED full passes: this box is shared with the
+    # driver harness, and external CPU bursts last seconds — back-to-back
+    # repeats of one query share the same burst, while passes separated
+    # by the rest of the suite don't, so the per-query minimum across
+    # passes reflects the plan's actual cost
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, target).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            QUERIES[name](spark, target).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -43,6 +43,50 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch reader — same columnar pushdown/pruning properties as
+    parquet (both flow through the vectorized reader and
+    DataSourceV2 filter pushdown)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC writer; ``partition_by`` produces the hive-style directory
+    layout partition pruning keys on."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is deployable; gate
+    avro reads on this (it ships separately from core Spark). Uses
+    Spark's own data-source lookup: merely class-loading
+    AvroFileFormat is NOT sufficient — a partial avro jar (the Kafka
+    schema-registry functions) satisfies Class.forName while the file
+    source remains unregistered."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro batch reader — the row-oriented interchange format of the
+    Kafka ecosystem (schema-registry payloads); columnar pushdown does
+    not apply, so prefer parquet/ORC for analytics-at-rest and treat
+    avro as an ingest/interchange format."""
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").format("avro").save(path)
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True when the spark-sql-kafka connector is on the classpath. The
     test/driver environment ships without it; the streaming router then

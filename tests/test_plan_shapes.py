@@ -1,0 +1,133 @@
+"""Physical-plan regression tests — the 100 TB story, pinned.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 1000-executor cluster: dimension joins
+broadcast instead of shuffling the fact table, filters and projections
+reach the parquet scan, aggregates combine map-side before the
+shuffle, and the routing hot path is a single narrow codegen span
+(the reference's entire pipeline is shuffle-free — SURVEY.md §3.2).
+A regression that flips any of these still returns correct rows at
+sf0.001 and only explodes at scale; this file is where it fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.plans import QUERIES
+from kafka_go_streamer_spark.sources.tables import load_table
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    """The star join must broadcast every dimension table: zero
+    SortMergeJoin, so the only exchange left is the aggregation's."""
+    plan = physical_plan(QUERIES["join_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_enrichment_no_fact_shuffle(spark, sf_dir):
+    """Broadcast enrichment must not repartition the event stream: the
+    only allowed exchanges are the broadcast itself and the final
+    aggregation — no hash-partitioning of the fact side pre-join."""
+    plan = physical_plan(QUERIES["join_enrich_events_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routing_plan_is_narrow(spark, sf_dir):
+    """The reference's hot path has no shuffle (SURVEY.md §3.2); ours
+    must compile to scan -> project/case-when -> filter with zero
+    Exchange nodes and a single whole-stage-codegen span."""
+    plan = physical_plan(QUERIES["route_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert set(re.findall(r"\*\((\d+)\)", plan)) == {"1"}  # one codegen span
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """A selective predicate on a scanned column must appear in the
+    parquet scan's PushedFilters, not only in a post-scan Filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must scan 2 columns: ReadSchema carries
+    only what the query needs (lineitem has 16 columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_aggregation_has_map_side_partial(spark, sf_dir):
+    """groupBy().agg() must plan partial + final HashAggregate so the
+    shuffle moves pre-combined state, not raw rows."""
+    plan = physical_plan(QUERIES["agg_pricing_summary"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heap + merge of k), never a full global sort."""
+    plan = physical_plan(QUERIES["sort_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_do_not_materialize_right(spark, sf_dir):
+    """EXISTS / NOT EXISTS compile to semi/anti joins, not inner join
+    plus distinct."""
+    semi = physical_plan(QUERIES["join_semi_customers_with_orders"](spark, sf_dir))
+    anti = physical_plan(QUERIES["join_anti_customers_without_orders"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_minhash_never_plans_cartesian(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on the band key —
+    a cartesian/broadcast-nested-loop here is the O(n^2) bug the whole
+    design exists to avoid."""
+    plan = physical_plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_partitions_by_group_key(spark, sf_dir):
+    """Per-group top-k must hash-partition on the group key (parallel
+    per-group windows), never collapse to a single unpartitioned
+    window."""
+    plan = physical_plan(QUERIES["window_topk_parts_per_brand"](spark, sf_dir))
+    assert "hashpartitioning(p_brand" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "route_documents",
+        "filter_regex",
+        "json_extraction",
+        "text_quality",
+    ],
+)
+def test_narrow_queries_have_no_exchange(spark, sf_dir, name):
+    """Row-local queries (routing, filtering, extraction, scoring) must
+    stay narrow end to end: zero shuffles at any scale."""
+    plan = physical_plan(QUERIES[name](spark, sf_dir))
+    assert "Exchange" not in plan

@@ -29,6 +29,9 @@ HEADLINE = [
     "agg_count_distinct",
     "join_revenue_by_nation",
     "join_top_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "kmeans_assign_nearest_centroid",
     "window_topk_parts_per_brand",
     "window_running_sum",
     "window_tumbling_hourly",

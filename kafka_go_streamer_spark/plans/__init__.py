@@ -15,6 +15,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     similarity,
     sql_api,
     text,
+    tpch_classics,
     udtf_queries,
     windows,
 )

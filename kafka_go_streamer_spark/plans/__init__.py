@@ -16,6 +16,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     sql_api,
     text,
     tpch_classics,
+    tpch_extended,
     udtf_queries,
     windows,
 )

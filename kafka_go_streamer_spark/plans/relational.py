@@ -734,3 +734,125 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "event_type", k.alias("k")).filter(
         F.col("k") > 50
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(grouping(n.n_name) AS INTEGER) AS g_nation,
+           CAST(grouping(o.o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice) + 1e-9, 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice (finer than rollup/cube: only the
+    three levels asked for) with grouping() flags disambiguating real
+    NULLs from subtotal rows.
+
+    Scale: Spark expands grouping sets into a single Expand + one hash
+    aggregate — one shuffle total, not one scan per set; the customer
+    and nation dimensions broadcast before the expansion so the fact
+    rows fan out only by the 3 requested sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), n.n_nationkey == c.c_nationkey
+    )
+    return joined.groupingSets(
+        [["n_name", "o_orderpriority"], ["n_name"], []],
+        "n_name",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "window_range_frame_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER w + 1e-9, 2) AS rolling_1h_value,
+           count(*) OVER w AS n_events_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time: per user, the rolling 1-hour
+    sum/count ending at each event — a value-based frame (all peers of
+    the current second included), not a row-count frame.
+
+    Scale: one shuffle on user_id then a per-partition ordered scan
+    with a sliding two-pointer frame — no self-join re-derivation of
+    the window (the O(n·w) trap). Frame key = epoch seconds on both
+    engines (floor, not round) so frames agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        stable_round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS top_order_in_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist within
+    order priority, plus first_value over a full-partition frame (the
+    per-group champion) — deterministic via the orderkey tiebreak.
+
+    Scale: all three share one partitioning (priority) so Catalyst
+    plans a single window exchange+sort; first_value's unbounded frame
+    is computed in the same pass."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_top = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w_top).alias("top_order_in_priority"),
+    )

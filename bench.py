@@ -30,7 +30,12 @@ HEADLINE = [
     "join_revenue_by_nation",
     "join_top_orders",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_kept_waiting",
+    "agg_grouping_sets",
+    "window_range_frame_1h",
     "kmeans_assign_nearest_centroid",
     "window_topk_parts_per_brand",
     "window_running_sum",

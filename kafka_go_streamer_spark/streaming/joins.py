@@ -1,0 +1,66 @@
+"""Streaming joins: stream-static enrichment and watermarked
+stream-stream interval joins.
+
+The reference routes each message in isolation — it has no joins at all
+(SURVEY.md §2.2, reference main.go routes on per-message predicates
+only). These are the Spark-native extension: enriching an in-flight
+stream against a slowly-changing dimension, and correlating two event
+streams within a bounded time window.
+
+Scale notes:
+- Stream-static: the static side is broadcast per micro-batch (it is
+  re-resolved each batch, so an updated dimension table is picked up
+  on the next trigger). No state store involved, no shuffle of the
+  stream side when the dim broadcasts.
+- Stream-stream: both sides buffer in the state store, bounded by
+  their watermarks plus the join's time range — the watermark is what
+  lets Spark evict state, so at 100 TB/day the range bound below is
+  the difference between bounded memory and an unbounded state leak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a streaming DataFrame against a static (batch) dimension.
+
+    The dimension is marked broadcast-able; Spark re-plans the join
+    every micro-batch, so the stream side never shuffles and dimension
+    updates become visible at the next trigger.
+    """
+    return stream.join(F.broadcast(static_dim), on=on, how=how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    max_delay: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Inner-join two event streams on ``key`` where the right event
+    happens within ``(left_ts, left_ts + max_delay]``.
+
+    Both inputs must already carry distinct column names apart from
+    ``key``. Watermarks on BOTH sides plus the two-sided time-range
+    predicate are what bound the join state: rows older than
+    (watermark + delay) are evicted from the state store each trigger.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(max_delay))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

@@ -156,3 +156,43 @@ def bag_fingerprint_sql(expr: str) -> str:
     return (
         f"md5(array_to_string(list_sort(list_distinct({words_sql(expr)})), ' '))"
     )
+
+
+#: Winnowing parameters (Schleimer et al., "Winnowing: Local Algorithms
+#: for Document Fingerprinting"): k-gram size and window width. Frozen so
+#: the SQL twin reproduces signatures exactly.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fingerprints(text: Column) -> Column:
+    """Winnowing fingerprint set of a document: hash every k-gram
+    (k=3 words, md5), slide a w=4 window over the hash sequence, keep
+    each window's minimum, dedupe. Robust to insertions — a local edit
+    only perturbs the fingerprints whose windows cover it.
+
+    Hashes stay STRINGS and the window-min is the lexicographic
+    ``array_min`` — md5 hex compares identically in every engine, so no
+    hex→int conversion is needed. Pure higher-order functions: the
+    whole pipeline is one codegen'd projection, no shuffle, no UDF."""
+    ws = words(text)
+    k, w = WINNOW_K, WINNOW_W
+    grams = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", F.get(ws, i), F.get(ws, i + 1), F.get(ws, i + 2)
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = F.when(
+        F.size(grams) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(grams) - w),
+            lambda j: F.array_min(F.slice(grams, j + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(wins)

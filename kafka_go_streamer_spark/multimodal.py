@@ -77,3 +77,50 @@ def synthetic_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
         F.col(key_col).alias("key"),
         F.encode(F.col(text_col), "UTF-8").alias("blob"),
     )
+
+
+#: Frame-sampling parameters for the (stubbed) video path: fixed frame
+#: size in bytes and the keep-every-Nth stride. A real pipeline gets
+#: these from the container header; frozen here so the SQL oracle can
+#: replay the slicing exactly.
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = "key bigint, frame_idx int, frame_sha string"
+
+
+def sample_frames(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+    """Sample every ``FRAME_STRIDE``-th fixed-size frame from a binary
+    payload (the video analogue of ``decode_images``): one input row
+    fans out to ``ceil(n_frames / stride)`` output rows carrying the
+    frame index and a content hash.
+
+    A real implementation would run ffmpeg keyframe extraction inside
+    the same ``mapInPandas`` generator; the slicing stub keeps the
+    plumbing — Arrow batch transfer, 1→N row fan-out, narrow no-shuffle
+    plan — identical to production.
+    """
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, idxs, shas = [], [], []
+            for key, blob in zip(pdf["key"], pdf["blob"]):
+                payload = bytes(blob)
+                n_frames = len(payload) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = payload[
+                        i * FRAME_BYTES : (i + 1) * FRAME_BYTES
+                    ]
+                    keys.append(key)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {"key": keys, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return src.mapInPandas(batches, FRAME_SCHEMA)

@@ -64,3 +64,34 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("byte_len").cast("bigint").alias("total_bytes"),
         F.max("byte_len").alias("max_bytes"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS key, text,
+             octet_length(encode(text)) // 16 AS n_frames
+      FROM documents
+    )
+    SELECT key,
+           unnest(range(0, n_frames, 4))::INTEGER AS frame_idx,
+           sha256(substr(text, unnest(range(0, n_frames, 4)) * 16 + 1, 16))
+             AS frame_sha
+    FROM f
+    WHERE n_frames > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling from a binary "video" payload through
+    the real mapInPandas 1→N fan-out path (frame slicing stubbed as
+    fixed 16-byte frames; payloads are ASCII so the oracle's substr
+    slicing is byte-exact).
+
+    Scale: decode+sample is a narrow per-batch pandas generator — the
+    output fan-out happens inside the Arrow batch, no shuffle, and a
+    real ffmpeg keyframe extractor drops into the same generator."""
+    from kafka_go_streamer_spark.multimodal import sample_frames, synthetic_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(synthetic_blobs(docs, "doc_id", "text"), "key", "blob")

@@ -127,3 +127,62 @@ def sim_neardup_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             list_aggregate(emb, 'min') AS mn,
+             list_aggregate(emb, 'max') AS mx
+      FROM e
+    )
+    SELECT vec_id,
+           (generate_subscripts(emb, 1) - 1)::INTEGER AS pos,
+           CASE WHEN mx > mn
+                THEN CAST(floor((unnest(emb) - mn) * 255.0 / (mx - mn) + 0.5)
+                          AS INTEGER)
+                ELSE 0 END AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max int8 quantization — the storage-scale path
+    for embedding corpora (4× smaller than float32, enough resolution
+    for ANN candidate generation; full-precision re-rank happens on the
+    shortlist only).
+
+    Scale: narrow projection — per-row min/max then one posexplode; no
+    shuffle, no UDF. Quantized value uses floor(x + 0.5), not round():
+    floor on identical IEEE doubles is bit-stable across engines while
+    round() ties are not."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("mn"),
+        F.array_max("emb").alias("mx"),
+    )
+    ex = e.select(
+        "vec_id", "mn", "mx", F.posexplode("emb").alias("pos", "v")
+    )
+    return ex.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (F.col("v") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+                + 0.5
+            ).cast("int"),
+        )
+        .otherwise(0)
+        .alias("q"),
+    )

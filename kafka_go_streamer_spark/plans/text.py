@@ -120,3 +120,50 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fingerprint(F.col("text")).alias("fp"),
         X.bag_fingerprint(F.col("text")).alias("bag_fp"),
     )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE []::VARCHAR[] END AS gh
+      FROM w0
+    ),
+    wi AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) >= 4 THEN
+               list_transform(range(1, len(gh) - 2),
+                              j -> list_aggregate(gh[j:j+3], 'min'))
+             ELSE []::VARCHAR[] END AS wins
+      FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(wins)) AS fingerprint
+    FROM wi
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): md5 over
+    3-word shingles, window-min over 4-wide windows, distinct — the
+    rolling-hash fingerprint family the plagiarism/near-dup literature
+    uses, guaranteeing any shared run of >= w+k-1 words yields at least
+    one shared fingerprint.
+
+    Scale: pure higher-order-function projection (no UDF, no shuffle,
+    no driver loop); output explodes to (doc, fingerprint) rows ready
+    for the same bucket-join candidate generation as MinHash bands
+    (fingerprint equality IS the blocking key)."""
+    from kafka_go_streamer_spark.functions.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"))).alias("fingerprint"),
+    )

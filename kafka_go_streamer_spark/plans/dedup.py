@@ -130,3 +130,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
         )
     )
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE []::VARCHAR[] END AS gh
+      FROM w0
+    ),
+    wi AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) >= 4 THEN
+               list_transform(range(1, len(gh) - 2),
+                              j -> list_aggregate(gh[j:j+3], 'min'))
+             ELSE []::VARCHAR[] END AS wins
+      FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, unnest(list_distinct(wins)) AS f FROM wi)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs by winnowing-fingerprint overlap:
+    docs sharing >= 2 winnowing fingerprints (any shared word run of
+    >= w+k-1 words guarantees a shared fingerprint, so overlapping
+    passages — not just identical documents — surface).
+
+    Scale: fingerprint equality is the blocking key, exactly like
+    MinHash bands — the self-join is an equi-join on the fingerprint,
+    never an all-pairs comparison; hot fingerprints (boilerplate) are
+    the skew risk and would be frequency-capped at corpus scale (drop
+    fingerprints shared by > T docs: boilerplate, not duplication —
+    same cap the MinHash band path applies)."""
+    from kafka_go_streamer_spark.functions.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("f")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

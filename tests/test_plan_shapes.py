@@ -131,3 +131,60 @@ def test_narrow_queries_have_no_exchange(spark, sf_dir, name):
     stay narrow end to end: zero shuffles at any scale."""
     plan = physical_plan(QUERIES[name](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_tpch_q5_single_fact_shuffle(spark, sf_dir):
+    """Q5's 6-way star join: every dimension broadcasts, so the only
+    hash-partitioned exchange in the plan is the final aggregation's —
+    the fact table is never repartitioned for a join."""
+    plan = physical_plan(QUERIES["tpch_q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_semi_join_and_topk(spark, sf_dir):
+    """Q18: the HAVING-subquery must plan as LEFT SEMI (no duplication
+    of fact rows) and the top-10 as TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
+    plan = physical_plan(QUERIES["tpch_q18_large_volume_customers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_tpch_q21_semi_anti_no_nested_loop(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS self-joins must stay equi-joins on the
+    order key (semi + anti) — the suppkey inequality rides inside the
+    join condition and must NOT degrade the plan to a nested loop."""
+    plan = physical_plan(QUERIES["tpch_q21_suppliers_kept_waiting"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """Q19's three-arm disjunctive predicate shares the partkey equi-key;
+    Catalyst must extract it and keep a hash join (the historical Q19
+    trap is a cartesian product with a post-filter)."""
+    plan = physical_plan(QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS must plan as one Expand + one hash aggregate pair —
+    NOT one scan per grouping set."""
+    plan = physical_plan(QUERIES["agg_grouping_sets"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnowing_pairs_join_on_fingerprint_key(spark, sf_dir):
+    """Candidate generation must be an equi-join on the fingerprint —
+    never an all-pairs comparison."""
+    plan = physical_plan(QUERIES["dedup_winnowing_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

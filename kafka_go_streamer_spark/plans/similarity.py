@@ -186,3 +186,64 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("q"),
     )
+
+
+@query(
+    "sim_topk_multi_query",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC
+      ) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id, label, cos_sim FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force ANN: top-3 cosine neighbors for EVERY query
+    vector in a query set (here: vec_id % 100 == 0) in one pass — the
+    retrieval-evaluation shape (a benchmark query file scored against
+    the whole corpus).
+
+    Scale: the query set broadcasts (k rows), so the corpus is scanned
+    ONCE and each partition scores its rows against all k queries
+    locally — n·k work with no corpus shuffle; per-query top-3 is a
+    window over k partitions of the scored stream. The window ordering
+    uses the ROUNDED cosine so cross-engine rank ties are exact."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "label", "cos_sim")
+    )

@@ -534,31 +534,27 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    late = lambda ship, od: ship > od + F.expr("INTERVAL 60 DAYS")  # noqa: E731
 
-    l1 = (
-        li.alias("l1")
-        .join(o.alias("o"), F.col("l1.l_orderkey") == F.col("o.o_orderkey"))
-        .filter(
-            (F.col("o.o_orderstatus") == "F")
-            & late(F.col("l1.l_shipdate"), F.col("o.o_orderdate"))
-        )
-        .select(
-            F.col("l1.l_orderkey").alias("wk"),
-            F.col("l1.l_suppkey").alias("ws"),
-        )
+    # ONE lineitem⋈orders definition shared by both late-line branches:
+    # the order-key shuffle (SortMergeJoin at real scale) is planned
+    # once and reused (ReusedExchange) instead of re-joining per EXISTS
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    l1 = lo.filter((F.col("status") == "F") & F.col("is_late")).select(
+        F.col("ok").alias("wk"), F.col("sk").alias("ws")
     )
     other = li.select(
         F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
     )
-    late_other = (
-        li.alias("l3")
-        .join(o.alias("o3"), F.col("l3.l_orderkey") == F.col("o3.o_orderkey"))
-        .filter(late(F.col("l3.l_shipdate"), F.col("o3.o_orderdate")))
-        .select(
-            F.col("l3.l_orderkey").alias("ok3"),
-            F.col("l3.l_suppkey").alias("sk3"),
-        )
+    late_other = lo.filter(F.col("is_late")).select(
+        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
     )
     waiting = (
         l1.join(

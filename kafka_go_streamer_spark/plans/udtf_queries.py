@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from kafka_go_streamer_spark.plans.registry import query
@@ -59,4 +60,49 @@ def udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, wc.word, wc.n
         FROM _udtf_docs d, LATERAL word_counts(d.text) wc
         """
+    )
+
+
+@query(
+    "udaf_geomean_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))) + 1e-9, 2) AS geomean_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_geomean_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-aggregate UDF (the UDAF surface): geometric mean
+    of order value per priority, computed as exp(mean(ln x)) inside an
+    Arrow-batched pandas aggregation.
+
+    Like the UDTF module, the task is deliberately SQL-expressible so
+    the oracle can certify the UDAF machinery itself; a production
+    aggregate that built-ins can express should use built-ins.
+    Scale shape: pandas grouped-agg UDFs get the same partial-free
+    hash-shuffle as any agg — each group's rows stream to one executor,
+    so group cardinality (5 priorities here) bounds parallelism; for
+    high-cardinality keys this is fine, for tiny key domains prefer a
+    built-in decomposition (exp∘avg∘ln) that keeps map-side partials."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, so signature inference can't see pd.Series
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so n rides as a second pandas agg
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice") + F.lit(1e-9), 2).alias("geomean_price"),
+        n_rows("o_totalprice").alias("n"),
     )

@@ -167,3 +167,80 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(winnow_fingerprints(F.col("text"))).alias("fingerprint"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE []::VARCHAR[] END AS grams
+      FROM w0
+    )
+    SELECT doc_id,
+           len(grams)::INTEGER AS n_shingles,
+           len(list_distinct(grams))::INTEGER AS n_distinct,
+           round((len(grams) - len(list_distinct(grams))) * 1.0
+                 / greatest(len(grams), 1), 4) AS repetition_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of 3-word
+    shingles that are repeats within the document (templated/spam text
+    scores high, natural prose near zero) — a standard pre-training
+    corpus filter alongside `text_quality`'s length/punct ratios.
+
+    Scale: pure higher-order-function projection per row — no UDF, no
+    shuffle, no pairwise anything; the filter threshold is applied
+    downstream as an ordinary pushable predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(ws, i), F.get(ws, i + 1), F.get(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.size(grams).alias("n_shingles"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        stable_round(
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            / F.greatest(F.size(grams), F.lit(1)),
+            4,
+        ).alias("repetition_ratio"),
+    )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    SELECT lang, {X.lang_id_sql('text')} AS predicted, count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the stopword language-ID heuristic against
+    the labeled ``lang`` column — the evaluation query a corpus
+    pipeline runs after any classifier change (per-(label, predicted)
+    cell counts; accuracy falls out as sum of diagonal / total).
+
+    Scale: classify is a codegen'd projection; the confusion matrix is
+    one map-side-combined aggregate over a languages² key domain."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", X.lang_id(F.col("text")).alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n"))

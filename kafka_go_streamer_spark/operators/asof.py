@@ -66,18 +66,31 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct per right row so value and matched_time always come
+    # from the same matched row — a matched row whose value column is NULL
+    # must yield NULL (pd.merge_asof / DuckDB ASOF semantics), not a value
+    # resurrected from an older right row.
+    match_struct = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(
+                F.col(on).alias("_mt"),
+                *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried = unioned.select(
         by,
         on,
         *left_only,
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias("_match_time"),
+        match_struct.alias("_m"),
+    ).withColumns(
+        {
+            **{f"_c_{c}": F.col("_m")[c] for c in value_cols},
+            "_match_time": F.col("_m")["_mt"],
+        }
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:

@@ -45,6 +45,8 @@ class WordCountsUDTF:
              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
       FROM documents
     )
+    WHERE word <> ''  -- str.split() emits no token for empty/blank text;
+                      -- string_split_regex('') would emit one '' row
     GROUP BY doc_id, word
     """,
 )

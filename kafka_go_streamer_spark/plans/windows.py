@@ -81,7 +81,7 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session_per_user",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '{SESSION_GAP_MIN} minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -90,7 +90,7 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )

@@ -117,9 +117,15 @@ def routing_case_sql(spliter: Spliter, value_expr: str) -> str:
             cond = f"regexp_matches({value_expr}, '{pat}')"
         else:
             cond = f"position('{pat}' in {value_expr}) > 0"
-        target = f"'{rs.topic}'" if rs.topic is not None else "NULL"
+        target = (
+            "'" + rs.topic.replace("'", "''") + "'"
+            if rs.topic is not None
+            else "NULL"
+        )
         arms.append(f"WHEN {cond} THEN {target}")
     unmatched = (
-        f"'{spliter.unmatched_topic}'" if spliter.unmatched_topic else "NULL"
+        "'" + spliter.unmatched_topic.replace("'", "''") + "'"
+        if spliter.unmatched_topic
+        else "NULL"
     )
     return "CASE " + " ".join(arms) + f" ELSE {unmatched} END"

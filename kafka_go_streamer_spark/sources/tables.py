@@ -46,6 +46,12 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); callers may hand us a
+        # session built elsewhere (e.g. the correctness driver's), so set
+        # the runtime-settable legacy conf here rather than relying on
+        # session.get_spark having done it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _fix_nanos(df) if name == "events" else df
 

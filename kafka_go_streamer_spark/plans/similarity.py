@@ -4,7 +4,7 @@ near-duplicate pairs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
@@ -18,10 +18,44 @@ from kafka_go_streamer_spark.operators.similarity import (
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
-N_PLANES = 8
 EMB_DIM = 64
-PLANES = hyperplanes(N_PLANES, EMB_DIM)
+
+#: Hyperplane POOL for corpus-adaptive LSH. The signature expression is
+#: static (16 md5-seeded planes -> 16-bit full signature) but how many
+#: bits each band actually uses is derived FROM THE DATA at query time:
+#: P = clamp(ceil(log2(n / TARGET_BUCKET)), 2, 8), giving ~TARGET_BUCKET
+#: expected members per bucket at any corpus size (a fixed plane count
+#: caps bucket COUNT, so bucket size — and the pair join's quadratic
+#: within-bucket cost — grows linearly with n; deriving P keeps it flat).
+#: Two BANDS (planes [0,8) and [8,16)) each contribute candidates: a pair
+#: is a candidate if it agrees on all P bits of either band, the classic
+#: b x r OR-of-ANDs construction that keeps recall up as P grows. A
+#: production deployment on >10^8 vectors widens the pool past 8 bits per
+#: band; the construction is unchanged.
+N_PLANES_POOL = 16
+BAND_BITS_MAX = 8
+TARGET_BUCKET = 16
+PLANES = hyperplanes(N_PLANES_POOL, EMB_DIM)
 _SIG_SQL = lsh_signature_sql("embedding", PLANES)
+
+#: Spark/DuckDB twin of the adaptive bits-per-band formula. ``n`` is the
+#: corpus count, bound as a scalar (broadcast 1-row crossJoin in Spark, a
+#: scalar-subquery CTE in SQL): both engines evaluate the same IEEE
+#: arithmetic, and log2 is exact on powers of two, so P never diverges.
+_P_SQL = (
+    f"LEAST({BAND_BITS_MAX}, GREATEST(2, "
+    f"CAST(ceil(log2(ceil(_n / {TARGET_BUCKET}.0))) AS INTEGER)))"
+)
+
+
+def _adaptive_bits(n: Column) -> Column:
+    return F.least(
+        F.lit(BAND_BITS_MAX),
+        F.greatest(
+            F.lit(2),
+            F.ceil(F.log2(F.ceil(n / float(TARGET_BUCKET)))).cast("int"),
+        ),
+    )
 
 
 @query(
@@ -60,70 +94,182 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_lsh_bucket_pairs",
     oracle=f"""
-    WITH sigs AS (
-      SELECT vec_id, label, embedding, {_SIG_SQL} AS sig FROM embeddings
+    WITH n AS (SELECT count(*) AS _n FROM embeddings),
+    p AS (SELECT {_P_SQL} AS p, (2 ** {_P_SQL})::BIGINT - 1 AS mask FROM n),
+    sigs AS (
+      SELECT vec_id, {_SIG_SQL} AS fullsig FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, 0 AS band, fullsig & mask AS key FROM sigs, p
+      UNION ALL
+      SELECT vec_id, 1 AS band,
+             (fullsig >> {BAND_BITS_MAX}) & mask AS key FROM sigs, p
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.sig,
-           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    SELECT c.id_a, c.id_b,
+           round({cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON c.id_a = ea.vec_id
+    JOIN embeddings eb ON c.id_b = eb.vec_id
     """,
 )
 def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN candidate generation via random-hyperplane LSH: 8-bit
-    signatures, equi-join on the bucket key, cosine scored only inside
-    buckets.
+    """ANN candidate generation via corpus-adaptive banded LSH.
 
-    Scale: all-pairs work is bounded per bucket (expected n/2^H docs per
-    bucket); the join is an ordinary shuffle join on a LONG key, so the
-    plan survives arbitrarily large corpora — brute force doesn't."""
+    Bits per band P derive from the corpus count (see N_PLANES_POOL
+    note): expected bucket occupancy stays ~TARGET_BUCKET at every
+    corpus size instead of growing linearly the way a fixed plane count
+    lets it, so within-bucket pairwise work stays bounded at 100x data.
+    Two bands OR their candidates together (recall), distinct pairs are
+    re-joined to embeddings for cosine scoring. Every join is an
+    equi-join on (band, masked-signature) or vec_id — no all-pairs
+    anywhere; the count that feeds P is a 1-row broadcast, not a
+    driver-side action."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id", "label", "embedding", lsh_signature(F.col("embedding"), PLANES).alias("sig")
+    cnt = emb.agg(F.count(F.lit(1)).alias("_n"))
+    mask = (
+        F.pow(F.lit(2.0), _adaptive_bits(F.col("_n"))).cast("long") - 1
+    ).alias("mask")
+    sigs = (
+        emb.select(
+            "vec_id",
+            lsh_signature(F.col("embedding"), PLANES).alias("fullsig"),
+        )
+        .crossJoin(F.broadcast(cnt.select(mask)))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    banded = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("fullsig").bitwiseAND(F.col("mask")).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("fullsig"), BAND_BITS_MAX)
+                    .bitwiseAND(F.col("mask"))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.sig").alias("sig"),
-            stable_round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cos_sim"
-            ),
+            "id_a",
+            "id_b",
+            stable_round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos_sim"),
         )
     )
+
+
+#: Target IVF cell size for the near-dup pair stage: centroid count is
+#: ceil(n / TARGET_CELL), so expected cell membership stays ~TARGET_CELL
+#: as the corpus grows (blocking by a FIXED-cardinality key like label is
+#: O(n^2/k) — quadratic at scale; data-derived cell count is not).
+NEARDUP_TARGET_CELL = 64
+NEARDUP_COS_MIN = 0.30
 
 
 @query(
-    "sim_neardup_within_label",
+    "sim_neardup_ivf_cells",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+    WITH nc AS (
+      SELECT ceil(count(*) / {NEARDUP_TARGET_CELL}.0)::BIGINT AS c
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings, nc
+      WHERE vec_id < nc.c
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
            round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {cosine_sql('a.embedding', 'b.embedding')} > 0.30
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} > {NEARDUP_COS_MIN}
     """,
 )
-def sim_neardup_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by the label column
-    (the IVF-cell pattern: pairwise comparison only within a cell)."""
+def sim_neardup_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs staged through IVF cells.
+
+    Round 1 blocked on ``label`` — a tiny FIXED-cardinality key, so
+    within-block pairing was O(n^2/k). Here the blocking key is an IVF
+    cell whose COUNT grows with the corpus (ceil(n/TARGET_CELL) cells,
+    centroids = the first c vectors — the deterministic, oracle-checkable
+    stand-in for k-means): expected cell size stays ~TARGET_CELL, so the
+    within-cell pair stage stays linear-ish in n at any scale.
+    Assignment is a broadcast of c centroids + per-row top-1 window;
+    pairing is an equi-join on the cell id. (Real IVF picks c ~ sqrt(n)
+    k-means centroids; the plan shape — broadcast assign, equi-join pair
+    — is identical.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
+    nc = emb.agg(
+        F.ceil(F.count(F.lit(1)) / float(NEARDUP_TARGET_CELL)).alias("_c")
+    )
+    cents = (
+        emb.crossJoin(F.broadcast(nc))
+        .filter(F.col("vec_id") < F.col("_c"))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos > 0.30)
+        .filter(cos > NEARDUP_COS_MIN)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.cell").alias("cell"),
             stable_round(cos, 6).alias("cos_sim"),
         )
     )

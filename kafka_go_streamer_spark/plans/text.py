@@ -156,17 +156,17 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses, guaranteeing any shared run of >= w+k-1 words yields at least
     one shared fingerprint.
 
-    Scale: pure higher-order-function projection (no UDF, no shuffle,
-    no driver loop); output explodes to (doc, fingerprint) rows ready
-    for the same bucket-join candidate generation as MinHash bands
-    (fingerprint equality IS the blocking key)."""
-    from kafka_go_streamer_spark.functions.text import winnow_fingerprints
+    Scale: relational form — posexplode words, hash each k-gram ONCE
+    (lead() over word position), window-min over the next w grams; one
+    shuffle on doc_id, parallel in rows x words. The array-expression
+    form re-hashed all grams per window under Catalyst project collapse
+    (O(words^2) per doc, measured ~50x slower at 500 docs). Output rows
+    (doc, fingerprint) feed the same bucket-join candidate generation
+    as MinHash bands (fingerprint equality IS the blocking key)."""
+    from kafka_go_streamer_spark.functions.text import winnow_fingerprint_rows
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"))).alias("fingerprint"),
-    )
+    return winnow_fingerprint_rows(d)
 
 
 @query(

@@ -1,26 +1,41 @@
-"""Multimodal pipeline queries: binary-column plumbing with the decode
-step stubbed deterministically (see ``multimodal.py``). The Spark side
-exercises the REAL mapInPandas/Arrow path; the oracle replays the
-stub's arithmetic in SQL — so a pass certifies the UDF plumbing, not
-just the math."""
+"""Multimodal pipeline queries: binary-column plumbing with a REAL
+header decode (see ``multimodal.py``): payloads are structurally-valid
+PNG/JPEG/GIF containers synthesized from document text, and the Spark
+side parses them back — magic bytes, chunk/segment walk, CRC check,
+endian-correct dimension unpack — through mapInPandas/Arrow. The oracle
+predicts what the parse MUST find from the generator's arithmetic, so a
+pass certifies the parser + the UDF plumbing end to end."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_go_streamer_spark.multimodal import decode_images, synthetic_blobs
+from kafka_go_streamer_spark.multimodal import (
+    CONTAINER_OVERHEAD,
+    decode_images,
+    synthetic_image_blobs,
+)
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
+
+_FMT_SQL = (
+    "CASE ('0x' || substr(sha256(text), 1, 2))::INT % 3 "
+    "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END"
+)
+_OVERHEAD_SQL = (
+    f"CASE {_FMT_SQL} WHEN 'png' THEN {CONTAINER_OVERHEAD['png']} "
+    f"WHEN 'jpeg' THEN {CONTAINER_OVERHEAD['jpeg']} "
+    f"ELSE {CONTAINER_OVERHEAD['gif']} END"
+)
 
 
 @query(
     "multimodal_decode_meta",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS key,
-           octet_length(encode(text))::INTEGER AS byte_len,
-           CASE ('0x' || substr(sha256(text), 1, 2))::INT % 3
-             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           (octet_length(encode(text)) + {_OVERHEAD_SQL})::INTEGER AS byte_len,
+           {_FMT_SQL} AS format,
            (64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8)::INTEGER AS width,
            (64 + ('0x' || substr(sha256(text), 5, 2))::INT * 8)::INTEGER AS height,
            3 AS channels,
@@ -30,26 +45,27 @@ from kafka_go_streamer_spark.sources.tables import load_table
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> typed metadata through the real
-    mapInPandas/Arrow decode path (decoder stubbed deterministically).
+    mapInPandas/Arrow decode path with a REAL structural parser (the
+    container headers are genuinely walked; dimensions come out of the
+    binary, not out of a formula shared with the generator).
 
     Scale: decode is a narrow per-batch pandas transform — linear in
-    input splits, no shuffle; a real image decoder drops in without
-    changing the plan."""
+    input splits, no shuffle; a pixel-level decoder drops into the same
+    batch loop without changing the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    blobs = synthetic_blobs(docs, "doc_id", "text")
+    blobs = synthetic_image_blobs(docs, "doc_id", "text")
     meta = decode_images(blobs, "key", "blob")
     return meta.withColumn("channels", F.col("channels").cast("int"))
 
 
 @query(
     "multimodal_binary_stats",
-    oracle="""
+    oracle=f"""
     SELECT
-      CASE ('0x' || substr(sha256(text), 1, 2))::INT % 3
-        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+      {_FMT_SQL} AS format,
       count(*) AS n,
-      sum(octet_length(encode(text)))::BIGINT AS total_bytes,
-      max(octet_length(encode(text)))::INTEGER AS max_bytes
+      sum(octet_length(encode(text)) + {_OVERHEAD_SQL})::BIGINT AS total_bytes,
+      max(octet_length(encode(text)) + {_OVERHEAD_SQL})::INTEGER AS max_bytes
     FROM documents
     GROUP BY 1
     """,
@@ -58,7 +74,9 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over decoded metadata: the decode -> shuffle-light
     rollup shape of a real media-ingest pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    meta = decode_images(synthetic_blobs(docs, "doc_id", "text"), "key", "blob")
+    meta = decode_images(
+        synthetic_image_blobs(docs, "doc_id", "text"), "key", "blob"
+    )
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("byte_len").cast("bigint").alias("total_bytes"),

@@ -53,6 +53,14 @@ HEADLINE = [
     "text_chunking",
     "join_enrich_events_broadcast",
     "multimodal_decode_meta",
+    # round-2 additions: the remaining heavy hitters, so regressions in
+    # multi-join TPC-H plans, batched ANN, and the iterative
+    # connected-components loop are visible round over round
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q22_idle_customer_balance",
+    "sim_topk_multi_query",
+    "dedup_connected_components",
 ]
 
 

@@ -97,12 +97,14 @@ def kafka_writer(
     trigger: str = DEFAULT_TRIGGER,
     batch_size: int = 100,
     linger_ms: int = 100,
+    available_now: bool = False,
     extra_options: dict[str, str] | None = None,
 ):
     """Kafka sink with per-row ``topic``-column routing — replaces the
     reference's entire per-topic writer/batch/timer array
     (main.go:371-377, 544-593) with one sink. The producer batches via
-    linger/batch.size; the micro-batch trigger is the flush timer."""
+    linger/batch.size; the micro-batch trigger is the flush timer
+    (``available_now=True`` drains the backlog and stops — test mode)."""
     writer = (
         df.select("topic", "key", "value")
         .writeStream.format("kafka")
@@ -110,8 +112,11 @@ def kafka_writer(
         .option("checkpointLocation", checkpoint_location)
         .option("kafka.linger.ms", str(linger_ms))
         .option("kafka.batch.size", str(batch_size * 1024))
-        .trigger(processingTime=trigger)
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
     for k, v in (extra_options or {}).items():
         writer = writer.option(k, v)
     return writer

@@ -41,6 +41,7 @@ def build_streaming_router(
     group_prefix: str = "spark",
     group_suffix: str = "router",
     trigger: str = DEFAULT_TRIGGER,
+    available_now: bool = False,
     kafka_options: dict[str, str] | None = None,
 ) -> list:
     """One Kafka->route->Kafka StreamingQuery per spliter. Returns the
@@ -63,6 +64,7 @@ def build_streaming_router(
             brokers,
             checkpoint_location=f"{checkpoint_root}/{spliter.input_topic}",
             trigger=trigger,
+            available_now=available_now,
             extra_options=kafka_options,
         ).start()
         queries.append(q)
@@ -94,3 +96,40 @@ def start_file_stream_router(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_checkpointed_file_router(
+    spark: SparkSession,
+    spliter: Spliter,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "routed_ckpt",
+):
+    """Restartable file->route->parquet pipeline: offsets AND sink
+    manifest live under ``checkpoint_dir``, so a stopped/killed query
+    restarted with the same paths resumes exactly where it left off.
+
+    This is the semantic upgrade over the reference, which commits the
+    consumer offset BEFORE the producer flush (main.go:361-365 commit vs
+    :573 flush) — a crash in that window drops messages (at-most-once).
+    Spark's checkpoint commits offsets only after the sink's batch
+    commit: at-least-once into any sink, and exactly-once into the
+    file sink used here (its manifest makes batch commits idempotent).
+    Verified by tests/test_checkpoint_recovery.py.
+    """
+    lines = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(F.lit(None).cast("string").alias("key"), F.col("value"))
+    )
+    routed = route_microbatch(lines, spliter)
+    return (
+        routed.writeStream.format("parquet")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

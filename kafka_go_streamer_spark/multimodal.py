@@ -238,3 +238,118 @@ def sample_frames(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# -- audio: RIFF/WAVE ---------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "key bigint, byte_len int, sample_rate int, channels int, "
+    "bits_per_sample int, n_samples int, duration_ms double, "
+    "content_hash string"
+)
+
+#: sample-rate palette the synthesizer draws from (hash-indexed), so
+#: the SQL oracle can predict what an independent parse must find.
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def synthesize_wav_blob(pcm: bytes, sample_rate: int, channels: int,
+                        bits_per_sample: int = 16) -> bytes:
+    """Build a structurally-valid RIFF/WAVE container around ``pcm``:
+    RIFF header, canonical PCM ``fmt `` chunk (little-endian, all
+    derived fields — block align, byte rate — computed per spec), and a
+    ``data`` chunk. file(1)'s magic tables identify the result."""
+    block_align = channels * bits_per_sample // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align,
+        bits_per_sample,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def parse_wav_header(payload: bytes) -> dict:
+    """Structural WAV decode: verify the RIFF/WAVE magic, walk the
+    chunk list to ``fmt `` and ``data`` (skipping unknown chunks, as a
+    real parser must — LIST/INFO chunks are common in the wild), and
+    derive sample count and duration from the format fields."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_fields = None
+    pcm = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (clen,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"WAV: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("WAV: fmt chunk too short")
+            fmt_fields = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_fields is None or pcm is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    _, channels, sample_rate, _, block_align, bits = fmt_fields
+    if block_align == 0:
+        raise ValueError("WAV: zero block align")
+    n_samples = len(pcm) // block_align
+    return {
+        "byte_len": len(payload),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000.0 / sample_rate,
+        "content_hash": hashlib.sha256(pcm).hexdigest(),
+    }
+
+
+def synthetic_wav_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """(key, blob) frame of structurally-valid WAV containers: the text
+    bytes ride as PCM data; rate/channels derive from sha256(text) so
+    the oracle can predict the parse output."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for text in pdf["text"]:
+                pcm = str(text).encode("utf-8")
+                d = hashlib.sha256(pcm).digest()
+                blobs.append(
+                    synthesize_wav_blob(
+                        pcm, WAV_RATES[d[3] % 4], 1 + d[4] % 2
+                    )
+                )
+            yield pd.DataFrame({"key": pdf["key"], "blob": blobs})
+
+    src = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+    return src.mapInPandas(batches, "key bigint, blob binary")
+
+
+def decode_audio(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+    """Binary WAV payloads -> typed audio metadata via the same
+    Arrow-batched mapInPandas path as ``decode_images`` — narrow
+    per-batch transform, no shuffle, linear in input splits."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [parse_wav_header(bytes(b)) for b in pdf["blob"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "key", pdf["key"].values)
+            yield out
+
+    return src.mapInPandas(batches, AUDIO_SCHEMA)

@@ -113,3 +113,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(synthetic_blobs(docs, "doc_id", "text"), "key", "blob")
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id AS key,
+           (octet_length(encode(text)) + 44)::INTEGER AS byte_len,
+           CASE ('0x' || substr(sha256(text), 7, 2))::INT % 4
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+           (1 + ('0x' || substr(sha256(text), 9, 2))::INT % 2)::INTEGER
+             AS channels,
+           16 AS bits_per_sample,
+           (octet_length(encode(text))
+              // ((1 + ('0x' || substr(sha256(text), 9, 2))::INT % 2) * 2)
+           )::INTEGER AS n_samples,
+           (octet_length(encode(text))
+              // ((1 + ('0x' || substr(sha256(text), 9, 2))::INT % 2) * 2))
+             * 1000.0
+             / CASE ('0x' || substr(sha256(text), 7, 2))::INT % 4
+                 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END AS duration_ms,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary WAV payload -> typed audio metadata (sample rate,
+    channels, sample count, duration) through the same mapInPandas
+    decode path as images — the parser genuinely walks the RIFF chunk
+    list and unpacks the little-endian fmt fields; the oracle predicts
+    the result from the generator's arithmetic.
+
+    Scale: narrow per-batch transform, no shuffle; a real resampler or
+    feature extractor (MFCC/fbank) slots into the same batch loop."""
+    from kafka_go_streamer_spark.multimodal import (
+        decode_audio,
+        synthetic_wav_blobs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_audio(synthetic_wav_blobs(docs, "doc_id", "text"), "key", "blob")
+    return (
+        meta.withColumn("byte_len", F.col("byte_len").cast("int"))
+        .withColumn("sample_rate", F.col("sample_rate").cast("int"))
+        .withColumn("channels", F.col("channels").cast("int"))
+        .withColumn("bits_per_sample", F.col("bits_per_sample").cast("int"))
+        .withColumn("n_samples", F.col("n_samples").cast("int"))
+    )

@@ -71,3 +71,44 @@ def test_png_channels_from_color_type():
     ihdr = bytes(blob[16:29])
     blob[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     assert parse_image_header(bytes(blob))["channels"] == 4
+
+
+# -- audio: RIFF/WAVE ---------------------------------------------------
+
+from kafka_go_streamer_spark.multimodal import (  # noqa: E402
+    parse_wav_header,
+    synthesize_wav_blob,
+)
+
+PCM = b"0123456789abcdef0123"  # 20 bytes
+
+
+def test_wav_roundtrip():
+    meta = parse_wav_header(synthesize_wav_blob(PCM, 22050, 2))
+    assert meta["sample_rate"] == 22050
+    assert meta["channels"] == 2
+    assert meta["bits_per_sample"] == 16
+    assert meta["n_samples"] == 5  # 20 bytes / (2 ch * 2 B)
+    assert meta["duration_ms"] == pytest.approx(5 * 1000.0 / 22050)
+    assert meta["content_hash"] == hashlib.sha256(PCM).hexdigest()
+
+
+def test_wav_skips_unknown_chunks():
+    """LIST/INFO chunks ahead of data are ubiquitous in the wild; the
+    chunk walk must skip them, including the word-alignment pad byte
+    after an odd-length chunk."""
+    blob = synthesize_wav_blob(PCM, 8000, 1)
+    # splice an odd-length junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    spliced = blob[:fmt_end] + junk + blob[fmt_end:]
+    meta = parse_wav_header(spliced)
+    assert meta["n_samples"] == len(PCM) // 2
+    assert meta["content_hash"] == hashlib.sha256(PCM).hexdigest()
+
+
+def test_wav_rejects_corrupt():
+    with pytest.raises(ValueError):
+        parse_wav_header(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        parse_wav_header(synthesize_wav_blob(PCM, 8000, 1)[:20])  # no data chunk

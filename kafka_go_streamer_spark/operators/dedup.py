@@ -335,10 +335,19 @@ def connected_components(
     grow exponentially with iterations; the driver-side loop is bounded
     and runs one tiny ``count()`` action per round for convergence.
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        # materialize ONCE: the edge list is re-joined every round, and
+        # without this the whole upstream pair-generation pipeline
+        # (e.g. MinHash-LSH) re-executes per iteration. The edge set is
+        # O(candidate pairs) — orders of magnitude smaller than the
+        # corpus — so pinning it is cheap even at scale.
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
     for _ in range(max_iter):

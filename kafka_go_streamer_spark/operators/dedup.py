@@ -334,6 +334,18 @@ def connected_components(
     re-materialized per round (``localCheckpoint``) so the plan doesn't
     grow exponentially with iterations; the driver-side loop is bounded
     and runs one tiny ``count()`` action per round for convergence.
+
+    Two scale-critical restrictions:
+
+    * the fixpoint iterates ONLY over nodes that appear in an edge —
+      in a dedup graph most of the corpus is in no candidate pair and
+      its label can never change, so excluding isolated nodes shrinks
+      every per-round join from O(corpus) to O(edge-touched nodes);
+      isolated nodes are unioned back with ``comp = id`` at the end
+      (one shuffle-free anti-join + union, outside the loop);
+    * convergence is read off the compressed frame itself (``old_comp``
+      carried through the round) rather than a fourth join against the
+      previous labels — one fewer shuffle per round.
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -349,21 +361,20 @@ def connected_components(
         # corpus — so pinning it is cheap even at scale.
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
+    touched = sym.select(F.col("src").alias("id")).distinct()
+    labels = touched.select(F.col("id"), F.col("id").alias("comp"))
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        stepped = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(
-                    "comp", F.coalesce("nbr_min", F.col("comp"))
-                ).alias("comp"),
-            )
+        stepped = labels.join(nbr, labels.id == nbr.src, "left").select(
+            "id",
+            F.col("comp").alias("old_comp"),
+            F.least("comp", F.coalesce("nbr_min", F.col("comp"))).alias(
+                "comp"
+            ),
         )
         # path compression: follow comp -> comp's own label one hop
         redir = stepped.select(
@@ -373,6 +384,7 @@ def connected_components(
             stepped.join(redir, stepped.comp == redir.cid, "left")
             .select(
                 "id",
+                "old_comp",
                 F.least("comp", F.coalesce("ccomp", F.col("comp"))).alias(
                     "comp"
                 ),
@@ -380,16 +392,18 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            compressed.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
+            compressed.filter(F.col("comp") != F.col("old_comp"))
             .limit(1)
             .count()
         )
-        labels = compressed
+        labels = compressed.select("id", "comp")
         if changed == 0:
             break
-    return labels
+    # isolated nodes (in no edge) keep their own id as the component.
+    isolated = nodes.join(touched, "id", "left_anti").select(
+        F.col("id"), F.col("id").alias("comp")
+    )
+    return labels.unionByName(isolated)
 
 
 def minhash_lsh_pairs_sql(

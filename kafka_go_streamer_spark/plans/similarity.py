@@ -141,23 +141,31 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(cnt.select(mask)))
     )
-    banded = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    F.col("fullsig").bitwiseAND(F.col("mask")).alias("key"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.shiftright(F.col("fullsig"), BAND_BITS_MAX)
-                    .bitwiseAND(F.col("mask"))
-                    .alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.key")
+    banded = (
+        sigs.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        F.col("fullsig").bitwiseAND(F.col("mask")).alias("key"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        F.shiftright(F.col("fullsig"), BAND_BITS_MAX)
+                        .bitwiseAND(F.col("mask"))
+                        .alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select("vec_id", "bk.band", "bk.key")
+        # materialize ONCE: both sides of the bucket self-join read this,
+        # and without pinning, the 16-hyperplane signature projection (the
+        # dominant per-row cost) executes twice. The banded table is 2n
+        # rows of three ints — tiny relative to the corpus at any scale.
+        .localCheckpoint(eager=True)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

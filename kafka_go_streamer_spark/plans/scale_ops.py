@@ -12,12 +12,14 @@ from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
+from kafka_go_streamer_spark.operators.kmeans import lloyd, lloyd_sql
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
 #: IVF coarse quantizer: embeddings of these vec_ids act as the cell
-#: centroids (a real pipeline would k-means these; fixed seeds keep the
-#: operator deterministic and oracle-checkable).
+#: centroids. Real centroid TRAINING is `kmeans_lloyd_refine` below
+#: (operators/kmeans.py — full Lloyd iterations); fixed seeds here keep
+#: the probe/search queries deterministic and oracle-checkable.
 IVF_CENTROID_IDS = (1, 2, 3, 4)
 
 
@@ -228,3 +230,23 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99).alias("p99_approx"),
     )
+
+
+@query(
+    "kmeans_lloyd_refine",
+    oracle=lloyd_sql("embeddings", k=8, iters=2),
+)
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL k-means training: 2 full Lloyd iterations (assign ->
+    recompute centroids -> reassign) from deterministic first-k seeds,
+    returning the final per-vector assignment — the IVF coarse-quantizer
+    training step the fixed-seed IVF queries stand in for.
+
+    Scale shape (operators/kmeans.py): corpus exploded once and pinned,
+    centroids k x dims broadcast per iteration, distances accumulate via
+    position join + hash aggregate (rows x k x dims, never all-pairs,
+    never a collect), argmin via per-vector window with (d2, cid)
+    tiebreak. Centroid means and distances are rounded at every
+    iteration boundary so both engines feed identical centroids into the
+    next assignment regardless of FP summation order."""
+    return lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)

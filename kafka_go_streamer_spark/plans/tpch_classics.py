@@ -233,8 +233,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
       SELECT ex.vec_id, cent.c_label,
-             round(sum((ex.v::DOUBLE - cent.c) * (ex.v::DOUBLE - cent.c))
-                   + 1e-9, 4) AS d2
+             round(sum((ex.v::DOUBLE - cent.c) * (ex.v::DOUBLE - cent.c)),
+                   4) AS d2
       FROM ex JOIN cent ON ex.pos = cent.pos
       GROUP BY ex.vec_id, cent.c_label
     ),

@@ -244,3 +244,67 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(
         "lang", X.lang_id(F.col("text")).alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {X.word_count_sql('text')} AS n_words,
+             {X.token_count_sql('text')} AS n_tokens,
+             {X.alpha_ratio_sql('text')} AS alpha_ratio,
+             {X.lang_id_sql('text')} AS pred_lang,
+             {X.bag_fingerprint_sql('text')} AS bag_fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20 AND alpha_ratio > 0.6 AND pred_lang = 'en'
+    )
+    SELECT doc_id, source, n_words, n_tokens FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY bag_fp ORDER BY doc_id ASC
+      ) AS rn
+      FROM kept
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data-prep pipeline — what this engine exists
+    to run at 100 TB: quality gate (length + alphabetic ratio) ->
+    language gate (stopword lang-ID = 'en') -> exact dedup (keep the
+    lowest doc_id per bag fingerprint) -> token accounting for the
+    surviving corpus.
+
+    Scale shape: ONE scan of the corpus; every score is a codegen'd
+    projection over a words array bound once per row; both gates are
+    plain predicates applied BEFORE the only shuffle (the dedup window
+    on the fingerprint), so shuffle volume is the post-filter survivor
+    set, not the raw corpus. Dedup-by-window (not dropDuplicates) keeps
+    the kept row deterministic. At cluster scale the window's hash
+    partitioning on bag_fp spreads uniformly (md5), no skew defense
+    needed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        X.word_count(F.col("text")).alias("n_words"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        X.lang_id(F.col("text")).alias("pred_lang"),
+        X.bag_fingerprint(F.col("text")).alias("bag_fp"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("alpha_ratio") > 0.6)
+        & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("bag_fp").orderBy(F.col("doc_id").asc())
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_words", "n_tokens")
+    )

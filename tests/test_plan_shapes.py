@@ -188,3 +188,18 @@ def test_winnowing_pairs_join_on_fingerprint_key(spark, sf_dir):
     plan = physical_plan(QUERIES["dedup_winnowing_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_prep_filters_before_single_shuffle(spark, sf_dir):
+    """The composed prep pipeline must gate (quality/lang predicates)
+    MAP-SIDE and shuffle exactly once (the dedup window on the
+    fingerprint): shuffle volume is the survivor set, not the corpus.
+    WindowGroupLimit Partial must also appear below the exchange —
+    per-partition top-1 pre-aggregation before any data moves."""
+    plan = physical_plan(QUERIES["pipeline_training_prep"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    ex = plan.index("Exchange")
+    below = plan[ex:]
+    assert "Filter" in below  # the quality/lang gates, below the shuffle
+    assert "WindowGroupLimit" in below  # partial top-1 before the shuffle
+    assert "Partial" in below

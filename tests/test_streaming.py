@@ -73,3 +73,62 @@ def test_streaming_windowed_agg_with_watermark(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT sum(n) AS total FROM win_smoke").collect()[0]["total"]
     want = load_table(spark, sf_dir, "events").count()
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """``dropDuplicatesWithinWatermark`` on a file stream: duplicate
+    event ids arriving across micro-batches inside the watermark window
+    collapse to one row — the streaming form of exact dedup, with state
+    EVICTED once the watermark passes (the property that keeps dedup
+    state bounded on an unbounded 100 TB/day stream; plain streaming
+    dropDuplicates would grow state forever)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = tmp_path / "dedup_stream"
+    src.mkdir()
+    rows1 = [
+        {"event_id": "a", "ts": "2024-01-01T10:00:00"},
+        {"event_id": "b", "ts": "2024-01-01T10:00:10"},
+        {"event_id": "a", "ts": "2024-01-01T10:00:20"},  # dup in-batch
+    ]
+    rows2 = [
+        {"event_id": "a", "ts": "2024-01-01T10:01:00"},  # dup across batches
+        {"event_id": "c", "ts": "2024-01-01T10:01:30"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("ts", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .json(str(src))
+        .select("event_id", F.col("ts").cast(TimestampType()).alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM dedup_smoke").collect()
+    )
+    assert got == ["a", "b", "c"]

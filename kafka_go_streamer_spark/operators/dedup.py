@@ -13,8 +13,10 @@ Three tiers, all shuffle-disciplined:
 * **n-gram Jaccard verification** — exact set overlap, used as the
   verifier stage on LSH candidates.
 
-Hash discipline: minhash h_k(s) = md5(k || '|' || s) compared as hex
-strings — identical in Spark and DuckDB, so the whole pipeline is
+Hash discipline: each shingle is md5-hashed ONCE and the digest's four
+8-hex-char slices serve as the four minhash functions (128 well-mixed
+bits = 4 independent 32-bit hashes), compared as hex strings —
+identical in Spark and DuckDB, so the whole pipeline is
 oracle-checkable end to end.
 """
 
@@ -96,24 +98,30 @@ def shingles_sql(words_col: str) -> str:
 
 
 def minhash_sig(sh: Column, k: int) -> Column:
-    """k-th minhash: lexicographic min of md5('k|' + shingle)."""
+    """k-th minhash: lexicographic min of the k-th 8-hex-char slice of
+    md5(shingle). One digest per shingle serves all NUM_HASHES
+    functions (128 md5 bits = 4 independent 32-bit hashes) — 4× less
+    hashing than a per-function salted digest, same LSH behavior."""
     return F.array_min(
-        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)))
+        F.transform(sh, lambda s: F.substring(F.md5(s), 8 * k + 1, 8))
     )
 
 
 def minhash_sig_sql(sh_expr: str, k: int) -> str:
-    return f"list_min(list_transform({sh_expr}, s -> md5('{k}|' || s)))"
+    return (
+        f"list_min(list_transform({sh_expr}, s -> substr(md5(s), {8 * k + 1}, 8)))"
+    )
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shingle set + NUM_HASHES minhash signature columns, one row per
     input row (keyed by every non-text column of ``df``).
 
-    Shape: explode shingles to rows, hash each shingle once per hash
-    function as a SCALAR md5 (small codegen methods, vectorized), then
-    one hash-aggregate takes the per-doc minimums and rebuilds the
-    distinct shingle set via collect_set. The array-expression form
+    Shape: explode shingles to rows, hash each shingle ONCE as a SCALAR
+    md5 whose digest slices feed all hash functions (small codegen
+    methods, vectorized), then one hash-aggregate takes the per-doc
+    slice-minimums and rebuilds the distinct shingle set via
+    collect_set. The array-expression form
     (array_min over md5-transform arrays) compiles to a huge generated
     method with erratic JIT behavior — this relational form is the one
     that behaves at scale: fan-out, narrow hashing, single map-side-
@@ -124,10 +132,11 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     ex = fan_out(df).select(
         *keys, F.explode(shingles(F.col(text_col))).alias("_sh")
     )
-    return ex.groupBy(*keys).agg(
+    hashed = ex.withColumn("_h", F.md5(F.col("_sh")))
+    return hashed.groupBy(*keys).agg(
         F.collect_set("_sh").alias("_shingles"),
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("_sh")))).alias(f"sig{k}")
+            F.min(F.substring(F.col("_h"), 8 * k + 1, 8)).alias(f"sig{k}")
             for k in range(NUM_HASHES)
         ],
     )

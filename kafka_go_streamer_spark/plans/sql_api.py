@@ -105,6 +105,76 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_functions",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT l_orderkey,
+             map(list(l_linenumber ORDER BY l_linenumber),
+                 list(qty ORDER BY l_linenumber)) AS m
+      FROM lines GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           cardinality(m)::INTEGER AS n_lines,
+           list_min(map_keys(m))::INTEGER AS first_line,
+           round(list_aggregate(map_values(m), 'sum'), 2) AS total_qty,
+           round(coalesce(list_aggregate(
+             list_filter(map_values(m), v -> v >= 10), 'sum'), 0), 2)
+             AS big_qty
+    FROM per
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column family: build a map per order (line number -> summed
+    quantity), then size / map_keys / map_values / map_filter / lambda
+    aggregation over it — all JVM-side higher-order functions.
+
+    The per-(order, line) pre-aggregate guarantees unique map keys (the
+    synthetic lineitem repeats line numbers within an order); the map
+    is built from a SORTED entry array so both engines construct the
+    identical map. Output columns are scalars derived from the map —
+    map-typed output would compare engine-specific dict renderings.
+    DuckDB has no map_filter, so its twin filters map_values instead —
+    same values, same result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey", "l_linenumber").agg(
+        stable_round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    per = lines.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"),
+                        F.col("qty").alias("v"),
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    plus = lambda acc, x: acc + x  # noqa: E731
+    return per.select(
+        "l_orderkey",
+        F.size("m").alias("n_lines"),
+        F.array_min(F.map_keys("m")).cast("int").alias("first_line"),
+        stable_round(
+            F.aggregate(F.map_values("m"), F.lit(0.0), plus), 2
+        ).alias("total_qty"),
+        stable_round(
+            F.aggregate(
+                F.map_values(F.map_filter("m", lambda k, v: v >= 10)),
+                F.lit(0.0),
+                plus,
+            ),
+            2,
+        ).alias("big_qty"),
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -308,3 +308,60 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_words", "n_tokens")
     )
+
+
+from kafka_go_streamer_spark.operators.dedup import (  # noqa: E402
+    shingles,
+    shingles_sql,
+)
+
+_DECON_SH = shingles_sql("w")
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, {X.words_sql('text')} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_DECON_SH}) AS s FROM w0
+    ),
+    bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+      FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 50 <> 0
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the eval-leak gate every pretraining
+    corpus runs: flag corpus documents sharing any 3-word shingle with
+    the benchmark set (here: doc_id % 50 == 0 stands in for the eval
+    suite), with the shared-shingle count as evidence strength.
+
+    Scale shape: the benchmark shingle set is tiny (eval suites are
+    k docs, the corpus is 100 TB) and BROADCASTS; the corpus is
+    exploded to shingle rows once and hash-joined against the broadcast
+    — no shuffle of the corpus, no pairwise doc x doc work. The count
+    aggregate shuffles only the HIT rows (rare by construction). At
+    cluster scale this is the exact shape of an 8-gram Bloom/exact
+    decontamination pass; the shingle width is a constant."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )

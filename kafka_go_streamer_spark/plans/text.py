@@ -365,3 +365,95 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("s").alias("n_shared"))
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, {X.words_sql('text')} AS w FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM w0),
+    freq AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    tot AS (SELECT sum(c) AS t FROM freq)
+    SELECT tok.doc_id,
+           count(*)::INTEGER AS n_tokens,
+           round(avg(ln(freq.c / tot.t)), 6) AS avg_logprob
+    FROM tok JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document — the
+    relational stand-in for a KenLM perplexity quality filter: train a
+    unigram LM on the corpus itself (one word-count aggregate), then
+    score every document by its mean token log-probability. Documents
+    full of rare junk tokens score low; fluent common-word text scores
+    high. Two corpus passes, zero Python.
+
+    Scale shape: pass 1 is a map-side-combined word count (vocab-sized
+    output, ~millions of rows at web scale — broadcastable here, an
+    ordinary shuffle join at worst); pass 2 re-explodes the corpus and
+    hash-joins tokens to the frequency table, aggregating per doc. The
+    total-count scalar rides along as a broadcast single row."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.words(F.col("text"))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            stable_round(
+                F.avg(F.log(F.col("c") / F.col("t"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "sample_balanced_sources",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS m FROM counts),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked, m WHERE rn <= m.m
+    """,
+)
+def sample_balanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced corpus sampling — the data-MIXTURE step: keep an
+    equal number of documents per source (the minimum source count),
+    choosing each source's survivors by md5-hash rank so the selection
+    is deterministic, uniform-ish within source, and identical on any
+    cluster size or engine (no rand(), no TABLESAMPLE).
+
+    Scale shape: one count aggregate (source-cardinality output, rides
+    as a broadcast scalar), then ONE window shuffle partitioned by
+    source to rank and cut. At web scale the per-source rank would use
+    the same hash as a FILTER threshold (keep hash < m/n quantile)
+    instead of a full window sort — noted here because source counts
+    are small in testdata; the hash-order semantics are identical."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("m"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "source")
+    )

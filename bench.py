@@ -61,6 +61,9 @@ HEADLINE = [
     "tpch_q22_idle_customer_balance",
     "sim_topk_multi_query",
     "dedup_connected_components",
+    # the composed corpus pipeline: quality gate -> lang gate ->
+    # fingerprint dedup -> token accounting, single scan + single shuffle
+    "pipeline_training_prep",
 ]
 
 

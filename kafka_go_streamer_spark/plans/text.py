@@ -352,8 +352,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate shuffles only the HIT rows (rare by construction). At
     cluster scale this is the exact shape of an 8-gram Bloom/exact
     decontamination pass; the shingle width is a constant."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # fan_out: the CPU-dense shingle explode must parallelize; test
+    # parquet is a single row group (one task without this), a real
+    # cluster's many-split scan skips it (see fan_out docstring)
+    sh = fan_out(d).select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )
     bench = (

@@ -1,0 +1,75 @@
+"""Property-based connected-components test (hypothesis): for arbitrary
+small graphs, the Spark iterative min-label fixpoint must agree with an
+independent pure-Python union-find. Guards the semantics the planted
+cases can't cover exhaustively: chains (slow-converging diameters),
+stars, self-loops, duplicate edges, and isolated nodes."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_go_streamer_spark.operators.dedup import connected_components
+
+
+def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {i: i for i in n_nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp_min: dict[int, int] = {}
+    for i in n_nodes:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[find(i)] for i in n_nodes}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cc_matches_union_find(spark, edge_list):
+    nodes = list(range(25))
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], "id int")
+    if edge_list:
+        edges_df = spark.createDataFrame(edge_list, "id_a int, id_b int")
+    else:
+        edges_df = spark.createDataFrame([], "id_a int, id_b int")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    want = _union_find(nodes, edge_list)
+    assert got == want
+
+
+def test_cc_long_chain_converges(spark):
+    """A 60-node path is the adversarial diameter case for label
+    propagation; max_iter=25 with path compression must close it."""
+    n = 60
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id int")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

@@ -353,3 +353,106 @@ def decode_audio(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
             yield out
 
     return src.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+#: Resize output: same (key, blob) shape as the input — resize is a
+#: blob -> blob stage that composes with decode_images downstream.
+RESIZE_SCHEMA = "key bigint, blob binary"
+
+
+def resize_images(
+    df: DataFrame, key_col: str, blob_col: str, max_side: int = 256
+) -> DataFrame:
+    """Bounding-box resize: scale every image so its longer side is at
+    most ``max_side``, preserving aspect ratio (integer arithmetic:
+    ``new_w = w * max_side // max(w, h)``), floored at 1px.
+
+    Without pixel libraries in this container the raster stage is the
+    header rewrite: the container is re-synthesized with the new
+    dimensions — a REAL rewrite (fresh PNG CRC, fresh JPEG SOF, fresh
+    GIF screen descriptor) whose output must re-parse; the payload body
+    passes through untouched. A PIL ``Image.resize`` drops into the
+    same batch loop, changing only the body handling.
+
+    Scale: blob -> blob narrow per-batch transform, composable with
+    decode in the same stage — no shuffle anywhere in the chain."""
+    src = df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_blobs = []
+            for b in pdf["blob"]:
+                payload = bytes(b)
+                meta = parse_image_header(payload)
+                w, h = meta["width"], meta["height"]
+                mx = max(w, h)
+                if mx > max_side:
+                    nw = max(1, w * max_side // mx)
+                    nh = max(1, h * max_side // mx)
+                else:
+                    nw, nh = w, h
+                content = _content_of(payload, meta["format"])
+                out_blobs.append(
+                    synthesize_image_blob(content, meta["format"], nw, nh)
+                )
+            yield pd.DataFrame({"key": pdf["key"].values, "blob": out_blobs})
+
+    return src.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def _content_of(payload: bytes, fmt: str) -> bytes:
+    """Extract the content body the container carries (inverse of
+    ``synthesize_image_blob``'s framing)."""
+    if fmt == "png":
+        (length,) = struct.unpack_from(">I", payload, 8)
+        return payload[16 + length + 4 :]
+    if fmt == "jpeg":
+        (seglen,) = struct.unpack_from(">H", payload, 4)
+        return payload[4 + seglen : -2]
+    if fmt == "gif":
+        return payload[13:-1]
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+#: Feature-extraction output: one row per (key, bin) — the classic
+#: histogram-feature layout (a color histogram would use the same
+#: schema with bins over pixel values).
+FEATURE_SCHEMA = "key bigint, bin int, n int, density double"
+
+
+def byte_histogram(
+    df: DataFrame, key_col: str, blob_col: str, bins: int = 16
+) -> DataFrame:
+    """Feature extraction from the DECODED payload: parse the container,
+    take the content body's bytes, and emit a ``bins``-bin histogram of
+    ``byte % bins`` with per-bin density — the multimodal
+    feature-extraction stage (for a raster image this same loop computes
+    a color histogram; for audio, energy bands).
+
+    Scale: 1 -> bins fan-out happens inside the Arrow batch; no shuffle,
+    no driver involvement; downstream similarity search consumes the
+    (key, bin, density) rows or pivots them to a dense vector."""
+    import numpy as np
+
+    src = df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, bs, ns, ds = [], [], [], []
+            for key, b in zip(pdf["key"], pdf["blob"]):
+                payload = bytes(b)
+                meta = parse_image_header(payload)
+                content = _content_of(payload, meta["format"])
+                vals = np.frombuffer(content, dtype=np.uint8) % bins
+                counts = np.bincount(vals, minlength=bins)
+                total = max(len(content), 1)
+                for k in range(bins):
+                    keys.append(key)
+                    bs.append(k)
+                    ns.append(int(counts[k]))
+                    ds.append(round(counts[k] / total + 1e-9, 6))
+            yield pd.DataFrame(
+                {"key": keys, "bin": bs, "n": ns, "density": ds}
+            )
+
+    return src.mapInPandas(batches, FEATURE_SCHEMA)

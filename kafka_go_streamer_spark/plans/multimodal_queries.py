@@ -162,3 +162,80 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bits_per_sample", F.col("bits_per_sample").cast("int"))
         .withColumn("n_samples", F.col("n_samples").cast("int"))
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id AS key, text,
+             (64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8) AS w,
+             (64 + ('0x' || substr(sha256(text), 5, 2))::INT * 8) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT key, text, w, h, greatest(w, h) AS mx FROM dims
+    )
+    SELECT key,
+           (octet_length(encode(text)) + {_OVERHEAD_SQL})::INTEGER AS byte_len,
+           {_FMT_SQL} AS format,
+           (CASE WHEN mx > 256 THEN greatest(1, w * 256 // mx) ELSE w END)::INTEGER AS width,
+           (CASE WHEN mx > 256 THEN greatest(1, h * 256 // mx) ELSE h END)::INTEGER AS height,
+           3 AS channels,
+           sha256(text) AS content_hash
+    FROM r
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box resize (max side 256, aspect preserved) as a
+    blob -> blob mapInPandas stage, PROVEN by re-decoding its output
+    with the same structural parser: the rewritten container must carry
+    the new dimensions (fresh PNG CRC / JPEG SOF / GIF descriptor) and
+    the untouched content body (hash unchanged). The oracle predicts
+    the integer resize arithmetic from the generator's dims.
+
+    Scale: resize and decode are chained narrow per-batch transforms in
+    ONE stage — no shuffle between pipeline steps."""
+    from kafka_go_streamer_spark.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthetic_image_blobs(docs, "doc_id", "text")
+    resized = resize_images(blobs, "key", "blob", max_side=256)
+    meta = decode_images(resized, "key", "blob")
+    return meta.withColumn("channels", F.col("channels").cast("int"))
+
+
+@query(
+    "multimodal_byte_histogram",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id AS key, octet_length(encode(text)) AS t FROM documents
+    ),
+    bins AS (SELECT unnest(range(0, 16)) AS bin),
+    cnt AS (
+      SELECT doc_id AS key, ord(c) % 16 AS bin, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT k.key, bins.bin::INTEGER AS bin,
+           coalesce(cnt.n, 0)::INTEGER AS n,
+           round(coalesce(cnt.n, 0) * 1.0 / greatest(k.t, 1), 6) AS density
+    FROM k CROSS JOIN bins
+    LEFT JOIN cnt ON cnt.key = k.key AND cnt.bin = bins.bin
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from the decoded payload: 16-bin byte
+    histogram (count + density per bin) over the content body — the
+    multimodal feature stage (the same batch loop computes a color
+    histogram for rasters or energy bands for audio). The 1 -> 16
+    fan-out happens inside the Arrow batch.
+
+    The oracle recomputes the histogram from the source text (the
+    content body is the text's bytes; payloads are ASCII so ord(char)
+    equals the byte value)."""
+    from kafka_go_streamer_spark.multimodal import byte_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = synthetic_image_blobs(docs, "doc_id", "text")
+    return byte_histogram(blobs, "key", "blob", bins=16)

@@ -254,17 +254,28 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str = "text",
     min_intersection: int = 2,
+    band_r: int = 1,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH + exact-Jaccard
     verification.
 
+    ``band_r`` is the classic b x r knob: signatures group into
+    ``NUM_HASHES // band_r`` bands of ``band_r`` concatenated minhashes;
+    a pair is a candidate iff some band agrees on ALL its hashes.
+    r=1 (default) maximizes recall in the low-similarity regime; r=2
+    is the high-threshold mode (candidate probability 1-(1-j^r)^b
+    steepens, cutting low-similarity candidates before the verify
+    stage touches them).
+
     Plan shape (the part that matters at scale):
       1. one narrow pass computes shingles + K signatures;
-      2. signatures unpivot to (band, key, id) — rows = K x docs;
+      2. signatures unpivot to (band, key, id) — rows = b x docs;
       3. self-equi-join on (band, key) -> candidates (never all pairs);
       4. distinct candidate ids re-join shingle sets, exact Jaccard
          filters false positives.
     """
+    if NUM_HASHES % band_r != 0:
+        raise ValueError(f"band_r={band_r} must divide NUM_HASHES={NUM_HASHES}")
     # Materialize signatures ONCE (eager localCheckpoint). Without a
     # materialization barrier, Catalyst's project collapse inlines the
     # shingle+md5 pipeline into every downstream branch (band explode +
@@ -279,15 +290,23 @@ def minhash_lsh_pairs(
     sigs = with_minhash(
         df.select(F.col(id_col), F.col(text_col)), text_col
     ).localCheckpoint(eager=True)
+    n_bands = NUM_HASHES // band_r
     bands = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("band"), F.col(f"sig{k}").alias("key")
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig{j * band_r + i}")
+                                for i in range(band_r)
+                            ],
+                        ).alias("key"),
                     )
-                    for k in range(NUM_HASHES)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("bk"),
@@ -420,14 +439,23 @@ def minhash_lsh_pairs_sql(
     id_col: str,
     text_col: str = "text",
     min_intersection: int = 2,
+    band_r: int = 1,
 ) -> str:
+    if NUM_HASHES % band_r != 0:
+        raise ValueError(f"band_r={band_r} must divide NUM_HASHES={NUM_HASHES}")
     sh = shingles_sql("w")
     sig_cols = ",\n           ".join(
         f"{minhash_sig_sql('sh', k)} AS sig{k}" for k in range(NUM_HASHES)
     )
+    n_bands = NUM_HASHES // band_r
     band_union = "\n      UNION ALL\n".join(
-        f"      SELECT id, {k} AS band, sig{k} AS key FROM sigs"
-        for k in range(NUM_HASHES)
+        "      SELECT id, {j} AS band, {key} AS key FROM sigs".format(
+            j=j,
+            key=" || '|' || ".join(
+                f"sig{j * band_r + i}" for i in range(band_r)
+            ),
+        )
+        for j in range(n_bands)
     )
     return f"""
     WITH w0 AS (SELECT {id_col} AS id, {words_sql(text_col)} AS w FROM {table}),

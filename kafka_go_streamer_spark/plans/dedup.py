@@ -183,3 +183,29 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "dedup_minhash_lsh_strict",
+    oracle=minhash_lsh_pairs_sql(
+        "documents", "doc_id", "text", min_intersection=2, band_r=2
+    ),
+)
+def dedup_minhash_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold MinHash-LSH: bands of r=2 concatenated minhashes
+    (b=2, r=2 over the same 4 signatures) — a candidate must agree on
+    BOTH hashes of a band, steepening the probability curve
+    (1-(1-j^2)^2) so low-similarity pairs never reach the verify
+    stage. The production knob for "only near-identical documents"
+    dedup; the r=1 sibling (`dedup_minhash_lsh`) is the recall mode.
+
+    Scale shape identical to the r=1 form: band rows are b x docs
+    (HALVED vs r=1), the bucket equi-join sees longer keys and
+    strictly smaller buckets."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_intersection=2,
+        band_r=2,
+    )

@@ -246,6 +246,36 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def prep_survivors(d: DataFrame) -> DataFrame:
+    """Score -> gate -> dedup over a documents-shaped DataFrame: the
+    reusable core of `pipeline_training_prep`, also run per-micro-batch
+    by the streaming ingest test (foreachBatch + cross-batch anti-join
+    on ``bag_fp``). Returns survivors WITH the fingerprint column so a
+    caller can dedup against previously-committed output."""
+    from pyspark.sql import Window
+
+    scored = d.select(
+        "doc_id",
+        "source",
+        X.word_count(F.col("text")).alias("n_words"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        X.lang_id(F.col("text")).alias("pred_lang"),
+        X.bag_fingerprint(F.col("text")).alias("bag_fp"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("alpha_ratio") > 0.6)
+        & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("bag_fp").orderBy(F.col("doc_id").asc())
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_words", "n_tokens", "bag_fp")
+    )
+
+
 @query(
     "pipeline_training_prep",
     oracle=f"""
@@ -285,28 +315,9 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept row deterministic. At cluster scale the window's hash
     partitioning on bag_fp spreads uniformly (md5), no skew defense
     needed."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "source",
-        X.word_count(F.col("text")).alias("n_words"),
-        X.token_count(F.col("text")).alias("n_tokens"),
-        X.alpha_ratio(F.col("text")).alias("alpha_ratio"),
-        X.lang_id(F.col("text")).alias("pred_lang"),
-        X.bag_fingerprint(F.col("text")).alias("bag_fp"),
-    )
-    kept = scored.filter(
-        (F.col("n_words") >= 20)
-        & (F.col("alpha_ratio") > 0.6)
-        & (F.col("pred_lang") == "en")
-    )
-    w = Window.partitionBy("bag_fp").orderBy(F.col("doc_id").asc())
-    return (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "n_words", "n_tokens")
+    return prep_survivors(d).select(
+        "doc_id", "source", "n_words", "n_tokens"
     )
 
 

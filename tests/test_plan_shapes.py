@@ -203,3 +203,29 @@ def test_training_prep_filters_before_single_shuffle(spark, sf_dir):
     assert "Filter" in below  # the quality/lang gates, below the shuffle
     assert "WindowGroupLimit" in below  # partial top-1 before the shuffle
     assert "Partial" in below
+
+
+def test_unigram_lm_joins_broadcast(spark, sf_dir):
+    """The unigram-LM score joins every token against the frequency
+    table: vocab is corpus-bounded and must BROADCAST (with the total
+    riding as a broadcast scalar) — the corpus token stream is never
+    hash-repartitioned for the join."""
+    plan = physical_plan(QUERIES["text_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination must broadcast the benchmark shingle set; the
+    corpus side stays un-shuffled until the (rare) hit rows aggregate."""
+    plan = physical_plan(QUERIES["text_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_lloyd_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd distance join must broadcast the k x dims centroid
+    table — the exploded corpus never repartitions for assignment."""
+    plan = physical_plan(QUERIES["kmeans_lloyd_refine"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -209,3 +209,88 @@ def dedup_minhash_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_intersection=2,
         band_r=2,
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH w0 AS (SELECT doc_id, {words_sql('text')} AS w FROM documents),
+    sigs AS (SELECT doc_id, {simhash_sql('w')} AS sh FROM w0),
+    bands AS (
+      SELECT doc_id, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    capped AS (
+      SELECT doc_id, sh, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _bucket_n
+        FROM bands
+      ) WHERE _bucket_n <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           bit_count(xor(sh_a, sh_b))::INTEGER AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS via Hamming-LSH banding — the pair
+    stage the signature query feeds: the 32-bit signature splits into
+    four 8-bit bands; docs agreeing on any band become candidates
+    (pigeonhole: any pair within Hamming distance 3 shares a band —
+    this threshold of 6 trades a little recall for bounded buckets),
+    and the exact Hamming distance (xor + bit_count) verifies
+    candidates only. No all-pairs anywhere; hot bands are
+    frequency-capped like every other blocking key in the repo.
+
+    Scale shape: one signature pass, 4x explode, equi-join on
+    (band, 8-bit key), verify on candidates — identical discipline to
+    the MinHash path; bit_count(xor()) is a codegen'd integer op."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    bands = sigs.select(
+        "doc_id",
+        F.col("simhash").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.key")
+    from kafka_go_streamer_spark.operators.dedup import cap_bucket
+
+    capped = cap_bucket(bands, "band", "key", cap=64)
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )

@@ -250,3 +250,71 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration boundary so both engines feed identical centroids into the
     next assignment regardless of FP summation order."""
     return lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH {_ivf_cells_sql()},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qc AS (
+      SELECT cent_id AS qcell FROM (
+        SELECT c.cent_id,
+               round(({cosine_sql('c.cv', 'q.qv')}), 6) AS qsim
+        FROM cents c CROSS JOIN q
+      )
+      ORDER BY qsim DESC, cent_id ASC LIMIT 2
+    )
+    SELECT c.vec_id, c.cell,
+           round(({cosine_sql('c.embedding', 'q.qv')}), 6) AS cos_sim
+    FROM cells c CROSS JOIN q JOIN qc ON c.cell = qc.qcell
+    WHERE c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 5
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe (nprobe=2): rank the centroids against the query
+    and search the TOP-2 cells — the standard recall knob when the
+    nearest neighbor straddles a cell boundary (nprobe=1 misses it,
+    full scan defeats IVF; nprobe trades a bounded 2/k of the corpus
+    for most of the lost recall).
+
+    Scale shape: centroid ranking is k broadcast rows; the probe is a
+    broadcast semi-join of the corpus against 2 cell ids (partition
+    pruning when cells are the storage partitioning); top-5 compiles to
+    TakeOrderedAndProject. Cell ranking orders by the ROUNDED cosine +
+    cent_id so both engines probe identical cells."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qc = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cent_id",
+            stable_round(cosine(F.col("cv"), F.col("qv")), 6).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cent_id").asc())
+        .limit(2)
+        .select(F.col("cent_id").alias("qcell"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(q))
+        .join(F.broadcast(qc), cells.cell == F.col("qcell"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "cell",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

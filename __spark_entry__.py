@@ -7,6 +7,15 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 All real logic lives in ``kafka_go_streamer_spark``; this module only
 adapts it to the driver contract.
+
+Ordering matters: the driver verifies the FIRST 50 entries of
+``queries()`` in insertion order, so we put queries that have never had
+a driver verdict (plus anything new this round) ahead of the 55 names
+already proven green in rounds 1-2 (frozen below as
+``DRIVER_VERIFIED``).  A handful of never-run queries whose core
+machinery is already driver-proven through a sibling query are demoted
+to the back of the unverified block (``DEMOTED``) so the window holds
+the riskiest 50.
 """
 
 from __future__ import annotations
@@ -21,6 +30,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_go_streamer_spark.plans import ORACLES, QUERIES
 
+# Frozen union of CORRECTNESS_r01 + CORRECTNESS_r02 green rows (55 names,
+# all pass/hash-match).  These are regression-safe to rotate out of the
+# driver's 50-query window; tests/test_oracle_parity.py still runs every
+# registered query locally each round.
+DRIVER_VERIFIED = frozenset({
+    "agg_conditional_pivot", "agg_count_distinct", "agg_cube",
+    "agg_grouping_sets", "agg_histogram_prices", "agg_orders_by_priority",
+    "agg_pricing_summary", "agg_rollup", "agg_stats",
+    "agg_time_rollup_hierarchy", "ann_ivf_cells", "date_functions",
+    "dedup_connected_components", "dedup_exact_assignment",
+    "dedup_exact_hash", "dedup_minhash_lsh", "dedup_minhash_lsh_strict",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_winnowing_pairs", "embedding_label_centroids",
+    "filter_contains", "filter_regex", "join_anti_customers_without_orders",
+    "join_asof_last_purchase", "join_outer_nation_order_counts",
+    "join_range_quantity_bands", "join_revenue_by_nation",
+    "join_semi_customers_with_orders", "join_top_orders",
+    "json_extraction", "math_functions", "multimodal_audio_meta",
+    "multimodal_binary_stats", "multimodal_byte_histogram",
+    "multimodal_decode_meta", "multimodal_frame_sample",
+    "multimodal_resize", "project_key_value", "route_documents",
+    "route_documents_counts", "route_events_by_type",
+    "route_split_merge_roundtrip", "sample_stratified_hash",
+    "set_ops_customer_cohorts", "sort_global_topk", "string_functions",
+    "window_distribution_ranks", "window_lag_lead_order_gap",
+    "window_moving_avg", "window_range_frame_1h",
+    "window_rank_dense_ntile", "window_running_sum",
+    "window_topk_parts_per_brand",
+})
+
+# Never-driver-run queries whose core machinery already has a green
+# driver row via a sibling, demoted to the back of the unverified block
+# when the block exceeds 50:
+#   text_winnowing_fingerprints  -> winnowing proven by dedup_winnowing_pairs
+#   kmeans_assign_nearest_centroid -> assignment hop inside kmeans_lloyd_refine
+#   join_enrich_events_broadcast -> broadcast-join family proven x7
+#   text_chunking                -> pure string/sequence fns (string_functions green)
+DEMOTED = (
+    "text_winnowing_fingerprints",
+    "kmeans_assign_nearest_centroid",
+    "join_enrich_events_broadcast",
+    "text_chunking",
+)
+
+
+def _ordered_names() -> list[str]:
+    names = list(QUERIES)
+    unverified = [n for n in names if n not in DRIVER_VERIFIED and n not in DEMOTED]
+    demoted = [n for n in DEMOTED if n in names]
+    verified = [n for n in names if n in DRIVER_VERIFIED]
+    return unverified + demoted + verified
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the content-based router
@@ -29,10 +90,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the driver's 50-query correctness window covers the queries with no
+    prior driver verdict first (see module docstring)."""
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins; queries absent here get the weaker rows-only check."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}

@@ -9,9 +9,14 @@ pixel libraries (PIL/libvips/ffmpeg) are not in this container, so the
 test payloads are synthesized as structurally-valid containers by
 ``synthesize_image_blob`` — the parser does not know or use the
 generator's arithmetic; it reads magic bytes, walks segments, and
-unpacks dimensions exactly as it would for a camera file. Pixel-level
-ops (resize, colorspace) would slot into the same mapInPandas batch
-loop below.
+unpacks FORMAT and DIMENSIONS exactly as it would for a camera file
+(the JPEG walk skips APP0/EXIF segments generically). The
+``content_hash`` field, by contrast, hashes the generator's framing —
+bytes after the first SOF segment — which on a real camera JPEG (SOF
+after APPn/DQT/DHT, entropy-coded scan) would not isolate the pixel
+payload; treat it as a payload fingerprint, not a pixel hash.
+Pixel-level ops (resize, colorspace) would slot into the same
+mapInPandas batch loop below.
 """
 
 from __future__ import annotations

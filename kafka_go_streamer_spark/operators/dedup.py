@@ -249,6 +249,85 @@ def simhash_sql(words_col: str) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+#: Production SimHash width. The 32-bit table above stays as the
+#: regression anchor; at corpus scale 32 bits saturate (birthday
+#: collisions at ~2^16 docs make every Hamming band hot, and the
+#: hot-bucket cap then drops REAL near-dups), so the pair path uses
+#: 64-bit signatures banded 8 x 8 (pigeonhole-complete for Hamming <= 7).
+SIMHASH64_BITS = 64
+_LONG_MIN = -9223372036854775807 - 1
+
+
+def simhash64_table(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per row, same relational shape as
+    :func:`simhash_table` (explode words -> hash each word ONCE -> one
+    groupBy computing all bit-sums): the word's md5 supplies two
+    independent 32-bit halves (hex chars [1,8] and [9,16]) so no single
+    BIGINT shift ever touches bit 63 before the final sign-bit
+    assembly, which both engines build from the min-BIGINT literal
+    (``1 << 63`` overflows DuckDB's left shift)."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    exploded = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("ha"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("hb"),
+    )
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    (
+                        F.shiftright(
+                            F.col("ha" if b < 32 else "hb"), b % 32
+                        )
+                        % 2
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH64_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH64_BITS):
+        weight = (
+            F.lit(_LONG_MIN).cast("long")
+            if b == 63
+            else F.lit(2**b).cast("long")
+        )
+        sig = sig + F.when(F.col(f"b{b}") > 0, weight).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select(F.col(id_col), sig.alias("simhash64"))
+
+
+def simhash64_sql(words_col: str) -> str:
+    """DuckDB twin of :func:`simhash64_table` over a pre-bound words
+    column. BIGINT-safe: bit 63's weight is the min-BIGINT literal, and
+    the term order (bit 0 first, bit 63 last) keeps every left-to-right
+    partial sum inside BIGINT range."""
+    ha = "('0x' || substr(md5(w), 1, 8))::BIGINT"
+    hb = "('0x' || substr(md5(w), 9, 8))::BIGINT"
+    terms = []
+    for b in range(SIMHASH64_BITS):
+        src = ha if b < 32 else hb
+        bitsum = (
+            f"list_sum(list_transform(list_distinct({words_col}), "
+            f"w -> CASE WHEN (({src} >> {b % 32}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        weight = f"({_LONG_MIN})::BIGINT" if b == 63 else f"{2**b}::BIGINT"
+        terms.append(f"(CASE WHEN {bitsum} > 0 THEN {weight} ELSE 0::BIGINT END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -48,10 +48,28 @@ def explode_vectors(
     ).select("vec_id", "pos", F.col("_v").cast("double").alias("v"))
 
 
-def seed_centroids(ex: DataFrame, k: int) -> DataFrame:
+def seed_centroids(
+    ex: DataFrame, k: int | None = None, k_df: DataFrame | None = None
+) -> DataFrame:
     """Deterministic seeds: the first ``k`` vector ids (rounded like
-    every later centroid so iteration 0 and iteration i share types)."""
-    return ex.filter(F.col("vec_id") < k).select(
+    every later centroid so iteration 0 and iteration i share types).
+
+    Precondition: ids are dense and 0-based (true of the testdata and
+    of any corpus keyed by a row number) — the ``vec_id < k`` filter
+    seeds FEWER than k clusters on sparse or offset id spaces. Re-key
+    with ``row_number() - 1`` first if that doesn't hold.
+
+    ``k_df`` (a 1-row frame with column ``_k``) makes k data-derived
+    without a driver-side action: it broadcast-crossJoins into the
+    filter, so e.g. ``k = ceil(sqrt(n))`` stays inside the plan."""
+    if k_df is not None:
+        sel = (
+            ex.crossJoin(F.broadcast(k_df))
+            .filter(F.col("vec_id") < F.col("_k"))
+        )
+    else:
+        sel = ex.filter(F.col("vec_id") < k)
+    return sel.select(
         F.col("vec_id").alias("cid"),
         "pos",
         stable_round(F.col("v"), 6).alias("c"),
@@ -96,11 +114,14 @@ def lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    k_df: DataFrame | None = None,
 ) -> DataFrame:
     """``iters`` full Lloyd iterations; returns the FINAL assignment
-    ``(vec_id, cluster, d2)`` computed from the trained centroids."""
+    ``(vec_id, cluster, d2)`` computed from the trained centroids.
+    ``k_df`` overrides ``k`` with a data-derived count (see
+    :func:`seed_centroids`)."""
     ex = explode_vectors(emb, id_col, vec_col).localCheckpoint(eager=True)
-    cents = seed_centroids(ex, k)
+    cents = seed_centroids(ex, k, k_df=k_df)
     for _ in range(iters):
         assigned = assign_nearest(ex, cents)
         cents = update_centroids(ex, assigned)
@@ -135,9 +156,10 @@ def _update_sql(ex: str, assigned: str) -> str:
     """
 
 
-def lloyd_sql(table: str, k: int = 8, iters: int = 2) -> str:
-    """DuckDB twin of :func:`lloyd` — the iteration unrolled as CTEs
-    (``iters`` is a compile-time constant on both sides)."""
+def lloyd_ctes(table: str, k_sql: str, iters: int) -> tuple[list[str], str]:
+    """The unrolled Lloyd iteration as a CTE list; returns
+    ``(ctes, final_assignment_sql)``. ``k_sql`` is any scalar SQL
+    expression (a literal, or a scalar subquery for data-derived k)."""
     ctes = [
         f"""ex AS (
           SELECT vec_id,
@@ -147,7 +169,7 @@ def lloyd_sql(table: str, k: int = 8, iters: int = 2) -> str:
         )""",
         f"""cent0 AS (
           SELECT vec_id AS cid, pos, round(v, 6) AS c
-          FROM ex WHERE vec_id < {k}
+          FROM ex WHERE vec_id < ({k_sql})
         )""",
     ]
     cur = "cent0"
@@ -155,7 +177,13 @@ def lloyd_sql(table: str, k: int = 8, iters: int = 2) -> str:
         ctes.append(f"asg{i} AS ({_assign_sql('ex', cur)})")
         ctes.append(f"cent{i + 1} AS ({_update_sql('ex', f'asg{i}')})")
         cur = f"cent{i + 1}"
-    final = _assign_sql("ex", cur)
+    return ctes, _assign_sql("ex", cur)
+
+
+def lloyd_sql(table: str, k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of :func:`lloyd` — the iteration unrolled as CTEs
+    (``iters`` is a compile-time constant on both sides)."""
+    ctes, final = lloyd_ctes(table, str(k), iters)
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
     SELECT vec_id, cid AS cluster, d2 FROM ({final})

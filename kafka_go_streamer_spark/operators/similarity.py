@@ -58,6 +58,35 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _spark_double_lit(x: float) -> str:
+    """Spark SQL double literal: plain decimals need the ``D`` suffix
+    (they'd parse as DECIMAL and change the arithmetic); exponent forms
+    are already DOUBLE. ``repr`` round-trips exactly in both parsers."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "D"
+
+
+def lsh_signature_spark_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Spark-SQL string form of :func:`lsh_signature` — semantically
+    identical (same zip_with/aggregate fold, same plane literals, same
+    left-to-right IEEE summation), but parsed JVM-side in ONE call.
+
+    The Column form builds ~planes x dim literal nodes through py4j;
+    at 16 planes x 64 dims that is ~0.85 s of DRIVER time per plan
+    build — more than the query's whole execution at bench scale, and
+    per-invocation (the driver harness and bench rebuild plans each
+    pass). The SQL string costs one parse."""
+    sig_terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(_spark_double_lit(x) for x in plane)
+        d = (
+            f"aggregate(zip_with(CAST({vec_expr} AS ARRAY<DOUBLE>), "
+            f"array({lits}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        sig_terms.append(f"(CASE WHEN {d} > 0D THEN {2**p}L ELSE 0L END)")
+    return "CAST(" + " + ".join(sig_terms) + " AS BIGINT)"
+
+
 def lsh_signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
     """DuckDB twin: identical plane literals, identical sign rule."""
     terms = []

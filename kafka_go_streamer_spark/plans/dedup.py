@@ -19,6 +19,8 @@ from kafka_go_streamer_spark.operators.dedup import (
     exact_dedup_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    simhash64_sql,
+    simhash64_table,
     simhash_sql,
     simhash_table,
 )
@@ -293,4 +295,91 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "dedup_simhash64_pairs",
+    oracle=f"""
+    WITH w0 AS (SELECT doc_id, {words_sql('text')} AS w FROM documents),
+    sigs AS (SELECT doc_id, {simhash64_sql('w')} AS sh FROM w0),
+    bands AS (
+      SELECT doc_id, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+      FROM sigs, (SELECT unnest(range(0, 8)) AS band) b
+    ),
+    capped AS (
+      SELECT doc_id, sh, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _bucket_n
+        FROM bands
+      ) WHERE _bucket_n <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           bit_count(xor(sh_a, sh_b))::INTEGER AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 7
+    """,
+)
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-duplicate pairs — the production-width form
+    of ``dedup_simhash_pairs``. 32-bit signatures saturate at corpus
+    scale (birthday collisions at ~2^16 docs make every 8-bit band hot,
+    and the frequency cap then drops REAL near-dups); 64 bits keep band
+    occupancy sparse out to ~2^32 docs. Eight 8-bit bands make the
+    banding pigeonhole-COMPLETE for the verify threshold: any pair
+    within Hamming distance 7 must agree on at least one band, so the
+    candidate stage provably loses nothing the verifier would keep.
+
+    Scale shape identical to the 32-bit path: one signature pass
+    (each word md5-hashed once, two independent 32-bit halves), 8x
+    band explode, equi-join on (band, 8-bit key), frequency-capped
+    buckets, xor+bit_count verification on candidates only. The band
+    key is extracted as ``(sh >> 8b) & 255`` — mask-after-shift reads
+    identically under Spark's and DuckDB's arithmetic BIGINT shifts,
+    including the sign-bit band."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash64_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    bands = sigs.select(
+        "doc_id",
+        F.col("simhash64").alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash64"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.key")
+    capped = cap_bucket(bands, "band", "key", cap=64)
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 7)
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
-from kafka_go_streamer_spark.operators.kmeans import lloyd, lloyd_sql
+from kafka_go_streamer_spark.operators.kmeans import lloyd, lloyd_ctes, lloyd_sql
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -250,6 +250,65 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration boundary so both engines feed identical centroids into the
     next assignment regardless of FP summation order."""
     return lloyd(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _trained_probe_sql() -> str:
+    ctes, final = lloyd_ctes("embeddings", "(SELECT k FROM kk)", iters=2)
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH kk AS (SELECT ceil(sqrt(count(*)))::BIGINT AS k FROM embeddings),
+    {joined_ctes},
+    cells AS (
+      SELECT a.vec_id, a.cid AS cell, e.embedding
+      FROM ({final}) a JOIN embeddings e USING (vec_id)
+    ),
+    q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+    SELECT c.vec_id, c.cell,
+           round(({cosine_sql('c.embedding', 'q.qv')}), 6) AS cos_sim
+    FROM cells c CROSS JOIN q
+    WHERE c.cell = q.qcell AND c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 5
+    """
+
+
+@query("ann_ivf_search_trained", oracle=_trained_probe_sql())
+def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over TRAINED centroids with data-derived k — the query
+    that supersedes the fixed ``IVF_CENTROID_IDS`` stand-in for search
+    (those stay as deterministic regression anchors). k = ceil(sqrt(n))
+    cells come out of 2 full Lloyd iterations (operators/kmeans.py), so
+    an nprobe=1 probe touches ~n/k = sqrt(n) of the corpus instead of
+    the fixed-seed path's n/4 — real IVF behavior: at 10^9 vectors a
+    probe scans ~31k vectors, not 250M.
+
+    Scale shape: training is the Lloyd pipeline (corpus exploded once
+    and pinned, k x dims centroids broadcast per iteration, no
+    driver-side collect — k itself is a 1-row broadcast, not an
+    action); the probe is the query's own cell id broadcast against
+    the assignment, top-5 via TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_df = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).alias("_k"))
+    cells = lloyd(emb, iters=2, k_df=k_df).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    with_emb = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    q = with_emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        with_emb.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "cell",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
 
 
 @query(

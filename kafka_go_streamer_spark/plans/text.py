@@ -369,6 +369,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the CPU-dense shingle explode must parallelize; test
     # parquet is a single row group (one task without this), a real
     # cluster's many-split scan skips it (see fan_out docstring)
+    #
+    # `sh` feeds BOTH the bench branch and the probe branch, but the
+    # doc_id % 50 predicates push below each branch's Generate into the
+    # FileScan (verified in the physical plan), so the two explodes
+    # process DISJOINT 2%/98% doc sets — one logical pass total, no
+    # pinning barrier needed.
     sh = fan_out(d).select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )

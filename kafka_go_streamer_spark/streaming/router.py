@@ -110,9 +110,11 @@ def start_checkpointed_file_router(
     manifest live under ``checkpoint_dir``, so a stopped/killed query
     restarted with the same paths resumes exactly where it left off.
 
-    This is the semantic upgrade over the reference, which commits the
-    consumer offset BEFORE the producer flush (main.go:361-365 commit vs
-    :573 flush) — a crash in that window drops messages (at-most-once).
+    This is the semantic upgrade over the reference, whose kafka-go
+    ``reader.ReadMessage`` auto-commits the consumer offset on READ
+    (main.go:353; the explicit CommitMessages at main.go:361-365 is
+    commented out) — long before the producer flush at :573, so a crash
+    in that window drops messages (at-most-once).
     Spark's checkpoint commits offsets only after the sink's batch
     commit: at-least-once into any sink, and exactly-once into the
     file sink used here (its manifest makes batch commits idempotent).

@@ -67,3 +67,48 @@ def test_minhash_signature_identical_for_identical_docs(spark):
     by_id = {r["doc_id"]: (r["sig0"], r["sig1"]) for r in sigs}
     assert by_id[1] == by_id[2]
     assert by_id[1] != by_id[6]
+
+
+def test_simhash64_identical_docs_and_sign_bit(spark):
+    """64-bit signatures: identical docs hash identically (Hamming 0),
+    near-identical docs land within the banding's pigeonhole radius,
+    and the width is really 64 bits (the sign bit is exercised, which
+    is where BIGINT-unsafe oracles break)."""
+    from kafka_go_streamer_spark.operators.dedup import simhash64_table
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog near the river",
+                "the quick brown fox jumps over the lazy dog near the river",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "completely different words about spark query plans",
+            ]
+        )],
+        "doc_id int, text string",
+    )
+    sig = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash64_table(docs, "doc_id").collect()
+    }
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[2] != sig[3]
+    # 60-word synthetic corpus: at least one signature must set a bit
+    # above 31, proving the second md5 half is wired in
+    assert any(abs(s) >> 32 != 0 for s in sig.values())
+
+
+def test_simhash64_band_extraction_handles_sign_band(spark):
+    """(sh >> 56) & 255 must yield the unsigned top byte for negative
+    signatures on the Spark side (the oracle side is probed in the
+    parity suite)."""
+    df = spark.createDataFrame(
+        [(-9223372036854775808,), (-1,), (255,)], "sh long"
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            F.shiftright(F.col("sh"), 56).bitwiseAND(F.lit(255)).alias("k")
+        ).collect()
+    ]
+    assert got == [128, 255, 0]

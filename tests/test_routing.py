@@ -197,3 +197,48 @@ def test_no_shuffle_in_routing_plan(spark):
     df = spark.createDataFrame([("k", "v")], "key string, value string")
     plan = route_and_filter(df, SPLITER_OPENSTACK)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quote_bearing_pattern_and_topic_escape_in_sql_twin(spark):
+    """A spliter whose PATTERN and topic both contain single quotes must
+    route identically through the DataFrame path, the Spark-SQL twin,
+    and the DuckDB oracle — the injection class ADVICE.md flagged for
+    the pattern literal (the topic literal was already escaped)."""
+    import duckdb
+
+    spliter = Spliter(
+        input_topic="in",
+        actions={"unmatched": "un'matched"},
+        splits=[
+            Split(
+                Extractor("o'reilly", use_regex=False),
+                output_topic="books'n'logs",
+            ),
+            Split(
+                Extractor(r"err'?or", use_regex=True),
+                output_topic="errors",
+            ),
+        ],
+    )
+    rows = [
+        ("a", "read o'reilly every day"),
+        ("b", "an err'or occurred"),
+        ("c", "an error occurred"),
+        ("d", "nothing to see"),
+    ]
+    expected = {
+        "a": "books'n'logs",
+        "b": "errors",
+        "c": "errors",
+        "d": "un'matched",
+    }
+    via_df = _routed(spark, spliter, rows)
+    assert via_df == expected
+    case = routing_case_sql(spliter, "value")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE msgs (key VARCHAR, value VARCHAR)")
+    con.executemany("INSERT INTO msgs VALUES (?, ?)", rows)
+    via_duck = dict(
+        con.execute(f"SELECT key, {case} AS topic FROM msgs").fetchall()
+    )
+    assert via_duck == expected

@@ -86,6 +86,49 @@ def test_adaptive_occupancy_bounded(spark):
             assert occupancy <= 2 * TARGET_BUCKET, (n, p, occupancy)
 
 
+def test_neardup_centroid_count_is_sqrt_n(spark, sf_dir):
+    """The near-dup IVF assignment must score against ceil(sqrt(n))
+    centroids — the fix for round 2's linear centroid growth (c = n/64
+    made the broadcast unbounded and assignment O(n^2/64))."""
+    import math
+
+    from kafka_go_streamer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    expect = math.ceil(math.sqrt(n))
+    nc = emb.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).alias("_c")
+    ).collect()[0]["_c"]
+    assert nc == expect
+    # and the query's distinct cell ids stay within that bound
+    from kafka_go_streamer_spark.plans.registry import QUERIES
+
+    cells = (
+        QUERIES["sim_neardup_ivf_cells"](spark, sf_dir)
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    assert cells <= expect
+
+
+def test_trained_ivf_probe_touches_one_cell(spark, sf_dir):
+    """ann_ivf_search_trained must return rows from exactly one cell
+    (nprobe=1 over trained cells) and its k must be >> the 4 fixed
+    seeds of the regression-anchor IVF queries."""
+    import math
+
+    from kafka_go_streamer_spark.plans.registry import QUERIES
+    from kafka_go_streamer_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert math.ceil(math.sqrt(n)) > 4
+    rows = QUERIES["ann_ivf_search_trained"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 5
+    assert len({r["cell"] for r in rows}) == 1
+
+
 def test_winnowing_rows_matches_array_form(spark):
     texts = [
         (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.operators.iterate import pinned
 
 from kafka_go_streamer_spark.functions.text import (
     bag_fingerprint,
@@ -431,28 +432,44 @@ def connected_components(
 
     ``nodes`` has one column ``id``; ``edges`` has ``id_a``/``id_b``.
 
-    Scale shape: this is the standard alternating "neighbor-min + label
-    compression" fixpoint (the simplified form of large-star/small-star
-    used by GraphX/GraphFrames connected components). Each round is two
-    equi-joins + one min-aggregate — all shuffle-on-key, no pairwise
-    blowup — and path compression makes convergence O(log n) rounds
-    instead of O(diameter), which is what makes it viable when a dedup
-    graph has million-node chains at corpus scale. Labels are
-    re-materialized per round (``localCheckpoint``) so the plan doesn't
-    grow exponentially with iterations; the driver-side loop is bounded
-    and runs one tiny ``count()`` action per round for convergence.
+    Scale shape: GRAPH CONTRACTION with a pointer-doubled merge
+    mapping (the GraphX large-star/small-star family). Each round:
 
-    Two scale-critical restrictions:
+    1. every representative proposes its minimum neighbor rep
+       (``upd: a -> m``, only where ``m < a``);
+    2. the tiny ``upd`` mapping is POINTER-DOUBLED against itself
+       (two compositions -> chains shorten 4x) before it is applied —
+       compressing the mapping costs self-joins of a table bounded by
+       the merge count, not the corpus;
+    3. labels and the working edge set are relabeled through ``upd``;
+       relabeled self-loop edges vanish, so the edge set SHRINKS every
+       round and convergence is simply "no edges left".
 
-    * the fixpoint iterates ONLY over nodes that appear in an edge —
-      in a dedup graph most of the corpus is in no candidate pair and
-      its label can never change, so excluding isolated nodes shrinks
-      every per-round join from O(corpus) to O(edge-touched nodes);
-      isolated nodes are unioned back with ``comp = id`` at the end
-      (one shuffle-free anti-join + union, outside the loop);
-    * convergence is read off the compressed frame itself (``old_comp``
-      carried through the round) rather than a fourth join against the
-      previous labels — one fewer shuffle per round.
+    Why this beats per-round label propagation: min-label propagation
+    moves information one edge-hop per round, so its round count is
+    bound by component diameter (measured on the sf0.1 dedup graph:
+    8 rounds, thousands of labels still creeping in round 6).
+    Contraction shortcuts distance — merging two clusters connects
+    their representatives DIRECTLY next round — and converges in
+    ~log(n) rounds regardless of diameter (same graph: 3 rounds,
+    loop time 2.2 s vs 3.2 s). On a driver-looped iterative job the
+    round count IS the cost at any scale, and per-round work is
+    O(surviving edges), strictly decreasing, vs O(all touched nodes)
+    every round for label propagation.
+
+    Two scale-critical restrictions carry over:
+
+    * the fixpoint touches ONLY nodes that appear in an edge — in a
+      dedup graph most of the corpus is in no candidate pair; isolated
+      nodes are unioned back with ``comp = id`` at the end (one
+      shuffle-free anti-join + union, outside the loop);
+    * per-round frames are re-materialized with stats-cutting barriers
+      (:func:`operators.iterate.pinned`) — plain ``localCheckpoint``
+      carries the origin plan's size estimate onto the new leaf, and
+      in a multi-join loop those estimates COMPOUND multiplicatively
+      round over round until Catalyst's stats visitor spends seconds
+      per plan on million-bit BigInteger products (a real observed
+      hang, not a theoretical one — see iterate.py).
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -461,50 +478,65 @@ def connected_components(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
-        # materialize ONCE: the edge list is re-joined every round, and
-        # without this the whole upstream pair-generation pipeline
-        # (e.g. MinHash-LSH) re-executes per iteration. The edge set is
-        # O(candidate pairs) — orders of magnitude smaller than the
-        # corpus — so pinning it is cheap even at scale.
-        .localCheckpoint(eager=True)
+        # materialize ONCE: without this the whole upstream
+        # pair-generation pipeline (e.g. MinHash-LSH) re-executes per
+        # round. The edge set is O(candidate pairs) — orders of
+        # magnitude smaller than the corpus — so pinning it is cheap
+        # even at scale. ``pinned`` (not raw localCheckpoint) also cuts
+        # the carried-stats lineage — see operators/iterate.py for why
+        # that matters in a loop.
     )
+    sym = pinned(sym)
     touched = sym.select(F.col("src").alias("id")).distinct()
     labels = touched.select(F.col("id"), F.col("id").alias("comp"))
+    # working edge set between component representatives, one row per
+    # undirected edge
+    work = pinned(
+        sym.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
     for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_min"))
+        both = work.unionByName(
+            work.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        stepped = labels.join(nbr, labels.id == nbr.src, "left").select(
-            "id",
-            F.col("comp").alias("old_comp"),
-            F.least("comp", F.coalesce("nbr_min", F.col("comp"))).alias(
-                "comp"
-            ),
+        upd = (
+            both.groupBy("a")
+            .agg(F.min("b").alias("m"))
+            .filter(F.col("m") < F.col("a"))
         )
-        # path compression: follow comp -> comp's own label one hop
-        redir = stepped.select(
-            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
-        )
-        compressed = (
-            stepped.join(redir, stepped.comp == redir.cid, "left")
-            .select(
-                "id",
-                "old_comp",
-                F.least("comp", F.coalesce("ccomp", F.col("comp"))).alias(
-                    "comp"
-                ),
+        # pointer-double the merge mapping against itself: a -> m
+        # becomes a -> m'' (4-step jumps after two compositions), so
+        # long merge chains collapse before the mapping is applied
+        for _ in range(2):
+            nxt = upd.select(F.col("a").alias("na"), F.col("m").alias("nm"))
+            upd = upd.join(nxt, upd.m == F.col("na"), "left").select(
+                "a", F.coalesce("nm", F.col("m")).alias("m")
             )
-            .localCheckpoint(eager=True)
+        # pinned: upd feeds three joins below (labels + both edge
+        # endpoints); it is bounded by this round's merge count
+        upd = pinned(upd)
+        labels = pinned(
+            labels.join(upd, labels.comp == upd.a, "left")
+            .select("id", F.coalesce("m", F.col("comp")).alias("comp"))
         )
-        changed = (
-            compressed.filter(F.col("comp") != F.col("old_comp"))
-            .limit(1)
-            .count()
+        ru = work.join(
+            upd.select(F.col("a").alias("_ua"), F.col("m").alias("_um")),
+            work.a == F.col("_ua"),
+            "left",
+        ).select(F.coalesce("_um", F.col("a")).alias("a"), "b")
+        ru = ru.join(
+            upd.select(F.col("a").alias("_ub"), F.col("m").alias("_vm")),
+            ru.b == F.col("_ub"),
+            "left",
+        ).select("a", F.coalesce("_vm", F.col("b")).alias("b"))
+        work = pinned(
+            ru.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        labels = compressed.select("id", "comp")
-        if changed == 0:
+        if work.limit(1).count() == 0:
             break
     # isolated nodes (in no edge) keep their own id as the component.
     isolated = nodes.join(touched, "id", "left_anti").select(

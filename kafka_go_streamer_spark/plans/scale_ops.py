@@ -217,18 +217,57 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # no oracle: engine-specific sketch internals
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_exact,
+           TRUE AS parts_within_5pct,
+           TRUE AS p50_within_5pct,
+           TRUE AS p99_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketch family — HyperLogLog distinct + t-digest
-    percentiles. THE scale path for distincts/quantiles (constant
-    memory, no sort, mergeable partials); genuinely not oracle-
-    comparable because sketch internals differ per engine, so the
-    driver records the weaker rows-only check."""
+    """Approximate sketch family — HyperLogLog distinct + quantile
+    sketch percentiles. THE scale path for distincts/quantiles
+    (constant memory, no sort, mergeable partials).
+
+    Sketch INTERNALS differ per engine, so raw sketch outputs can't
+    hash-match an oracle. The checkable contract instead: the query
+    emits the EXACT values (hash-compared against DuckDB's exact
+    distinct/quantile_cont) plus boolean bounded-error flags
+    ``|approx - exact| / exact < 0.05`` that the oracle pins to TRUE —
+    a sketch drifting out of tolerance flips a flag and fails the hash
+    match. HLL runs at rsd=0.01, so the 5%% gate is 5 sigma; the
+    quantile sketch at accuracy=10000 has rank error n/10000. (The
+    exact aggregates exist only to audit the sketches at test scale —
+    production uses the sketch columns alone.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        F.percentile("l_extendedprice", 0.5).alias("_p50"),
+        F.percentile("l_extendedprice", 0.99).alias("_p99"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_ap50"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_ap99"),
+    )
+
+    def within(approx: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < 0.05
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        stable_round(F.col("_p50"), 2).alias("p50_exact"),
+        stable_round(F.col("_p99"), 2).alias("p99_exact"),
+        within("_approx_parts", "exact_parts").alias("parts_within_5pct"),
+        within("_ap50", "_p50").alias("p50_within_5pct"),
+        within("_ap99", "_p99").alias("p99_within_5pct"),
     )
 
 

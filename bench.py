@@ -64,6 +64,11 @@ HEADLINE = [
     # the composed corpus pipeline: quality gate -> lang gate ->
     # fingerprint dedup -> token accounting, single scan + single shuffle
     "pipeline_training_prep",
+    # round-3 additions (appended so the common prefix stays comparable
+    # round over round): trained-centroid IVF probe and the 64-bit
+    # SimHash pair path
+    "ann_ivf_search_trained",
+    "dedup_simhash64_pairs",
 ]
 
 

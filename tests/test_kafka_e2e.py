@@ -108,3 +108,67 @@ def test_golden_routing_through_real_kafka(spark, tmp_path):
     routed = {r["value"]: r["topic"] for r in got}
     for _, value, expected in golden:
         assert routed.get(value) == expected, value
+
+
+def test_topic_column_sink_roundtrip(spark, tmp_path):
+    """The reference's #11 (per-topic batched producer) as a DIRECT
+    sink contract, independent of the router: a streaming frame whose
+    ``topic`` column mixes three topics must land every (key, value)
+    on exactly the topic its row named — one sink, no per-topic writer
+    array. Gated like the golden e2e; runs unchanged against any
+    broker."""
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on classpath")
+
+    from kafka_go_streamer_spark.sources.kafka import kafka_writer
+
+    run = uuid.uuid4().hex[:8]
+    topics = [f"sink-e2e-{run}-{i}" for i in range(3)]
+    rows = [
+        (f"k{i}", f"payload-{i}", topics[i % 3]) for i in range(12)
+    ]
+
+    # stream the rows through a file source so the sink path is the
+    # real streaming writer, not a batch save
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    import json as _json
+
+    (src_dir / "rows.json").write_text(
+        "\n".join(
+            _json.dumps({"key": k, "value": v, "topic": t})
+            for k, v, t in rows
+        )
+    )
+    stream = (
+        spark.readStream.schema("key string, value string, topic string")
+        .json(str(src_dir))
+        .selectExpr(
+            "CAST(key AS BINARY) AS key",
+            "CAST(value AS BINARY) AS value",
+            "topic",
+        )
+    )
+    q = kafka_writer(
+        stream,
+        BROKERS,
+        checkpoint_location=str(tmp_path / "ckpt-sink"),
+        available_now=True,
+    ).start()
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr(
+            "CAST(key AS STRING) AS key",
+            "CAST(value AS STRING) AS value",
+            "topic",
+        )
+        .collect()
+    )
+    landed = {(r["key"], r["value"]): r["topic"] for r in got}
+    assert landed == {(k, v): t for k, v, t in rows}

@@ -288,3 +288,66 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("comp"))
         .alias("component_size"),
     )
+
+
+@query(
+    "dedup_cluster_manifest",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {minhash_lsh_pairs_sql("documents", "doc_id", "text", min_intersection=2)}
+    ),
+    e(a, b) AS (
+      SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id)
+    SELECT c.component_id AS canonical_doc,
+           count(*)::BIGINT AS n_members,
+           (count(*) - 1)::BIGINT AS n_dropped,
+           sum(CASE WHEN d.doc_id <> c.component_id
+                    THEN length(d.text) ELSE 0 END)::BIGINT AS bytes_dropped
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.component_id
+    HAVING count(*) > 1
+    """,
+)
+def dedup_cluster_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup MANIFEST a training pipeline materializes next to its
+    kept corpus: one row per near-duplicate CLUSTER (size > 1) with the
+    canonical (minimum-id) document, member count, and the byte volume
+    the dedup pass removes — the artifact that answers "what did dedup
+    cost us" at corpus scale, composed end-to-end from MinHash-LSH
+    candidate pairs -> graph-contraction components -> accounting join.
+
+    Scale shape: the components come from the contraction loop
+    (operators/dedup.py — O(candidate pairs) per round, not corpus);
+    the accounting is ONE equi-join of the assignment against the
+    corpus and one map-side-combined aggregate on the component id.
+    Singleton clusters (the overwhelming majority of a real corpus)
+    are filtered by the HAVING before any of them shuffle twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    member = comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    ).join(docs.select("doc_id", F.length("text").alias("_len")), "doc_id")
+    return (
+        member.groupBy(F.col("component_id").alias("canonical_doc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("component_id"), F.col("_len")
+                ).otherwise(0)
+            ).alias("bytes_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -229,3 +229,46 @@ def test_kmeans_lloyd_broadcasts_centroids(spark, sf_dir):
     plan = physical_plan(QUERIES["kmeans_lloyd_refine"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_pairs_two_shuffles_no_join(spark, sf_dir):
+    """sim_lsh_bucket_pairs must be the 2-shuffle group-by shape: band
+    bucket + pair dedup, with NO join operator anywhere (the r2 shape
+    was self-join + distinct + two embedding joins) and the signature
+    projection evaluated once."""
+    plan = physical_plan(QUERIES["sim_lsh_bucket_pairs"](spark, sf_dir))
+    # no cartesian, no SMJ/SHJ/BHJ on the pair path; the only join
+    # allowed is the 1-row count broadcast (a BNLJ over a single row)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges <= 2, f"expected <=2 hash exchanges, got {exchanges}"
+
+
+def test_trained_ivf_probe_plan(spark, sf_dir):
+    """ann_ivf_search_trained: top-5 must compile to
+    TakeOrderedAndProject, centroids must broadcast into the distance
+    join, and no cartesian product may appear."""
+    plan = physical_plan(QUERIES["ann_ivf_search_trained"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash64_pairs_no_cartesian_and_capped(spark, sf_dir):
+    """The 64-bit pair path keeps the discipline: equi-join on
+    (band, key) only, frequency-cap window present."""
+    plan = physical_plan(QUERIES["dedup_simhash64_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" in plan or "Window" in plan
+
+
+def test_neardup_sqrt_cells_broadcast(spark, sf_dir):
+    """sim_neardup_ivf_cells: the sqrt(n) centroid set must broadcast
+    (bounded), and pairing must remain an equi-join on the cell id."""
+    plan = physical_plan(QUERIES["sim_neardup_ivf_cells"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

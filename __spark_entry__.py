@@ -10,23 +10,28 @@ adapts it to the driver contract.
 
 Ordering matters: the driver verifies the FIRST 50 entries of
 ``queries()`` in insertion order, so we put queries that have never had
-a driver verdict (plus anything new this round) ahead of the 55 names
-already proven green in rounds 1-2 (frozen below as
-``DRIVER_VERIFIED``).  A handful of never-run queries whose core
-machinery is already driver-proven through a sibling query are demoted
-to the back of the unverified block (``DEMOTED``) so the window holds
-the riskiest 50.
+a driver verdict (plus anything new this round) ahead of the names
+already proven green in earlier rounds. The proven set is read from the
+``CORRECTNESS_r*.json`` files the driver leaves in the repo root (every
+row with rows+schema+hash all matching), seeded with the frozen
+round-1/2 union below in case those files are ever absent.  A handful
+of never-run queries whose core machinery is already driver-proven
+through a sibling query are demoted to the back of the unverified block
+(``DEMOTED``) so the window holds the riskiest 50.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from kafka_go_streamer_spark.plans import ORACLES, QUERIES
 
@@ -34,7 +39,7 @@ from kafka_go_streamer_spark.plans import ORACLES, QUERIES
 # all pass/hash-match).  These are regression-safe to rotate out of the
 # driver's 50-query window; tests/test_oracle_parity.py still runs every
 # registered query locally each round.
-DRIVER_VERIFIED = frozenset({
+_VERIFIED_R1_R2 = frozenset({
     "agg_conditional_pivot", "agg_count_distinct", "agg_cube",
     "agg_grouping_sets", "agg_histogram_prices", "agg_orders_by_priority",
     "agg_pricing_summary", "agg_rollup", "agg_stats",
@@ -59,6 +64,30 @@ DRIVER_VERIFIED = frozenset({
     "window_rank_dense_ntile", "window_running_sum",
     "window_topk_parts_per_brand",
 })
+
+
+def _driver_verified() -> frozenset[str]:
+    """All names with a fully-green driver verdict in any recorded
+    round, so the 50-query window auto-rotates to whatever has not
+    been proven yet."""
+    seen = set(_VERIFIED_R1_R2)
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                seen.add(name)
+    return frozenset(seen)
+
+
+DRIVER_VERIFIED = _driver_verified()
 
 # Never-driver-run queries whose core machinery already has a green
 # driver row via a sibling, demoted to the back of the unverified block

@@ -479,3 +479,109 @@ def sample_balanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("doc_id", "source")
     )
+
+
+#: BM25 retrieval constants (Robertson/Okapi defaults) and the fixed
+#: keyword query. Terms span the document-frequency range of the
+#: testdata vocabulary: 'dup' is rare (high idf), 'vector' and 'batch'
+#: are common — so the ranking exercises the idf spread, not just tf.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "vector", "batch")
+BM25_TOPK = 10
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*)::DOUBLE AS tf
+      FROM w WHERE w <> '' GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    dfq AS (
+      SELECT w, count(*)::DOUBLE AS df FROM tf
+      WHERE w IN {BM25_TERMS} GROUP BY w
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1}
+                * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+      FROM tf
+      JOIN dfq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(sc), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-{BM25_TOPK} documents for a fixed
+    keyword query — the sparse-retrieval complement to the embedding
+    ANN family (real corpus pipelines run BOTH: BM25 candidates union
+    vector candidates feed the re-ranker).
+
+    Fully relational Okapi BM25: one explode pass builds term
+    frequencies (the inverted-index shape: one shuffle on
+    (doc, term)); document length and corpus stats (N, avgdl) reduce
+    from it; the query's document frequencies are a <=|terms|-row
+    broadcast, as are the corpus stats, so scoring touches only rows
+    whose term IS a query term (filter pushes to the tf aggregate) and
+    the final sum shuffles only scored docs. Top-k compiles to
+    TakeOrderedAndProject over the ROUNDED score (+ doc_id tiebreak)
+    so both engines rank identically.
+
+    Scale: at 100 TB the tf table IS the inverted index — build it
+    once, reuse per query; everything per-query is broadcast-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    w = fan_out(d).select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("w")
+    )
+    tf = (
+        w.filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfq = (
+        tf.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.filter(F.col("w").isin(*BM25_TERMS))
+        .join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (BM25_K1 + 1)) / norm).alias("sc"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(stable_round(F.sum("sc"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )

@@ -280,33 +280,28 @@ def simhash64_table(
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("ha"),
         F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("hb"),
     )
+    # Both the 64 bit-sum aggregates and the signature assembly are
+    # built as SQL strings (one F.expr each / per aggregate): the
+    # Column form pushed ~600 literal/when nodes through py4j and cost
+    # ~1.5 s of DRIVER time per plan build — 7x the query's execution
+    # at bench scale (same trap as lsh_signature_spark_sql).
     bit_sums = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    (
-                        F.shiftright(
-                            F.col("ha" if b < 32 else "hb"), b % 32
-                        )
-                        % 2
-                    )
-                    == 1,
-                    1,
-                ).otherwise(-1)
+            F.expr(
+                "sum(CASE WHEN (shiftright("
+                f"{'ha' if b < 32 else 'hb'}, {b % 32}) % 2) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"b{b}")
             for b in range(SIMHASH64_BITS)
         ]
     )
-    sig = F.lit(0).cast("long")
+    terms = []
     for b in range(SIMHASH64_BITS):
         weight = (
-            F.lit(_LONG_MIN).cast("long")
-            if b == 63
-            else F.lit(2**b).cast("long")
+            f"(-9223372036854775807L - 1L)" if b == 63 else f"{2**b}L"
         )
-        sig = sig + F.when(F.col(f"b{b}") > 0, weight).otherwise(
-            F.lit(0).cast("long")
-        )
+        terms.append(f"(CASE WHEN b{b} > 0 THEN {weight} ELSE 0L END)")
+    sig = F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     return bit_sums.select(F.col(id_col), sig.alias("simhash64"))
 
 

@@ -147,3 +147,48 @@ def test_session_window_duplicate_ts_and_exact_boundary(spark, gap_minutes):
     )
     assert got == want
     assert [n for _, _, n in got] == [3, 1]
+
+
+def test_simhash64_cross_engine_fuzz(spark):
+    """Randomized cross-engine parity for the 64-bit SimHash: Spark's
+    two-half construction must equal DuckDB's BIGINT expression on
+    arbitrary word soups — including signatures with the sign bit set,
+    which is exactly where a BIGINT-unsafe twin diverges."""
+    import random
+
+    from kafka_go_streamer_spark.operators.dedup import (
+        simhash64_sql,
+        simhash64_table,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash64_table(df, "doc_id").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"""
+            WITH w0 AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents
+            )
+            SELECT doc_id, {simhash64_sql('w')} AS sh FROM w0
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # the fuzz must actually exercise the sign bit for the test to
+    # mean anything
+    assert any(v < 0 for v in got.values())

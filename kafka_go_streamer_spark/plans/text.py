@@ -585,3 +585,87 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOPK)
     )
+
+
+#: Add-alpha smoothing for the bigram LM; V rides as the vocab size.
+BIGRAM_ALPHA = 0.5
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, {X.words_sql('text')} AS w FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM w0),
+    uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM w0, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+      WHERE len(w) >= 2
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           count(*)::INTEGER AS n_bigrams,
+           round(avg(ln((bc.c12 + {BIGRAM_ALPHA})
+                        / (uni.c + {BIGRAM_ALPHA} * vocab.v))), 6)
+             AS avg_logprob
+    FROM bg
+    JOIN bc USING (w1, w2)
+    JOIN uni ON bg.w1 = uni.word
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document — the next rung
+    above ``text_unigram_logprob`` on the quality-filter ladder: score
+    each document by its mean smoothed conditional log-probability
+    ln((c(w1,w2) + a) / (c(w1) + a*V)). Junk with improbable word
+    ORDER now scores low even when its unigrams are common — the
+    signal a unigram LM cannot see.
+
+    Scale shape: training is two map-side-combined count aggregates
+    (bigram table ~O(vocab^2) worst case but Zipf-sparse in practice —
+    an ordinary shuffle join at web scale, broadcastable here); the
+    scoring pass re-derives each document's bigrams with one
+    explode-of-transform (no self-join of token rows) and hash-joins
+    them to the two count tables; vocab size rides as a broadcast
+    scalar. Zero Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    w0 = fan_out(d).select("doc_id", X.words(F.col("text")).alias("w"))
+    tok = w0.select("doc_id", F.explode("w").alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bg = (
+        w0.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, "
+                    "element_at(w, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    logp = F.log(
+        (F.col("c12") + BIGRAM_ALPHA)
+        / (F.col("c") + BIGRAM_ALPHA * F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            stable_round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -33,7 +33,7 @@ from kafka_go_streamer_spark.sources.tables import load_table
       FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
     )
     SELECT e.user_id, e.ts, e.event_id, e.event_type,
-           round(p.purchase_value + 1e-9, 2) AS purchase_value_asof,
+           round(p.purchase_value, 2) AS purchase_value_asof,
            p.ts AS matched_time
     FROM events e ASOF LEFT JOIN p
       ON e.user_id = p.user_id AND e.ts >= p.ts
@@ -77,7 +77,7 @@ QUANTITY_BANDS = [("low", 1.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)]
     "join_range_quantity_bands",
     oracle=f"""
     SELECT b.band_name, count(*) AS n,
-           round(sum(l.l_extendedprice) + 1e-9, 2) AS revenue
+           round(sum(l.l_extendedprice), 2) AS revenue
     FROM lineitem l
     JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in QUANTITY_BANDS)})
          b(band_name, lo, hi)
@@ -117,7 +117,7 @@ def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(ts)::INTEGER AS y, month(ts)::INTEGER AS m,
            day(ts)::INTEGER AS d,
-           count(*) AS n, round(sum(value) + 1e-9, 2) AS total
+           count(*) AS n, round(sum(value), 2) AS total
     FROM events
     GROUP BY ROLLUP(y, m, d)
     """,
@@ -156,8 +156,8 @@ HIST_MAX_BIN = 19
     SELECT least(floor(l_extendedprice / {HIST_BUCKET_WIDTH}),
                  {HIST_MAX_BIN})::INTEGER AS bin,
            count(*) AS n,
-           round(min(l_extendedprice) + 1e-9, 2) AS lo,
-           round(max(l_extendedprice) + 1e-9, 2) AS hi
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
     FROM lineitem
     GROUP BY 1
     """,
@@ -188,7 +188,7 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_stratified_hash",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice) + 1e-9, 2) AS total
+           round(sum(o_totalprice), 2) AS total
     FROM orders
     WHERE substr(md5(o_orderkey::VARCHAR), 1, 1) IN ('0', '1')
     GROUP BY o_orderpriority
@@ -217,7 +217,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_label_centroids",
     oracle="""
-    SELECT label, pos, round(avg(v::DOUBLE) + 1e-9, 6) AS centroid
+    SELECT label, pos, round(avg(v::DOUBLE), 6) AS centroid
     FROM (
       SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) - 1 AS pos

@@ -743,7 +743,7 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(n.n_name) AS INTEGER) AS g_nation,
            CAST(grouping(o.o_orderpriority) AS INTEGER) AS g_priority,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice) + 1e-9, 2) AS total_price
+           round(sum(o.o_totalprice), 2) AS total_price
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -781,7 +781,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame_1h",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(sum(value) OVER w + 1e-9, 2) AS rolling_1h_value,
+           round(sum(value) OVER w, 2) AS rolling_1h_value,
            count(*) OVER w AS n_events_1h
     FROM events
     WINDOW w AS (

@@ -95,7 +95,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_ivf_cells_sql()},
     q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
     SELECT c.vec_id, c.cell,
-           round(({cosine_sql('c.embedding', 'q.qv')}) + 1e-9, 6) AS cos_sim
+           round(({cosine_sql('c.embedding', 'q.qv')}), 6) AS cos_sim
     FROM cells c CROSS JOIN q
     WHERE c.cell = q.qcell AND c.vec_id <> 0
     ORDER BY cos_sim DESC, c.vec_id ASC
@@ -170,7 +170,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_enrich_events_broadcast",
     oracle="""
     SELECT e.event_id, e.event_type, c.c_mktsegment,
-           round((e.value) + 1e-9, 2) AS value
+           round((e.value), 2) AS value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type IN ('purchase', 'signup')
     """,
@@ -194,7 +194,7 @@ def join_enrich_events_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_salted_hot_key",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS total
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
     FROM events
     GROUP BY event_type
     """,

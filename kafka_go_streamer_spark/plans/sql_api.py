@@ -17,7 +17,7 @@ from kafka_go_streamer_spark.sources.tables import load_table
     oracle="""
     SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS ym,
            count(DISTINCT o.o_orderkey) AS n_orders,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus <> 'F'
     GROUP BY 1
@@ -33,7 +33,7 @@ def sql_api_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT date_format(date_trunc('month', o.o_orderdate), 'yyyy-MM') AS ym,
                count(DISTINCT o.o_orderkey) AS n_orders,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         FROM v_orders o JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderstatus <> 'F'
         GROUP BY 1
@@ -178,9 +178,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4)  AS p50,
-           round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4)  AS p90,
-           round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 4) AS p99
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -23,7 +23,7 @@ from kafka_go_streamer_spark.sources.tables import load_table
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS revenue,
            o.o_orderdate
     FROM customer c
@@ -109,7 +109,7 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 2)
+    SELECT round(sum(l_extendedprice * l_discount), 2)
              AS forecast_revenue,
            count(*) AS n
     FROM lineitem
@@ -186,7 +186,7 @@ def tpch_q12_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
                               ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
              AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey

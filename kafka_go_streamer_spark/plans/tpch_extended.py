@@ -34,7 +34,7 @@ def _ts(s: str):
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -92,7 +92,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT ns.n_name AS supp_nation,
            nc.n_name AS cust_nation,
            year(l.l_shipdate)::INTEGER AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -158,7 +158,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN ns.n_name = 'NATION_1'
                           THEN l.l_extendedprice * (1 - l.l_discount)
                           ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
              AS mkt_share
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -222,7 +222,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -317,7 +317,7 @@ def tpch_q13_customer_order_distribution(
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -360,7 +360,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#12'
@@ -402,7 +402,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
            o.o_totalprice,
-           round(sum(l.l_quantity) + 1e-9, 2) AS total_qty
+           round(sum(l.l_quantity), 2) AS total_qty
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -451,7 +451,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS revenue,
            count(*) AS n_lines
     FROM lineitem l
@@ -581,7 +581,7 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     "tpch_q22_idle_customer_balance",
     oracle="""
     SELECT n.n_name, count(*) AS numcust,
-           round(sum(c.c_acctbal) + 1e-9, 2) AS totacctbal
+           round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     WHERE c.c_acctbal > (

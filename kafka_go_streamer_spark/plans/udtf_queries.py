@@ -69,7 +69,7 @@ def udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_geomean_price_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           round(exp(avg(ln(o_totalprice))) + 1e-9, 2) AS geomean_price,
+           round(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
            count(*) AS n
     FROM orders
     GROUP BY o_orderpriority

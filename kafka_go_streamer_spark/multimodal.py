@@ -455,7 +455,8 @@ def byte_histogram(
                     keys.append(key)
                     bs.append(k)
                     ns.append(int(counts[k]))
-                    ds.append(round(counts[k] / total + 1e-9, 6))
+                    # epsilon matches stable_round/stabilize_rounds at scale 6
+                    ds.append(round(counts[k] / total + 5e-9, 6))
             yield pd.DataFrame(
                 {"key": keys, "bin": bs, "n": ns, "density": ds}
             )

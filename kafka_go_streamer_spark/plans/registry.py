@@ -22,10 +22,11 @@ ORACLES: dict[str, str] = {}
 
 def stabilize_rounds(sql: str) -> str:
     """Rewrite every ``round(<expr>, <n>)`` in an oracle to
-    ``round((<expr>) + 1e-9, <n>)`` — the SQL half of
-    ``functions.rounding.stable_round`` (see that module for why exact
-    decimal ties make Spark and DuckDB disagree). Paren-aware scan, no
-    regex over nested expressions."""
+    ``round((<expr>) + eps(n), <n>)`` with the scale-proportional
+    epsilon from ``functions.rounding`` (see that module for why exact
+    decimal ties and large-sum drift make Spark and DuckDB disagree).
+    Paren-aware scan, no regex over nested expressions."""
+    from kafka_go_streamer_spark.functions.rounding import eps_for_scale
     out = []
     i, n = 0, len(sql)
     lower = sql.lower()
@@ -58,7 +59,8 @@ def stabilize_rounds(sql: str) -> str:
         else:
             expr = stabilize_rounds(sql[arg_start:comma])  # handle nesting
             scale = sql[comma + 1 : k]
-            out.append(f"round(({expr}) + 1e-9,{scale})")
+            eps = eps_for_scale(int(scale.strip()))
+            out.append(f"round(({expr}) + {eps:.1e},{scale})")
         i = k + 1
     return "".join(out)
 

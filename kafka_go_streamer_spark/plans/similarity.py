@@ -211,7 +211,7 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "flatten(transform(ms, (a, i) -> "
                 "transform(slice(ms, i + 2, size(ms)), b -> "
                 "struct(a.vec_id AS id_a, b.vec_id AS id_b, "
-                f"round(({cos}) + 1e-9, 6) AS cos_sim))))"
+                f"round(({cos}) + 5e-9, 6) AS cos_sim))))"
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b", "p.cos_sim")

@@ -26,11 +26,20 @@ from kafka_go_streamer_spark.sources.tables import load_table
 def sql_api_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue rollup written as literal Spark SQL — Catalyst
     produces the same plan as the DataFrame form; registered through
-    temp views like a warehouse query."""
+    temp views like a warehouse query.
+
+    The Spark-side SQL runs through the SAME ``stabilize_rounds``
+    rewrite the oracle gets (the epsilon syntax is engine-neutral):
+    a raw-SQL query is the one place ``stable_round`` can't be used,
+    and an unguarded round() here against a guarded oracle flips
+    revenue cells that land near a rounding boundary."""
+    from kafka_go_streamer_spark.plans.registry import stabilize_rounds
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     return spark.sql(
-        """
+        stabilize_rounds(
+            """
         SELECT date_format(date_trunc('month', o.o_orderdate), 'yyyy-MM') AS ym,
                count(DISTINCT o.o_orderkey) AS n_orders,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -38,6 +47,7 @@ def sql_api_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderstatus <> 'F'
         GROUP BY 1
         """
+        )
     )
 
 

@@ -105,6 +105,6 @@ def udaf_geomean_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
 
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(geomean("o_totalprice") + F.lit(1e-9), 2).alias("geomean_price"),
+        F.round(geomean("o_totalprice") + F.lit(5e-5), 2).alias("geomean_price"),
         n_rows("o_totalprice").alias("n"),
     )

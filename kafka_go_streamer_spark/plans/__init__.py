@@ -17,6 +17,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     text,
     tpch_classics,
     tpch_extended,
+    tpch_final,
     udtf_queries,
     windows,
 )

@@ -39,6 +39,17 @@ def stream_static_enrich(
     return stream.join(F.broadcast(static_dim), on=on, how=how)
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local timezone); parquet files
+    written without a timezone read back as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    Coerce NTZ event time to LTZ — value-identical under the UTC
+    session timezone the engine pins (session.py)."""
+    if df.schema[ts_col].dataType.simpleString() == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -56,8 +67,8 @@ def stream_stream_interval_join(
     predicate are what bound the join state: rows older than
     (watermark + delay) are evicted from the state store each trigger.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (lw[key] == rw[key])
         & (F.col(right_ts) > F.col(left_ts))

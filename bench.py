@@ -69,6 +69,13 @@ HEADLINE = [
     # SimHash pair path
     "ann_ivf_search_trained",
     "dedup_simhash64_pairs",
+    # round-5 additions (appended, common prefix still comparable): the
+    # new TPC-H completions' heaviest shape, the applyInPandas sequence
+    # packer, the TF-IDF extractor, and the ANN recall eval
+    "tpch_q9_product_type_profit",
+    "pack_sequences_greedy",
+    "text_tfidf_topterms",
+    "ann_recall_multiprobe",
 ]
 
 

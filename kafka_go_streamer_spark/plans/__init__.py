@@ -18,6 +18,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     tpch_classics,
     tpch_extended,
     tpch_final,
+    training_ops,
     udtf_queries,
     windows,
 )

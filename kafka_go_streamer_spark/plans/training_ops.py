@@ -1,0 +1,505 @@
+"""Training-data pipeline operators, wave 3: sequence packing, TF-IDF
+term extraction, temperature-scaled mixture sampling, PII redaction,
+corpus n-gram statistics, and ANN recall evaluation.
+
+These extend the corpus-preparation family (plans/text.py, plans/dedup.py,
+plans/similarity.py) with the remaining steps an LLM data pipeline runs
+between "deduped corpus" and "training batches": pack documents into
+fixed-token-budget sequences, score/select the mixture, scrub PII, and
+quantify how much recall the ANN index trades for its speed.
+
+The reference engine (a per-message Kafka router, SURVEY.md §2) has none
+of these; they are north-star extensions and every one is oracle-checked
+(the sequence packer against a DuckDB RECURSIVE CTE replaying the same
+greedy fold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions import text as X
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.plans.scale_ops import _ivf_cells, _ivf_cells_sql
+from kafka_go_streamer_spark.sources.tables import load_table
+
+#: Token budget of one packed training sequence. Small enough that the
+#: testdata's 10-120-token documents pack several to a sequence.
+PACK_CAP = 256
+
+#: Temperature-mixture target sample size and temperature. 0.7 is the
+#: canonical "flatten the source distribution a bit" exponent
+#: (multilingual-sampling temperature ~ 1/0.7 ≈ 1.43).
+MIX_TOTAL = 200
+MIX_ALPHA = 0.7
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens, rn,
+             0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
+                  THEN p.fill ELSE 0 END,
+             CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
+                  THEN p.fill + t.n_tokens ELSE t.n_tokens END
+      FROM packed p
+      JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, seq_id, seq_offset FROM packed
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: fold each source's documents (in doc_id
+    order) into sequences of at most PACK_CAP tokens — the step that
+    turns a deduped corpus into fixed-budget training rows. A document
+    that would overflow the open sequence starts the next one; an
+    oversized document gets a sequence to itself.
+
+    The fold is inherently sequential PER SOURCE but embarrassingly
+    parallel ACROSS sources, which is exactly the applyInPandas
+    contract: one shuffle on the source key, then an Arrow-batched
+    linear pass per group. At 100 TB the group key becomes
+    (source, shard) with shard = hash(doc_id) % K to bound group size —
+    packing quality is per-shard-local either way. Token counting
+    stays JVM-side (regexp_count) so Python sees only (id, count)
+    pairs, never the text. Oracle: a DuckDB RECURSIVE CTE replays the
+    identical fold one rank at a time."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq = 0
+        fill = 0
+        seq_ids, offsets = [], []
+        for t in pdf["n_tokens"]:
+            if fill and fill + t > PACK_CAP:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += t
+        pdf["seq_id"] = seq_ids
+        pdf["seq_offset"] = offsets
+        return pdf[["doc_id", "source", "n_tokens", "seq_id", "seq_offset"]]
+
+    return d.groupBy("source").applyInPandas(
+        pack,
+        "doc_id bigint, source string, n_tokens int, seq_id int, "
+        "seq_offset int",
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS term FROM documents
+    ),
+    t AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM w WHERE length(term) >= 3 GROUP BY 1, 2
+    ),
+    idf AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM t GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             round(t.tf * ln((n.n + 1.0) / (idf.dfreq + 1.0)), 6) AS tfidf
+      FROM t JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (terms of length ≥3) — the
+    classic keyword/topic signal for corpus exploration and quality
+    audits.
+
+    Scale: explode once; the (doc, term) tf aggregate is map-side
+    combinable; the document-frequency table is vocabulary-sized (≪
+    corpus) and joins back broadcast; the per-doc top-3 compiles to a
+    WindowGroupLimit (partial top-k before the window shuffle). The
+    idf ln() is rounded at 6 decimals before ranking so both engines
+    rank identical quanta."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    terms = (
+        d.select("doc_id", F.explode(X.words(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= 3)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    scored = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            stable_round(
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("dfreq") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH sw AS (
+      SELECT source, pow(sum(n_chars), {MIX_ALPHA}) AS w
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(w) AS tw FROM sw),
+    quota AS (
+      SELECT source,
+             greatest(1, CAST(floor({MIX_TOTAL} * w / tw) AS INTEGER)) AS q
+      FROM sw, tot
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota USING (source)
+    WHERE r.rn <= q
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling: each source's share of the
+    MIX_TOTAL-document sample is proportional to (its total characters)
+    ^ MIX_ALPHA — the standard flattening that keeps small sources
+    represented without letting them dominate. Selection within a
+    source is deterministic md5-hash rank (no rand(): identical on any
+    engine, cluster size, or rerun).
+
+    Scale: two tiny aggregates (source cardinality), quotas broadcast
+    back, ONE window shuffle on source to rank-and-cut. At web scale
+    the rank becomes a hash-threshold filter (keep md5 < quota/n
+    quantile) — no sort at all; the hash-order semantics match."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = d.groupBy("source").agg(
+        F.pow(F.sum("n_chars"), F.lit(MIX_ALPHA)).alias("w")
+    )
+    tot = sw.agg(F.sum("w").alias("tw"))
+    quota = (
+        sw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(MIX_TOTAL) * F.col("w") / F.col("tw")).cast(
+                    "int"
+                ),
+            ).alias("q"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source")
+    )
+
+
+#: RE2- and Java-regex-compatible PII patterns (no lookaround, no
+#: backreferences — the intersection both engines compile identically).
+EMAIL_RE = r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact_' || doc_id::VARCHAR || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}'))::INTEGER AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}'))::INTEGER AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone
+    numbers. The synthetic corpus contains no organic PII, so the query
+    SEEDS deterministic PII first (an email on every 7th doc, a phone
+    on every 5th) — the redaction then provably fires and the md5 of
+    the redacted text pins the exact replacement output, not just the
+    counts.
+
+    Scale: a pure narrow projection — seeding, counting, and both
+    regexp_replace passes are codegen'd JVM expressions in one stage;
+    no shuffle, no Python. The patterns stay in the RE2 ∩ Java-regex
+    dialect so Spark and DuckDB compile the same automaton."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact_"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(seeded, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(seeded, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(seeded, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT {X.words_sql('text')} AS ws FROM documents
+    ),
+    tg AS (
+      SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS ngram
+      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    )
+    SELECT ngram, count(*) AS cnt
+    FROM tg GROUP BY 1
+    ORDER BY cnt DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams — the n-gram frequency table
+    behind boilerplate detection and LM contamination checks,
+    restricted to the head.
+
+    Scale: trigrams are generated positionally inside the row (a
+    codegen'd transform over the words array — no self-join of
+    adjacent tokens), the count is map-side combinable, and the top-20
+    compiles to TakeOrderedAndProject. The full n-gram table never
+    materializes anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = (
+        d.select(X.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3), "
+                    "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("ngram")
+        )
+    )
+    return (
+        tg.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "ann_recall_multiprobe",
+    oracle=f"""
+    WITH {_ivf_cells_sql()},
+    qs AS (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    gt AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    qc AS (
+      SELECT q_id, qv, cent_id FROM (
+        SELECT q.q_id, q.qv, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({cosine_sql('c.cv', 'q.qv')}, 6) DESC,
+                          c.cent_id ASC) AS rn
+        FROM cents c CROSS JOIN qs q
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qc.q_id, cl.vec_id,
+               row_number() OVER (
+                 PARTITION BY qc.q_id
+                 ORDER BY round({cosine_sql('cl.embedding', 'qc.qv')}, 6)
+                          DESC, cl.vec_id ASC) AS rn
+        FROM cells cl JOIN qc ON cl.cell = qc.cent_id
+        WHERE cl.vec_id <> qc.q_id
+      ) WHERE rn <= 10
+    )
+    SELECT g.q_id, count(c.vec_id) AS n_hits,
+           round(count(c.vec_id) / 10.0, 2) AS recall_at_10
+    FROM gt g
+    LEFT JOIN cand c ON c.q_id = g.q_id AND c.vec_id = g.vec_id
+    GROUP BY 1
+    """,
+)
+def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the nprobe=2 IVF search against brute-force ground
+    truth, for a deterministic query panel (every 100th vector) — the
+    eval harness that tells you what the ANN index actually costs in
+    quality. This is the measurement loop every production ANN
+    deployment runs on a sampled panel after (re)building an index.
+
+    Scale: ground truth is panel × corpus (the panel broadcasts — at
+    10^9 vectors you hold the panel at ~100 queries and this is 100
+    scans' worth of flops in ONE pass); the IVF side touches only the
+    probed cells. Both top-10s use the rounded-cosine + vec_id total
+    order so the engines rank identical quanta; the final recall join
+    is panel-sized."""
+    from kafka_go_streamer_spark.plans.scale_ops import IVF_CENTROID_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("q_id")
+    gt = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    qc = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "qv",
+            "cent_id",
+            stable_round(cosine(F.col("cv"), F.col("qv")), 6).alias("qsim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("qsim").desc(), F.col("cent_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "qv", "cent_id")
+    )
+    cand = (
+        cells.join(F.broadcast(qc), cells.cell == qc.cent_id)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", F.col("vec_id").alias("c_vec_id"))
+    )
+    return (
+        gt.join(
+            cand,
+            (gt.q_id == cand.q_id) & (gt.vec_id == cand.c_vec_id),
+            "left",
+        )
+        .groupBy(gt.q_id)
+        .agg(
+            F.count("c_vec_id").alias("n_hits"),
+            stable_round(F.count("c_vec_id") / 10.0, 2).alias("recall_at_10"),
+        )
+    )

@@ -38,6 +38,32 @@ MIX_TOTAL = 200
 MIX_ALPHA = 0.7
 
 
+PACK_SCHEMA = (
+    "doc_id bigint, source string, n_tokens int, seq_id int, seq_offset int"
+)
+
+
+def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The per-source greedy fold (one Arrow batch = one source group):
+    docs in doc_id order accumulate into the open sequence until the
+    next doc would exceed PACK_CAP, which starts a new one. Pure
+    function of the group — safe under Spark task retries."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq = 0
+    fill = 0
+    seq_ids, offsets = [], []
+    for t in pdf["n_tokens"]:
+        if fill and fill + t > PACK_CAP:
+            seq += 1
+            fill = 0
+        seq_ids.append(seq)
+        offsets.append(fill)
+        fill += t
+    pdf["seq_id"] = seq_ids
+    pdf["seq_offset"] = offsets
+    return pdf[["doc_id", "source", "n_tokens", "seq_id", "seq_offset"]]
+
+
 @query(
     "pack_sequences_greedy",
     oracle=f"""
@@ -83,28 +109,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq = 0
-        fill = 0
-        seq_ids, offsets = [], []
-        for t in pdf["n_tokens"]:
-            if fill and fill + t > PACK_CAP:
-                seq += 1
-                fill = 0
-            seq_ids.append(seq)
-            offsets.append(fill)
-            fill += t
-        pdf["seq_id"] = seq_ids
-        pdf["seq_offset"] = offsets
-        return pdf[["doc_id", "source", "n_tokens", "seq_id", "seq_offset"]]
-
-    return d.groupBy("source").applyInPandas(
-        pack,
-        "doc_id bigint, source string, n_tokens int, seq_id int, "
-        "seq_offset int",
-    )
+    return d.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)
 
 
 @query(

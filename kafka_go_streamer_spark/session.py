@@ -45,8 +45,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # the events table stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read as LONG and convert (sources/tables.py)
+        # early fixtures stored TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as LONG and convert (sources/tables.py).
+        # Harmless for the current timestamp[us] fixtures.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -33,12 +33,16 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """The driver parquet stores event time as TIMESTAMP(NANOS); Spark
-    reads it as LONG nanos (``spark.sql.legacy.parquet.nanosAsLong``).
-    Truncate to microseconds with integer division — the same ns->us
-    truncation DuckDB applies, so oracle comparisons agree. (A float
-    division would silently lose precision on epoch-nanos magnitudes.)
-    """
+    """Early driver fixtures stored event time as TIMESTAMP(NANOS),
+    which Spark reads as LONG nanos (``spark.sql.legacy.parquet
+    .nanosAsLong``); truncate those to microseconds with integer
+    division — the same ns->us truncation DuckDB applies, so oracle
+    comparisons agree. Current fixtures store timestamp[us] without a
+    timezone, which Spark reads directly as TIMESTAMP_NTZ (this
+    function then no-ops) — NTZ matches DuckDB's naive-timestamp
+    semantics, so queries keep it; anything needing LTZ-only operations
+    (epoch casts, watermarks) casts through TIMESTAMP locally under the
+    UTC session timezone."""
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,100 @@
+"""Boundary-condition tests for the wave-3 training-pipeline operators.
+
+The oracle-parity suite proves engine agreement on the fixtures; these
+pin the SEMANTICS on adversarial inputs the fixtures don't contain:
+exact-capacity packing boundaries, oversized documents, and the PII
+redaction patterns firing (and not over-firing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.plans.training_ops import (
+    EMAIL_RE,
+    PACK_CAP,
+    PHONE_RE,
+)
+
+
+def _pack_rows(spark, rows):
+    """Run the packer's real applyInPandas fold (training_ops.pack_group)
+    on synthetic (doc_id, source, n_tokens) rows."""
+    from kafka_go_streamer_spark.plans.training_ops import PACK_SCHEMA, pack_group
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    out = df.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)
+    return {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out.collect()}
+
+
+def test_pack_exact_capacity_boundary(spark):
+    """A doc landing exactly on the capacity stays in the open sequence;
+    one token more rolls over."""
+    half = PACK_CAP // 2
+    got = _pack_rows(
+        spark,
+        [
+            (1, "s", half),
+            (2, "s", PACK_CAP - half),  # fills to exactly PACK_CAP -> stays
+            (3, "s", 1),                # would exceed -> new sequence
+        ],
+    )
+    assert got[1] == (0, 0)
+    assert got[2] == (0, half)
+    assert got[3] == (1, 0)
+
+
+def test_pack_oversized_doc_gets_own_sequence(spark):
+    """A document larger than the capacity occupies its own sequence and
+    does not stall the fold."""
+    got = _pack_rows(
+        spark,
+        [
+            (1, "s", 10),
+            (2, "s", PACK_CAP + 50),  # oversize: new sequence, alone
+            (3, "s", 10),             # next sequence after the oversize
+        ],
+    )
+    assert got[1] == (0, 0)
+    assert got[2] == (1, 0)
+    assert got[3] == (2, 0)
+
+
+def test_pack_sources_independent(spark):
+    """Sequence ids restart per source — groups never share state."""
+    got = _pack_rows(spark, [(1, "a", PACK_CAP), (2, "b", PACK_CAP)])
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+
+
+def test_pii_patterns_fire_and_bound(spark):
+    df = spark.createDataFrame(
+        [
+            ("write to bob_1@mail.example.org today", 1, 0),
+            ("call +1-555-0199 or +1-555-0200", 0, 2),
+            ("no pii here, just an @ sign and 555 alone", 0, 0),
+            ("a@b.c minimal address", 1, 0),
+        ],
+        "text string, want_emails int, want_phones int",
+    )
+    got = df.select(
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+        "want_emails",
+        "want_phones",
+    ).collect()
+    for r in got:
+        assert r["n_emails"] == r["want_emails"], r
+        assert r["n_phones"] == r["want_phones"], r
+
+
+def test_pii_redaction_removes_matches(spark):
+    df = spark.createDataFrame(
+        [("mail x_9@example.com and dial +1-555-1234 now",)], "text string"
+    )
+    red = df.select(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert red == "mail <EMAIL> and dial <PHONE> now"
+    assert "@" not in red and "555" not in red

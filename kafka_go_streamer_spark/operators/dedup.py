@@ -71,17 +71,7 @@ def shingles(text: Column) -> Column:
     """Distinct ``SHINGLE_SIZE``-word shingles of the lowercased text.
     Documents shorter than one shingle contribute their whole word join
     as a single shingle (so every doc has >= 1)."""
-    w = words(text)
-    n = F.size(w)
-    make = F.transform(
-        F.sequence(F.lit(0), n - SHINGLE_SIZE),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + k + 1) for k in range(SHINGLE_SIZE)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(n >= SHINGLE_SIZE, make).otherwise(F.array(F.concat_ws(" ", w)))
-    )
+    return F.array_distinct(shingle_stream(text))
 
 
 def shingles_sql(words_col: str) -> str:
@@ -95,6 +85,26 @@ def shingles_sql(words_col: str) -> str:
         f"THEN list_distinct(list_transform("
         f"range(1, len({w}) - {SHINGLE_SIZE - 2}), i -> {joined})) "
         f"ELSE [array_to_string({w}, ' ')] END"
+    )
+
+
+def shingle_stream(text: Column) -> Column:
+    """Shingles WITHOUT the per-row ``array_distinct`` — for pipelines
+    that explode and aggregate per document anyway: the signature min is
+    duplicate-insensitive and ``collect_set`` re-dedups, so the O(k²)
+    in-row distinct is pure overhead there (measured ~2-4× of the whole
+    shingle pass at sf0.1). Use :func:`shingles` when the VALUE is the
+    distinct set itself (e.g. an in-row Jaccard)."""
+    w = words(text)
+    n = F.size(w)
+    make = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_SIZE),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k + 1) for k in range(SHINGLE_SIZE)]
+        ),
+    )
+    return F.when(n >= SHINGLE_SIZE, make).otherwise(
+        F.array(F.concat_ws(" ", w))
     )
 
 
@@ -131,7 +141,7 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     keys = [c for c in df.columns if c != text_col]
     ex = fan_out(df).select(
-        *keys, F.explode(shingles(F.col(text_col))).alias("_sh")
+        *keys, F.explode(shingle_stream(F.col(text_col))).alias("_sh")
     )
     hashed = ex.withColumn("_h", F.md5(F.col("_sh")))
     return hashed.groupBy(*keys).agg(

@@ -78,7 +78,17 @@ def seed_centroids(
 
 def assign_nearest(ex: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: ``(vec_id, cid, d2)``, one row per
-    vector. Centroids broadcast; d2 rounded for cross-engine ties."""
+    vector. Centroids broadcast; d2 rounded for cross-engine ties.
+
+    Why the explode-join form and not an in-row distance: both an
+    array-HOF variant (zip_with + aggregate over broadcast centroid
+    arrays: n×k rows) and a fully unrolled 64-term expression were
+    benchmarked at sf0.1 and LOST to this shape (3.9 s and 6.5 s vs
+    3.0 s for the trained-IVF pipeline): Spark's hash aggregate over
+    primitive (vec, cid) keys outruns per-row array allocation and
+    lambda evaluation even at 64× the row count, because the n×k×dims
+    rows never materialize — they stream through partial aggregation
+    inside whole-stage codegen."""
     dist = (
         ex.join(F.broadcast(cents), "pos")
         .groupBy("vec_id", "cid")

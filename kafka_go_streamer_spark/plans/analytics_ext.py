@@ -351,3 +351,45 @@ def dedup_cluster_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+@query(
+    "agg_unpivot_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             count(*)::DOUBLE AS n_orders,
+             round(avg(o_totalprice), 2) AS avg_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'avg_price', avg_price FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM m
+    """,
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): a wide per-priority metrics row folds into long
+    (priority, metric, value) rows — the inverse of
+    ``agg_conditional_pivot`` and the standard shape for feeding
+    metric stores and plotting layers.
+
+    Scale: the unpivot is a zero-shuffle in-row Expand (each input row
+    emits one row per metric inside the same stage) on top of an
+    already-tiny aggregate; the oracle's UNION ALL re-reads the CTE
+    because DuckDB has no Expand, but Spark's plan scans the aggregate
+    once."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        stable_round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        stable_round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return m.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "avg_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -33,19 +33,28 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """Early driver fixtures stored event time as TIMESTAMP(NANOS),
-    which Spark reads as LONG nanos (``spark.sql.legacy.parquet
-    .nanosAsLong``); truncate those to microseconds with integer
-    division — the same ns->us truncation DuckDB applies, so oracle
-    comparisons agree. Current fixtures store timestamp[us] without a
-    timezone, which Spark reads directly as TIMESTAMP_NTZ (this
-    function then no-ops) — NTZ matches DuckDB's naive-timestamp
-    semantics, so queries keep it; anything needing LTZ-only operations
-    (epoch casts, watermarks) casts through TIMESTAMP locally under the
-    UTC session timezone."""
+    """Normalize the event-time column to TIMESTAMP (with local tz),
+    whatever the fixture generation produced:
+
+    * early fixtures stored TIMESTAMP(NANOS), which Spark reads as LONG
+      nanos (``spark.sql.legacy.parquet.nanosAsLong``) — truncate to
+      microseconds with integer division (the same ns->us truncation
+      DuckDB applies, so oracle comparisons agree; float division would
+      silently lose precision at epoch-nanos magnitudes);
+    * current fixtures store timestamp[us] without a timezone, which a
+      Spark 4 session reads as TIMESTAMP_NTZ — cast to TIMESTAMP,
+      value-identical under the UTC session timezone and required by
+      LTZ-only operations (watermarks, epoch casts). Rounds 1-3 shipped
+      exactly this type from the nanos path, so oracle parity for LTZ
+      event time is driver-proven."""
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

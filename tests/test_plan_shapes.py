@@ -272,3 +272,60 @@ def test_neardup_sqrt_cells_broadcast(spark, sf_dir):
     plan = physical_plan(QUERIES["sim_neardup_ivf_cells"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_topk_take_ordered_no_self_join(spark, sf_dir):
+    """Trigram generation is positional inside the row (no self-join of
+    adjacent tokens) and the top-20 is a per-partition heap, not a
+    global sort."""
+    plan = physical_plan(QUERIES["text_ngram_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_tfidf_df_table_joins_broadcast(spark, sf_dir):
+    """The document-frequency table is vocabulary-sized and must
+    broadcast back into the scoring join — shuffling the (doc, term)
+    table against it would re-exchange the corpus."""
+    plan = physical_plan(QUERIES["text_tfidf_topterms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_in_row_expand(spark, sf_dir):
+    """Unpivot compiles to an Expand over the aggregate — one exchange
+    total (the groupBy's), no join, no second scan."""
+    df = QUERIES["agg_unpivot_metrics"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_q16_not_in_compiles_to_broadcast_anti(spark, sf_dir):
+    """The complaint-supplier NOT IN must be a broadcast anti join —
+    never a shuffled join, never a NestedLoop."""
+    plan = physical_plan(QUERIES["tpch_q16_supplier_relationship"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_decorrelates_to_window_min(spark, sf_dir):
+    """The correlated min-cost subquery must decorrelate into a window
+    over the region-filtered supply — one supply aggregation, one
+    window, NOT a second aggregate joined back."""
+    plan = physical_plan(QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_group_shuffle(spark, sf_dir):
+    """The packer shuffles ONCE on the group key into the Arrow fold;
+    token counting happens before the exchange (mapInPandas sees only
+    id+count columns, never text)."""
+    df = QUERIES["pack_sequences_greedy"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    # the text column must be pruned before the exchange
+    assert "text" not in re.search(r"Exchange [^\n]*", plan).group(0)

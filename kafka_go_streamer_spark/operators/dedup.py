@@ -500,7 +500,7 @@ def connected_components(
         sym.filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         both = work.unionByName(
             work.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
@@ -520,10 +520,17 @@ def connected_components(
         # pinned: upd feeds three joins below (labels + both edge
         # endpoints); it is bounded by this round's merge count
         upd = pinned(upd)
-        labels = pinned(
-            labels.join(upd, labels.comp == upd.a, "left")
-            .select("id", F.coalesce("m", F.col("comp")).alias("comp"))
+        labels = labels.join(upd, labels.comp == upd.a, "left").select(
+            "id", F.coalesce("m", F.col("comp")).alias("comp")
         )
+        # labels joins only stats-clean pinned leaves (touched, upds),
+        # so its lineage grows one join per round, not multiplicatively
+        # — a barrier EVERY round costs ~20% of the loop (measured at
+        # sf0.1) for nothing. Pin every 4th round so the analysis-time
+        # chain stays bounded if convergence ever takes the full
+        # max_iter.
+        if rnd % 4 == 3:
+            labels = pinned(labels)
         ru = work.join(
             upd.select(F.col("a").alias("_ua"), F.col("m").alias("_um")),
             work.a == F.col("_ua"),

@@ -393,3 +393,139 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             (t_view IS NOT NULL)::INTEGER AS s1,
+             (t_view IS NOT NULL AND t_click > t_view)::INTEGER AS s2,
+             (t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click)::INTEGER AS s3
+      FROM firsts
+    )
+    SELECT 'view' AS stage, sum(s1)::BIGINT AS n_users FROM flags
+    UNION ALL
+    SELECT 'view>click', sum(s2)::BIGINT FROM flags
+    UNION ALL
+    SELECT 'view>click>purchase', sum(s3)::BIGINT FROM flags
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users whose FIRST view precedes their
+    first click precedes their first purchase — the product-analytics
+    staple, computed as conditional min-aggregates rather than the
+    3-way self-join of the naive formulation.
+
+    Scale: ONE shuffle on user_id produces the per-user stage
+    timestamps (conditional mins combine map-side); the stage counts
+    are a scalar aggregate over users, and the 3-row output comes from
+    an in-row Expand — the event table is scanned once, joined never.
+    NULL ordered-comparison semantics (a missing stage never counts as
+    reached) are identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flags = firsts.select(
+        s1.cast("int").alias("s1"),
+        s2.cast("int").alias("s2"),
+        s3.cast("int").alias("s3"),
+    )
+    agg = flags.agg(
+        F.sum("s1").alias("view"),
+        F.sum("s2").alias("c2"),
+        F.sum("s3").alias("c3"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("stage"),
+                    F.col("view").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("view>click").alias("stage"),
+                    F.col("c2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("view>click>purchase").alias("stage"),
+                    F.col("c3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
+
+
+@query(
+    "events_retention_weekly",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT c.cohort_week,
+           (datediff('day', c.cohort_week, a.active_week) / 7)::INTEGER
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM cohorts c JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event, counted as active in each later week — the retention
+    triangle behind every growth dashboard.
+
+    Scale: two aggregates over the same user-partitioned shuffle
+    (cohort = min week, activity = distinct weeks; AQE reuses the
+    exchange), then a user-keyed join of two user-cardinality frames —
+    the raw event table never joins anything. Week arithmetic is
+    date_trunc + day-diff/7, exact integer math in both engines
+    (Monday-start weeks in Spark and DuckDB alike)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date("active_week"), F.to_date("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

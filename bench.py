@@ -76,6 +76,9 @@ HEADLINE = [
     "pack_sequences_greedy",
     "text_tfidf_topterms",
     "ann_recall_multiprobe",
+    # the end-to-end composed pipeline: gates -> exact dedup -> near-dup
+    # clustering -> decontamination -> sequence packing
+    "pipeline_pretraining_full",
 ]
 
 

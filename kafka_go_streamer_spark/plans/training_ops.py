@@ -508,3 +508,158 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.count("c_vec_id") / 10.0, 2).alias("recall_at_10"),
         )
     )
+
+
+from kafka_go_streamer_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    shingles,
+    shingles_sql,
+)
+from kafka_go_streamer_spark.plans.text import prep_survivors  # noqa: E402
+from kafka_go_streamer_spark.sources.tables import fan_out  # noqa: E402
+
+
+@query(
+    "pipeline_pretraining_full",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, source,
+             {X.word_count_sql('text')} AS n_words,
+             {X.token_count_sql('text')} AS n_tokens,
+             {X.alpha_ratio_sql('text')} AS alpha_ratio,
+             {X.lang_id_sql('text')} AS pred_lang,
+             {X.bag_fingerprint_sql('text')} AS bag_fp
+      FROM documents
+    ),
+    kept0 AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20 AND alpha_ratio > 0.6 AND pred_lang = 'en'
+    ),
+    surv AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY bag_fp ORDER BY doc_id ASC) AS rn
+        FROM kept0
+      ) WHERE rn = 1
+    ),
+    surv_docs AS MATERIALIZED (
+      SELECT s.doc_id, s.source, s.n_tokens, d.text
+      FROM surv s JOIN documents d USING (doc_id)
+    ),
+    pairs AS (
+      {minhash_lsh_pairs_sql("surv_docs", "doc_id", "text",
+                             min_intersection=2)}
+    ),
+    e(a, b) AS (
+      SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM surv_docs
+      UNION
+      SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+    canon AS MATERIALIZED (
+      SELECT s.doc_id, s.source, s.n_tokens, s.text
+      FROM surv_docs s JOIN comp c ON c.id = s.doc_id
+      WHERE c.cid = s.doc_id
+    ),
+    bw0 AS (
+      SELECT doc_id, {X.words_sql('text')} AS w
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    bench AS (SELECT DISTINCT unnest({shingles_sql('w')}) AS s FROM bw0),
+    cw0 AS (
+      SELECT doc_id, {X.words_sql('text')} AS w
+      FROM canon WHERE doc_id % 50 <> 0
+    ),
+    csh AS (SELECT doc_id, unnest({shingles_sql('w')}) AS s FROM cw0),
+    contaminated AS (
+      SELECT DISTINCT csh.doc_id FROM csh JOIN bench USING (s)
+    ),
+    clean AS (
+      SELECT doc_id, source, n_tokens FROM canon
+      WHERE doc_id % 50 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    toks AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM clean
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens, rn,
+             0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
+                  THEN p.fill ELSE 0 END,
+             CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
+                  THEN p.fill + t.n_tokens ELSE t.n_tokens END
+      FROM packed p
+      JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, seq_id, seq_offset FROM packed
+    """,
+)
+def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-data pipeline in one composed plan — every
+    stage this engine implements, chained end to end the way a 100 TB
+    corpus actually flows:
+
+      quality gate -> language gate -> exact dedup (bag fingerprint)
+      -> MinHash-LSH near-dup clustering -> keep one doc per cluster
+      -> benchmark decontamination (3-gram overlap with the eval set)
+      -> greedy sequence packing into <=PACK_CAP-token training rows
+
+    Every stage reuses the exact operator (and oracle fragment) proven
+    by its standalone query, so this is a composition test of the
+    engine, not new semantics: prep_survivors (pipeline_training_prep),
+    minhash_lsh_pairs + connected_components
+    (dedup_connected_components), the decontamination shape
+    (text_decontaminate), and pack_group (pack_sequences_greedy).
+
+    Scale shape: the corpus is scanned once for scoring (gates filter
+    map-side before the dedup shuffle); only SURVIVORS re-join their
+    text into the near-dup stage (the expensive shingle/signature work
+    runs on the post-gate corpus); the benchmark shingle set
+    broadcasts; packing shuffles only (id, source, token) triples.
+    The oracle replays all of it — including the CC fixpoint and the
+    packing fold as two recursive CTEs — in one DuckDB statement."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = prep_survivors(docs).select("doc_id", "source", "n_tokens")
+    surv_docs = surv.join(docs.select("doc_id", "text"), "doc_id")
+    pairs = minhash_lsh_pairs(
+        surv_docs.select("doc_id", "text"), "doc_id", "text",
+        min_intersection=2,
+    )
+    comp = connected_components(
+        surv_docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    canon_ids = comp.filter(F.col("comp") == F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    canon = surv_docs.join(canon_ids, "doc_id", "left_semi")
+    bench = (
+        fan_out(docs)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(shingles(F.col("text"))).alias("s"))
+        .distinct()
+    )
+    cand = canon.filter(F.col("doc_id") % 50 != 0)
+    csh = cand.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+    contaminated = (
+        csh.join(F.broadcast(bench), "s").select("doc_id").distinct()
+    )
+    clean = cand.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tokens"
+    )
+    return clean.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)

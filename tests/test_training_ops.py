@@ -98,3 +98,52 @@ def test_pii_redaction_removes_matches(spark):
     ).collect()[0]["r"]
     assert red == "mail <EMAIL> and dial <PHONE> now"
     assert "@" not in red and "555" not in red
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import pandas as pd
+
+from kafka_go_streamer_spark.plans.training_ops import PACK_CAP, pack_group
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=PACK_CAP + 40), max_size=60)
+)
+def test_pack_group_invariants(tokens):
+    """The greedy fold's invariants on arbitrary token streams:
+    every sequence's fill stays within PACK_CAP unless a single
+    oversized doc owns it; seq ids are dense and non-decreasing in
+    doc order; offsets are exact running fills."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(tokens)),
+            "source": ["s"] * len(tokens),
+            "n_tokens": tokens,
+        }
+    )
+    out = pack_group(pdf.copy())
+    assert list(out["doc_id"]) == list(range(len(tokens)))  # order kept
+    fills: dict[int, int] = {}
+    prev_seq = 0
+    for r in out.itertuples(index=False):
+        assert r.seq_id >= prev_seq
+        assert r.seq_id <= prev_seq + 1  # dense: no skipped sequences
+        prev_seq = r.seq_id
+        assert r.seq_offset == fills.get(r.seq_id, 0)  # exact running fill
+        fills[r.seq_id] = r.seq_offset + r.n_tokens
+    for seq_id, fill in fills.items():
+        members = out[out.seq_id == seq_id]
+        # a sequence over capacity can only be a single oversized doc
+        assert fill <= PACK_CAP or (
+            len(members) == 1 and members.n_tokens.iloc[0] > PACK_CAP
+        )
+    # greedy tightness: a doc at offset 0 of a non-first sequence would
+    # have overflowed the previous one
+    for r in out.itertuples(index=False):
+        if r.seq_id > 0 and r.seq_offset == 0:
+            assert fills[r.seq_id - 1] + r.n_tokens > PACK_CAP

@@ -663,3 +663,167 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens"
     )
     return clean.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)
+
+
+from kafka_go_streamer_spark.plans.text import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+)
+
+#: Hybrid retrieval: BM25 candidate pool size and the RRF damping
+#: constant (60 is the canonical value from the original RRF paper).
+HYBRID_POOL = 20
+RRF_K = 60
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*)::DOUBLE AS tf
+      FROM w WHERE w <> '' GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    dfq AS (
+      SELECT w, count(*)::DOUBLE AS df FROM tf
+      WHERE w IN {BM25_TERMS} GROUP BY w
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1}
+                * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+      FROM tf
+      JOIN dfq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    bm25top AS (
+      SELECT doc_id, round(sum(sc), 4) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT {HYBRID_POOL}
+    ),
+    cand AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+               AS rank_bm25
+      FROM bm25top
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    withcos AS (
+      SELECT c.doc_id, c.rank_bm25,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+               AS rank_cos
+      FROM withcos
+    )
+    SELECT doc_id, rank_bm25, rank_cos,
+           round(1.0 / ({RRF_K} + rank_bm25)
+                 + 1.0 / ({RRF_K} + rank_cos), 6) AS rrf
+    FROM ranked
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the production
+    RAG/retrieval stack in one plan: BM25 proposes a lexical candidate
+    pool, the embedding side re-scores it by cosine to the query
+    vector, and RRF (1/(k+rank) summed over both rankers, k=60) fuses
+    the two orderings without any score normalization — rank fusion is
+    what makes the hybrid robust to the two scorers' incomparable
+    scales.
+
+    Scale: the BM25 stage is the inverted-index shape of
+    ``text_bm25_topk`` (everything per-query broadcasts; top-pool is
+    TakeOrderedAndProject); the rerank touches only HYBRID_POOL rows,
+    joined to their embeddings by key — at 100 TB the candidate pool,
+    not the corpus, is what reaches the dense scorer. Both rank
+    assignments order by rounded scores + doc_id so the engines fuse
+    identical permutations; RRF itself is exact rational arithmetic in
+    doubles."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    w = fan_out(d).select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("w")
+    )
+    tf = (
+        w.filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfq = (
+        tf.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm25top = (
+        tf.filter(F.col("w").isin(*BM25_TERMS))
+        .join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", (idf * (F.col("tf") * (BM25_K1 + 1)) / norm).alias("sc")
+        )
+        .groupBy("doc_id")
+        .agg(stable_round(F.sum("sc"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_POOL)
+    )
+    cand = bm25top.withColumn(
+        "rank_bm25",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    withcos = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "rank_bm25",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    ranked = withcos.withColumn(
+        "rank_cos",
+        F.row_number().over(
+            Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        stable_round(
+            1.0 / (RRF_K + F.col("rank_bm25"))
+            + 1.0 / (RRF_K + F.col("rank_cos")),
+            6,
+        ).alias("rrf"),
+    )

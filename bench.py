@@ -79,6 +79,8 @@ HEADLINE = [
     # the end-to-end composed pipeline: gates -> exact dedup -> near-dup
     # clustering -> decontamination -> sequence packing
     "pipeline_pretraining_full",
+    "retrieval_hybrid_rrf",
+    "events_funnel_conversion",
 ]
 
 

@@ -529,3 +529,88 @@ def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+    WITH src AS (
+      SELECT l_quantity, l_extendedprice, l_discount, l_returnflag
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(round(min(l_quantity), 2) AS VARCHAR) AS min_val,
+           CAST(round(max(l_quantity), 2) AS VARCHAR) AS max_val
+    FROM src
+    UNION ALL
+    SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           CAST(round(min(l_extendedprice), 2) AS VARCHAR),
+           CAST(round(max(l_extendedprice), 2) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'l_discount', count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           CAST(round(min(l_discount), 2) AS VARCHAR),
+           CAST(round(max(l_discount), 2) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'l_returnflag', count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag)
+    FROM src
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — null count, exact distinct count, min/max per
+    column — the data-quality sweep every ingest pipeline runs before
+    anything downstream trusts a new drop of data.
+
+    Scale: ALL columns profile in ONE scan — a single aggregate row
+    computes every column's counts/extrema simultaneously (count and
+    count-distinct are map-side partial), and the per-column output
+    rows come from an in-row Expand of that single row, not one scan
+    per column (the naive UNION ALL the oracle spells out literally).
+    Numeric extrema are rounded-and-stringified identically in both
+    engines so one schema fits heterogeneous column types."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def num_stats(c: str):
+        return [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            stable_round(F.min(c), 2).cast("string").alias(f"{c}_min"),
+            stable_round(F.max(c), 2).cast("string").alias(f"{c}_max"),
+        ]
+
+    agg = li.agg(
+        *num_stats("l_quantity"),
+        *num_stats("l_extendedprice"),
+        *num_stats("l_discount"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("rf_nulls"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+    )
+
+    def entry(name: str, pfx: str):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(f"{pfx}_nulls").alias("n_nulls"),
+            F.col(f"{pfx}_distinct").alias("n_distinct"),
+            F.col(f"{pfx}_min").alias("min_val"),
+            F.col(f"{pfx}_max").alias("max_val"),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                entry("l_quantity", "l_quantity"),
+                entry("l_extendedprice", "l_extendedprice"),
+                entry("l_discount", "l_discount"),
+                entry("l_returnflag", "rf"),
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.n_nulls", "s.n_distinct", "s.min_val", "s.max_val")

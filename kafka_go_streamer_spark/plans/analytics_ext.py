@@ -614,3 +614,96 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.col_name", "s.n_nulls", "s.n_distinct", "s.min_val", "s.max_val")
+
+
+@query(
+    "window_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             CAST(d - INTERVAL (row_number() OVER (
+               PARTITION BY user_id ORDER BY d)) DAY AS DATE) AS anchor
+      FROM days
+    )
+    SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+           count(*) AS streak_days
+    FROM grp GROUP BY user_id, anchor
+    HAVING count(*) >= 3
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks of ≥3 days) — the classic idiom where date minus dense
+    rank is constant within an island. Distinct from session windows:
+    islands are calendar-consecutive, not gap-threshold-based.
+
+    Scale: one distinct on (user, day) — activity-cardinality, not
+    event-cardinality — then a single window shuffle on user_id and a
+    same-keyed aggregate (no re-exchange: the groupBy key prefix
+    matches the window partitioning). The day arithmetic is exact
+    integer date math in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("anchor")
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, n.n_name, count(*) AS n
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           arg_max(n_name, lpad(n::VARCHAR, 10, '0') || n_name)
+             AS top_nation,
+           max(n) AS n_customers
+    FROM counts GROUP BY 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode: the most common customer nation within each
+    market segment via max_by/arg_max — the two-level aggregate that
+    replaces the window-rank idiom when only the top value is needed.
+
+    Scale: two map-side-combinable aggregates, no window, no sort; the
+    second aggregate's input is (segments × nations) — dimension-
+    cardinality. The tie-break key is one sortable string
+    (zero-padded count ++ name, ties toward the larger name) because
+    both engines compare it byte-identically — DuckDB's arg_max does
+    not accept composite keys."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tie_key = F.concat(
+        F.lpad(F.col("n").cast("string"), 10, "0"), F.col("n_name")
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        F.max_by("n_name", tie_key).alias("top_nation"),
+        F.max("n").alias("n_customers"),
+    )

@@ -383,3 +383,33 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 7)
     )
+
+
+@query(
+    "dedup_greedy_drop_rule",
+    oracle=f"""
+    WITH pairs AS (
+      {minhash_lsh_pairs_sql("documents", "doc_id", "text",
+                             min_intersection=2)}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dedup_greedy_drop_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors under the monotone near-dup drop rule: a doc drops iff
+    it has a verified near-dup neighbor with a smaller id — including
+    dropped neighbors (a near-dup of spam is spam). This is the batch
+    twin of the STREAMING near-dup dedup (streaming/neardup.py), and
+    its monotonicity is what makes the incremental answer equal this
+    one at any micro-batching; contrast with
+    ``dedup_connected_components`` + ``dedup_cluster_manifest``, which
+    keep one doc per transitive CLUSTER instead.
+
+    Scale: candidate pairs come from the frequency-capped MinHash band
+    join (never all-pairs); the rule itself is one anti-join of the
+    corpus against the distinct larger-side ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")

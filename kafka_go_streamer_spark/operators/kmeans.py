@@ -32,7 +32,7 @@ far inside the rounding epsilon).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
@@ -99,12 +99,13 @@ def assign_nearest(ex: DataFrame, cents: DataFrame) -> DataFrame:
             ).alias("d2")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "d2")
-    )
+    # argmin as min(struct(d2, cid)) — a hash aggregate with map-side
+    # partials instead of the window form's shuffle+sort; the struct's
+    # lexicographic order IS the (d2, cid) tiebreak, so assignments are
+    # bit-identical to the oracle's row_number formulation (verified).
+    return dist.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid")).alias("m")
+    ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
 
 
 def update_centroids(ex: DataFrame, assigned: DataFrame) -> DataFrame:

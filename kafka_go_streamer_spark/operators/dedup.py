@@ -153,6 +153,37 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def band_rows(sigs: DataFrame, id_col: str, band_r: int = 1) -> DataFrame:
+    """Unpivot signature columns to LSH band rows ``(id, band, key)``:
+    band j's key is the '|'-joined group of ``band_r`` consecutive
+    signatures. The ONE band construction shared by the batch pair
+    generator (minhash_lsh_pairs) and the streaming near-dup path
+    (streaming/neardup.py), so the two can never silently compute
+    different candidate sets. Callers apply ``cap_bucket`` themselves
+    (both do)."""
+    n_bands = NUM_HASHES // band_r
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig{j * band_r + i}")
+                                for i in range(band_r)
+                            ],
+                        ).alias("key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -375,28 +406,7 @@ def minhash_lsh_pairs(
     sigs = with_minhash(
         df.select(F.col(id_col), F.col(text_col)), text_col
     ).localCheckpoint(eager=True)
-    n_bands = NUM_HASHES // band_r
-    bands = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"sig{j * band_r + i}")
-                                for i in range(band_r)
-                            ],
-                        ).alias("key"),
-                    )
-                    for j in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
-    bands = cap_bucket(bands, "band", "key")
+    bands = cap_bucket(band_rows(sigs, id_col, band_r), "band", "key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -19,8 +19,9 @@ Scale shape (the 100 TB lens):
 * distances accumulate relationally (join on dim position + hash
   aggregate on (vec, centroid)) — rows x k x dims work, never a
   driver-side collect, never a cartesian product;
-* argmin is a ``row_number`` window over k rows per vector with a
-  deterministic ``(d2, cid)`` tiebreak.
+* argmin is a ``min(struct(d2, cid))`` hash aggregate over k rows per
+  vector — map-side-combinable, no window sort; the struct's
+  lexicographic order is the deterministic ``(d2, cid)`` tiebreak.
 
 Cross-engine determinism: centroid means and distances are rounded
 (6dp, ``stable_round``) at every iteration boundary, so Spark and the

@@ -409,7 +409,8 @@ def dedup_greedy_drop_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate pairs come from the frequency-capped MinHash band
     join (never all-pairs); the rule itself is one anti-join of the
     corpus against the distinct larger-side ids."""
+    from kafka_go_streamer_spark.streaming.neardup import batch_drop_rule
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
+    return batch_drop_rule(docs.select("doc_id"), pairs)

@@ -168,7 +168,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ps_partkey, stock_value
     FROM sup_val
-    WHERE stock_value > (SELECT sum(stock_value) * 0.001 FROM sup_val)
+    WHERE stock_value > (SELECT round(sum(stock_value) * 0.001, 2)
+                         FROM sup_val)
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,8 +197,15 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stock_value")
         )
     )
+    # threshold rounded at the same 2dp quantum as the per-part values:
+    # an unrounded corpus-wide sum is exactly the cross-engine FP-drift
+    # class functions/rounding.py exists to prevent (summation order
+    # differs per engine; a part landing within ~1e-9 of the raw
+    # threshold would flip the > between engines)
     total = sup_val.agg(
-        (F.sum("stock_value") * F.lit(0.001)).alias("threshold")
+        stable_round(F.sum("stock_value") * F.lit(0.001), 2).alias(
+            "threshold"
+        )
     )
     return (
         sup_val.join(F.broadcast(total))

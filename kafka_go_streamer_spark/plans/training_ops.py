@@ -52,8 +52,12 @@ def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     seq = 0
     fill = 0
     seq_ids, offsets = [], []
-    for t in pdf["n_tokens"]:
-        if fill and fill + t > PACK_CAP:
+    for i, t in enumerate(pdf["n_tokens"]):
+        # mirror the recursive-CTE oracle EXACTLY: after the first doc,
+        # a new sequence opens iff fill + t overflows — including from
+        # fill == 0 (a zero-token doc chained before an oversized one),
+        # where a `fill and ...` guard would silently diverge
+        if i > 0 and fill + t > PACK_CAP:
             seq += 1
             fill = 0
         seq_ids.append(seq)

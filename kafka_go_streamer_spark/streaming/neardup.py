@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.operators.dedup import (
-    NUM_HASHES,
+    band_rows,
+    cap_bucket,
     with_minhash,
 )
 
@@ -42,29 +43,10 @@ from kafka_go_streamer_spark.operators.dedup import (
 #: matches ``minhash_lsh_pairs(min_intersection=2)``.
 MIN_INTERSECTION = 2
 
-SIG_COLS = [f"sig{k}" for k in range(NUM_HASHES)]
-
 
 def sign_batch(bdf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, _shingles, sig0..sigK) for one micro-batch of documents."""
     return with_minhash(bdf.select(F.col(id_col), F.col("text")))
-
-
-def _bands(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Unpivot the K signature columns to (id, band, key) rows."""
-    return sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"), F.col(c).alias("key")
-                    )
-                    for k, c in enumerate(SIG_COLS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
 
 
 def dropped_in_batch(
@@ -74,16 +56,25 @@ def dropped_in_batch(
     id in (committed store ∪ this batch). Returns a 1-column ``id``
     DataFrame.
 
-    The band join produces candidates; exact shingle intersection
-    (≥ MIN_INTERSECTION) verifies them — identical semantics to the
-    batch ``minhash_lsh_pairs`` path."""
+    The band join produces candidates (via the SAME band construction
+    and hot-bucket cap as the batch generator — ``band_rows`` +
+    ``cap_bucket`` from operators/dedup.py); exact shingle intersection
+    (≥ MIN_INTERSECTION) verifies them. The cap is evaluated over the
+    corpus-SO-FAR: a band key whose bucket crosses MAX_BUCKET mid-
+    stream stops generating candidates from that point on, while the
+    batch twin (which sees final bucket sizes) drops the key entirely —
+    so streamed == batch is exact when no bucket crosses the cap
+    between a doc's arrival and end-of-stream, and conservative-greedy
+    otherwise. That boundary is inherent to any incremental use of a
+    frequency cap; production deployments tombstone a key when it
+    crosses the cap, which re-aligns future batches."""
     pool = (
         batch_sigs
         if store_sigs is None
         else store_sigs.unionByName(batch_sigs)
     )
-    pool_bands = _bands(pool, id_col)
-    batch_bands = _bands(batch_sigs, id_col)
+    pool_bands = cap_bucket(band_rows(pool, id_col), "band", "key")
+    batch_bands = band_rows(batch_sigs, id_col)
     cand = (
         pool_bands.alias("a")
         .join(

@@ -112,7 +112,7 @@ from kafka_go_streamer_spark.plans.training_ops import PACK_CAP, pack_group
 
 @settings(max_examples=200, deadline=None)
 @given(
-    st.lists(st.integers(min_value=1, max_value=PACK_CAP + 40), max_size=60)
+    st.lists(st.integers(min_value=0, max_value=PACK_CAP + 40), max_size=60)
 )
 def test_pack_group_invariants(tokens):
     """The greedy fold's invariants on arbitrary token streams:

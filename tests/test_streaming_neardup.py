@@ -76,3 +76,41 @@ def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path, n_batches):
     }
     assert got == want
     assert len(got) < docs.count()  # the corpus does contain near-dups
+
+
+@pytest.mark.timeout(300)
+def test_hot_bucket_cap_applies_incrementally(spark, tmp_path):
+    """A band key shared by > MAX_BUCKET documents (boilerplate) must
+    generate NO candidates when the stream sees the final bucket size
+    (single batch == batch semantics), and dropping may only be
+    CONSERVATIVE (a superset of batch drops) when the bucket crosses
+    the cap mid-stream — the documented incremental-cap boundary."""
+    from kafka_go_streamer_spark.operators.dedup import MAX_BUCKET
+
+    n = MAX_BUCKET + 8  # one shared text -> every band bucket is hot
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    # batch twin: the cap drops the hot band key entirely -> no pairs,
+    # nobody drops
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    assert pairs.count() == 0
+    survivors_batch = {
+        r["doc_id"]
+        for r in batch_drop_rule(docs.select("doc_id"), pairs).collect()
+    }
+    assert survivors_batch == set(range(n))
+
+    # single streaming batch sees the same final bucket sizes -> equal
+    sigs = sign_batch(docs)
+    dropped = {r["id"] for r in dropped_in_batch(sigs, None).collect()}
+    assert dropped == set()
+
+    # two batches where the bucket is under the cap in batch 1 and hot
+    # only in total: batch-1 internal pairs still fire (the cap cannot
+    # see the future) -> drops are a SUPERSET of the batch twin's
+    half = docs.filter(F.col("doc_id") < n // 2)
+    sigs1 = sign_batch(half)
+    dropped1 = {r["id"] for r in dropped_in_batch(sigs1, None).collect()}
+    assert dropped1 == set(range(1, n // 2))  # all near-dup doc 0

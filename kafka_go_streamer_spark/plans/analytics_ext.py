@@ -707,3 +707,54 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("n_name", tie_key).alias("top_nation"),
         F.max("n").alias("n_customers"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (
+             PARTITION BY event_type), 4) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each (from, to)
+    event-type pair, the count and conditional probability of the next
+    event — the Markov-chain view of user behavior that feeds
+    session-abandonment and next-action models.
+
+    Scale: ONE window shuffle on user_id builds the lead() pairs (tie
+    broken by event_id so both engines sequence identically), then a
+    5×5-cardinality aggregate; the row-normalizing window runs on that
+    tiny matrix, not on events. No self-join of events to its
+    successor — the lead() form is the shuffle-minimal way to bigram a
+    log."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        stable_round(F.col("n") * 1.0 / F.sum("n").over(wn), 4).alias("p"),
+    )

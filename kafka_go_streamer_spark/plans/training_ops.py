@@ -637,7 +637,14 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing fold as two recursive CTEs — in one DuckDB statement."""
     docs = load_table(spark, sf_dir, "documents")
     surv = prep_survivors(docs).select("doc_id", "source", "n_tokens")
-    surv_docs = surv.join(docs.select("doc_id", "text"), "doc_id")
+    # reuse barrier: surv_docs feeds FOUR consumers (signature build,
+    # CC nodes, canonical semi-join, decontamination probe) — without
+    # it Catalyst re-inlines the whole gate+dedup chain into each one
+    # (the Spark analogue of the DuckDB CTE re-inlining the oracle's
+    # MATERIALIZED hints fix; measured 7.4s -> 6.2s at sf0.1)
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    surv_docs = pinned(surv.join(docs.select("doc_id", "text"), "doc_id"))
     pairs = minhash_lsh_pairs(
         surv_docs.select("doc_id", "text"), "doc_id", "text",
         min_intersection=2,

@@ -329,3 +329,27 @@ def test_pack_sequences_single_group_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1
     # the text column must be pruned before the exchange
     assert "text" not in re.search(r"Exchange [^\n]*", plan).group(0)
+
+
+def test_funnel_no_self_join_single_agg_path(spark, sf_dir):
+    """The ordered funnel must be conditional aggregation — never the
+    3-way self-join of the naive formulation."""
+    plan = physical_plan(QUERIES["events_funnel_conversion"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Expand" in plan or "Generate" in plan  # in-row 3-stage output
+
+
+def test_transition_matrix_one_window_no_join(spark, sf_dir):
+    """Event bigrams come from lead() over one user-keyed window — the
+    shuffle-minimal form — not a self-join of events to successors."""
+    plan = physical_plan(QUERIES["events_transition_matrix"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_profile_stats_single_scan(spark, sf_dir):
+    """All columns profile in ONE scan: a single aggregate + in-row
+    Expand/Generate, not the oracle's scan-per-column UNION ALL."""
+    plan = physical_plan(QUERIES["profile_table_stats"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan

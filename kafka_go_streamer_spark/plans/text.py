@@ -669,3 +669,50 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "sample_split_train_eval",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source, n_chars,
+             CASE
+               WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN
+                    ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+               THEN 'train'
+               WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'e' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def sample_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash (14/1/1
+    sixteenths ≈ 87.5/6.25/6.25) with per-split accounting — the split
+    every training run needs, reproducible across engines, reruns, and
+    cluster sizes because membership is a pure function of the key (no
+    rand(), no TABLESAMPLE, no state).
+
+    Scale: a row-local CASE over md5's first nibble — pushes into the
+    scan, shuffles only the 3-row aggregate. Growing the corpus never
+    moves an existing document between splits (the property that keeps
+    eval sets stable across corpus versions)."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789abcd"), "train")
+        .when(nib == "e", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

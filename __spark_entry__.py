@@ -56,7 +56,10 @@ _VERIFIED_R1_R2 = frozenset({
     "multimodal_binary_stats", "multimodal_byte_histogram",
     "multimodal_decode_meta", "multimodal_frame_sample",
     "multimodal_resize", "project_key_value", "route_documents",
-    "route_documents_counts", "route_events_by_type",
+    "route_documents_counts",
+    # route_events_by_type deliberately NOT seeded: its only driver row is
+    # an r1 missing-fixture error (CORRECTNESS_r01), so it must sort into
+    # the unverified-first window until a green verdict lands.
     "route_split_merge_roundtrip", "sample_stratified_hash",
     "set_ops_customer_cohorts", "sort_global_topk", "string_functions",
     "window_distribution_ranks", "window_lag_lead_order_gap",
@@ -107,7 +110,7 @@ DEMOTED = (
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
     unverified = [n for n in names if n not in DRIVER_VERIFIED and n not in DEMOTED]
-    demoted = [n for n in DEMOTED if n in names]
+    demoted = [n for n in DEMOTED if n in names and n not in DRIVER_VERIFIED]
     verified = [n for n in names if n in DRIVER_VERIFIED]
     return unverified + demoted + verified
 

@@ -31,6 +31,15 @@ from kafka_go_streamer_spark.sources.tables import load_table
 #: testdata's 10-120-token documents pack several to a sequence.
 PACK_CAP = 256
 
+#: Width of one packing shard in doc_id space: shard = doc_id div SPAN.
+#: A shard holds at most SPAN distinct doc_ids, so the pandas group that
+#: reaches the Arrow fold is HARD-bounded regardless of how many
+#: documents a source has — no single source ever materializes as one
+#: task's group (the 100 TB failure mode of groupBy(source) alone).
+#: 100 keeps several shards live at test scale; production would use
+#: ~1e6 (a few hundred MB of (id, token) triples per group).
+PACK_SHARD_SPAN = 100
+
 #: Temperature-mixture target sample size and temperature. 0.7 is the
 #: canonical "flatten the source distribution a bit" exponent
 #: (multilingual-sampling temperature ~ 1/0.7 ≈ 1.43).
@@ -39,15 +48,24 @@ MIX_ALPHA = 0.7
 
 
 PACK_SCHEMA = (
-    "doc_id bigint, source string, n_tokens int, seq_id int, seq_offset int"
+    "doc_id bigint, source string, shard bigint, n_tokens int, "
+    "seq_id int, seq_offset int"
 )
 
 
+def with_pack_shard(df: DataFrame) -> DataFrame:
+    """Attach the packing shard key (integer doc_id-range chunk). Pure
+    long arithmetic — no shuffle, no window — and DuckDB's ``//`` on
+    BIGINT computes the identical value for the oracle."""
+    return df.withColumn("shard", F.expr(f"doc_id div {PACK_SHARD_SPAN}"))
+
+
 def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """The per-source greedy fold (one Arrow batch = one source group):
-    docs in doc_id order accumulate into the open sequence until the
-    next doc would exceed PACK_CAP, which starts a new one. Pure
-    function of the group — safe under Spark task retries."""
+    """The per-(source, shard) greedy fold (one Arrow batch = one
+    group): docs in doc_id order accumulate into the open sequence
+    until the next doc would exceed PACK_CAP, which starts a new one.
+    seq_id and seq_offset are local to the shard. Pure function of the
+    group — safe under Spark task retries."""
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     seq = 0
     fill = 0
@@ -65,23 +83,28 @@ def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         fill += t
     pdf["seq_id"] = seq_ids
     pdf["seq_offset"] = offsets
-    return pdf[["doc_id", "source", "n_tokens", "seq_id", "seq_offset"]]
+    return pdf[
+        ["doc_id", "source", "shard", "n_tokens", "seq_id", "seq_offset"]
+    ]
 
 
 @query(
     "pack_sequences_greedy",
     oracle=f"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, source, {X.token_count_sql('text')} AS n_tokens,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      SELECT doc_id, source, doc_id // {PACK_SHARD_SPAN} AS shard,
+             {X.token_count_sql('text')} AS n_tokens,
+             row_number() OVER (
+               PARTITION BY source, doc_id // {PACK_SHARD_SPAN}
+               ORDER BY doc_id) AS rn
       FROM documents
     ),
     packed AS (
-      SELECT doc_id, source, n_tokens, rn,
+      SELECT doc_id, source, shard, n_tokens, rn,
              0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
       FROM toks WHERE rn = 1
       UNION ALL
-      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+      SELECT t.doc_id, t.source, t.shard, t.n_tokens, t.rn,
              CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
                   THEN p.seq_id ELSE p.seq_id + 1 END,
              CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
@@ -89,31 +112,40 @@ def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
              CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
                   THEN p.fill + t.n_tokens ELSE t.n_tokens END
       FROM packed p
-      JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+      JOIN toks t ON t.source = p.source AND t.shard = p.shard
+                 AND t.rn = p.rn + 1
     )
-    SELECT doc_id, source, n_tokens, seq_id, seq_offset FROM packed
+    SELECT doc_id, source, shard, n_tokens, seq_id, seq_offset FROM packed
     """,
 )
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: fold each source's documents (in doc_id
-    order) into sequences of at most PACK_CAP tokens — the step that
-    turns a deduped corpus into fixed-budget training rows. A document
-    that would overflow the open sequence starts the next one; an
-    oversized document gets a sequence to itself.
+    """Greedy sequence packing: fold each (source, shard)'s documents
+    (in doc_id order) into sequences of at most PACK_CAP tokens — the
+    step that turns a deduped corpus into fixed-budget training rows.
+    A document that would overflow the open sequence starts the next
+    one; an oversized document gets a sequence to itself. seq_id is
+    shard-local; (source, shard, seq_id) names a training sequence.
 
-    The fold is inherently sequential PER SOURCE but embarrassingly
-    parallel ACROSS sources, which is exactly the applyInPandas
-    contract: one shuffle on the source key, then an Arrow-batched
-    linear pass per group. At 100 TB the group key becomes
-    (source, shard) with shard = hash(doc_id) % K to bound group size —
-    packing quality is per-shard-local either way. Token counting
-    stays JVM-side (regexp_count) so Python sees only (id, count)
-    pairs, never the text. Oracle: a DuckDB RECURSIVE CTE replays the
-    identical fold one rank at a time."""
+    The fold is inherently sequential per group but embarrassingly
+    parallel across groups, which is exactly the applyInPandas
+    contract: one shuffle on the group key, then an Arrow-batched
+    linear pass per group. The group key is (source, shard) with
+    shard = doc_id div PACK_SHARD_SPAN, so one group holds at most
+    PACK_SHARD_SPAN docs no matter how large a source is — a hard
+    executor-memory bound at 100 TB, where groupBy(source) alone would
+    materialize billions of rows in one task. The cost is at most one
+    under-filled sequence per shard boundary (amortized ~1/SPAN).
+    Token counting stays JVM-side (regexp_count) so Python sees only
+    (id, count) triples, never the text. Oracle: a DuckDB RECURSIVE
+    CTE replays the identical per-shard fold one rank at a time."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
     )
-    return d.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)
+    return (
+        with_pack_shard(d)
+        .groupBy("source", "shard")
+        .applyInPandas(pack_group, PACK_SCHEMA)
+    )
 
 
 @query(
@@ -589,16 +621,19 @@ from kafka_go_streamer_spark.sources.tables import fan_out  # noqa: E402
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
     toks AS (
-      SELECT doc_id, source, n_tokens,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      SELECT doc_id, source, doc_id // {PACK_SHARD_SPAN} AS shard,
+             n_tokens,
+             row_number() OVER (
+               PARTITION BY source, doc_id // {PACK_SHARD_SPAN}
+               ORDER BY doc_id) AS rn
       FROM clean
     ),
     packed AS (
-      SELECT doc_id, source, n_tokens, rn,
+      SELECT doc_id, source, shard, n_tokens, rn,
              0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
       FROM toks WHERE rn = 1
       UNION ALL
-      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+      SELECT t.doc_id, t.source, t.shard, t.n_tokens, t.rn,
              CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
                   THEN p.seq_id ELSE p.seq_id + 1 END,
              CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
@@ -606,9 +641,10 @@ from kafka_go_streamer_spark.sources.tables import fan_out  # noqa: E402
              CASE WHEN p.fill + t.n_tokens <= {PACK_CAP}
                   THEN p.fill + t.n_tokens ELSE t.n_tokens END
       FROM packed p
-      JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+      JOIN toks t ON t.source = p.source AND t.shard = p.shard
+                 AND t.rn = p.rn + 1
     )
-    SELECT doc_id, source, n_tokens, seq_id, seq_offset FROM packed
+    SELECT doc_id, source, shard, n_tokens, seq_id, seq_offset FROM packed
     """,
 )
 def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,7 +709,11 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = cand.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "source", "n_tokens"
     )
-    return clean.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)
+    return (
+        with_pack_shard(clean)
+        .groupBy("source", "shard")
+        .applyInPandas(pack_group, PACK_SCHEMA)
+    )
 
 
 from kafka_go_streamer_spark.plans.text import (  # noqa: E402

@@ -166,3 +166,20 @@ def test_winnowing_pairs_capped_plan_has_window_filter(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the cap is a count window over the fingerprint key
     assert "count(1) windowspecdefinition" in plan or "Window" in plan
+
+
+def test_pack_shard_groups_bounded(spark, sf_dir):
+    """No pandas group reaching the packer's Arrow fold may exceed
+    PACK_SHARD_SPAN rows — the executor-memory bound that lets a
+    billion-doc source pack without one task materializing it all."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES
+    from kafka_go_streamer_spark.plans.training_ops import PACK_SHARD_SPAN
+
+    out = QUERIES["pack_sequences_greedy"](spark, sf_dir)
+    mx = (
+        out.groupBy("source", "shard")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx is not None and mx <= PACK_SHARD_SPAN

@@ -18,11 +18,20 @@ from kafka_go_streamer_spark.plans.training_ops import (
 
 def _pack_rows(spark, rows):
     """Run the packer's real applyInPandas fold (training_ops.pack_group)
-    on synthetic (doc_id, source, n_tokens) rows."""
-    from kafka_go_streamer_spark.plans.training_ops import PACK_SCHEMA, pack_group
+    on synthetic (doc_id, source, n_tokens) rows, through the real
+    (source, shard) group key."""
+    from kafka_go_streamer_spark.plans.training_ops import (
+        PACK_SCHEMA,
+        pack_group,
+        with_pack_shard,
+    )
 
     df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
-    out = df.groupBy("source").applyInPandas(pack_group, PACK_SCHEMA)
+    out = (
+        with_pack_shard(df)
+        .groupBy("source", "shard")
+        .applyInPandas(pack_group, PACK_SCHEMA)
+    )
     return {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out.collect()}
 
 
@@ -64,6 +73,20 @@ def test_pack_sources_independent(spark):
     got = _pack_rows(spark, [(1, "a", PACK_CAP), (2, "b", PACK_CAP)])
     assert got[1] == (0, 0)
     assert got[2] == (0, 0)
+
+
+def test_pack_shards_independent(spark):
+    """Docs on opposite sides of a shard boundary never share a
+    sequence: the fold restarts at each PACK_SHARD_SPAN doc_id chunk,
+    which is what hard-bounds the per-task group at scale."""
+    from kafka_go_streamer_spark.plans.training_ops import PACK_SHARD_SPAN
+
+    lo, hi = PACK_SHARD_SPAN - 1, PACK_SHARD_SPAN
+    got = _pack_rows(spark, [(lo, "s", 1), (hi, "s", 1)])
+    # both fit in one 256-token sequence, but the shard boundary splits
+    # them: each opens its own shard-local sequence 0
+    assert got[lo] == (0, 0)
+    assert got[hi] == (0, 0)
 
 
 def test_pii_patterns_fire_and_bound(spark):
@@ -123,6 +146,7 @@ def test_pack_group_invariants(tokens):
         {
             "doc_id": range(len(tokens)),
             "source": ["s"] * len(tokens),
+            "shard": [0] * len(tokens),  # one shard: ids 0..59 < SPAN
             "n_tokens": tokens,
         }
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions.rounding import stable_round
 
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
+from kafka_go_streamer_spark.operators.dedup import MAX_BUCKET, cap_bucket
 from kafka_go_streamer_spark.operators.similarity import (
     hyperplanes,
     lsh_signature_spark_sql,
@@ -21,19 +22,22 @@ from kafka_go_streamer_spark.sources.tables import load_table
 EMB_DIM = 64
 
 #: Hyperplane POOL for corpus-adaptive LSH. The signature expression is
-#: static (16 md5-seeded planes -> 16-bit full signature) but how many
+#: static (32 md5-seeded planes -> 32-bit full signature) but how many
 #: bits each band actually uses is derived FROM THE DATA at query time:
-#: P = clamp(ceil(log2(n / TARGET_BUCKET)), 2, 8), giving ~TARGET_BUCKET
+#: P = clamp(ceil(log2(n / TARGET_BUCKET)), 2, 16), giving ~TARGET_BUCKET
 #: expected members per bucket at any corpus size (a fixed plane count
 #: caps bucket COUNT, so bucket size — and the pair join's quadratic
 #: within-bucket cost — grows linearly with n; deriving P keeps it flat).
-#: Two BANDS (planes [0,8) and [8,16)) each contribute candidates: a pair
-#: is a candidate if it agrees on all P bits of either band, the classic
-#: b x r OR-of-ANDs construction that keeps recall up as P grows. A
-#: production deployment on >10^8 vectors widens the pool past 8 bits per
-#: band; the construction is unchanged.
-N_PLANES_POOL = 16
-BAND_BITS_MAX = 8
+#: Two BANDS (planes [0,16) and [16,32)) each contribute candidates: a
+#: pair is a candidate if it agrees on all P bits of either band, the
+#: classic b x r OR-of-ANDs construction that keeps recall up as P grows.
+#: 16-bit bands saturate around TARGET_BUCKET * 2^16 ≈ 10^6 vectors; a
+#: production deployment past that widens the pool again (64 planes /
+#: 32-bit bands covers 10^12) — the construction is unchanged, and the
+#: MAX_BUCKET frequency cap below bounds the damage of any residual or
+#: skew-induced hot bucket regardless of where saturation lands.
+N_PLANES_POOL = 32
+BAND_BITS_MAX = 16
 TARGET_BUCKET = 16
 PLANES = hyperplanes(N_PLANES_POOL, EMB_DIM)
 _SIG_SQL = lsh_signature_sql("embedding", PLANES)
@@ -105,9 +109,13 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, 1 AS band,
              (fullsig >> {BAND_BITS_MAX}) & mask AS key FROM sigs, p
     ),
+    capped AS (
+      SELECT vec_id, band, key FROM banded
+      QUALIFY count(*) OVER (PARTITION BY band, key) <= {MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
     )
     SELECT c.id_a, c.id_b,
@@ -124,29 +132,44 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     note): expected bucket occupancy stays ~TARGET_BUCKET at every
     corpus size instead of growing linearly the way a fixed plane count
     lets it, so within-bucket pairwise work stays bounded at 100x data.
-    Two bands OR their candidates together (recall), distinct pairs are
-    re-joined to embeddings for cosine scoring.
+    On top of the adaptive sizing, buckets with more than MAX_BUCKET
+    members are DROPPED before any embeddings are collected — the same
+    frequency cap (and constant) as the MinHash/SimHash paths, so one
+    skewed key (near-identical boilerplate vectors, or a saturated
+    band past the pool's ~10^6-vector range) can neither go quadratic
+    nor collect an unbounded array into a single row. Two bands OR
+    their candidates together (recall), distinct pairs are re-joined
+    to embeddings for cosine scoring.
 
     Pair generation is a single GROUP BY on (band, masked-signature)
     that collects each bucket's sorted (id, embedding) list and emits
     scored pairs with an array comprehension — not a bucket self-join,
     and not a candidate/re-join-embeddings two-phase. The whole query
-    is TWO shuffles: bucket the banded rows, then dedupe cross-band
-    pairs with a (id_a, id_b) group-by. Round 2's shape (self-join +
-    distinct + two embedding joins behind an eager localCheckpoint)
+    is TWO shuffles: bucket the banded rows (the cap's window count
+    rides the same exchange), then dedupe cross-band pairs with a
+    (id_a, id_b) group-by. Round 2's shape (self-join + distinct +
+    two embedding joins behind an eager localCheckpoint)
     was 3 shuffles + 2 joins + a materialization barrier and was the
     round's one bench regression. Carrying the embedding through the
     band shuffle costs 2n x vector-width — the same order as the
     corpus shuffle the two verify-joins needed anyway, with three
     fewer stages. Signatures are evaluated exactly ONCE, built as a
     single Spark-SQL string (lsh_signature_spark_sql: the Column form
-    spent ~0.85 s of DRIVER time per plan build pushing 16x64 literal
-    nodes through py4j — more than the query's execution at bench
-    scale). Within-bucket work is quadratic in bucket size by
+    spent ~0.85 s of DRIVER time per plan build pushing planes x dims
+    literal nodes through py4j — more than the query's execution at
+    bench scale). Within-bucket work is quadratic in bucket size by
     construction — exactly what adaptive P bounds at ~TARGET_BUCKET
-    expected members per bucket at any corpus size. The count that
-    feeds P is a 1-row broadcast, not a driver-side action."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    expected members per bucket at any corpus size, and MAX_BUCKET
+    hard-bounds in the tail. The count that feeds P is a 1-row
+    broadcast, not a driver-side action."""
+    return lsh_bucket_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def lsh_bucket_pairs(emb: DataFrame) -> DataFrame:
+    """Core of ``sim_lsh_bucket_pairs`` over any (vec_id, embedding)
+    frame — separated so scale-guard tests can feed adversarial
+    corpora (e.g. one giant bucket of near-identical vectors) without
+    parquet fixtures."""
     cnt = emb.agg(F.count(F.lit(1)).alias("_n"))
     mask = (
         F.pow(F.lit(2.0), _adaptive_bits(F.col("_n"))).cast("long") - 1
@@ -184,6 +207,10 @@ def sim_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "embedding", "bk.band", "bk.key")
     )
+    # frequency cap BEFORE the collect: the window count shuffles on the
+    # same (band, key) the group-by needs, so Catalyst reuses the
+    # exchange and no over-cap bucket ever materializes its embeddings
+    banded = cap_bucket(banded, "band", "key")
     buckets = (
         banded.groupBy("band", "key")
         .agg(

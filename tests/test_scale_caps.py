@@ -59,7 +59,8 @@ def test_minhash_under_cap_still_pairs(spark):
         (500, 5),
         (2000, 7),
         (4096, 8),
-        (10**9, 8),  # clamp ceiling (pool limit)
+        (10**6, 16),  # 1M/16 -> log2 ~ 15.9 -> 16 (pool edge)
+        (10**9, 16),  # clamp ceiling (pool limit)
     ],
 )
 def test_adaptive_bits(spark, n, expected_bits):
@@ -183,3 +184,25 @@ def test_pack_shard_groups_bounded(spark, sf_dir):
         .collect()[0]["mx"]
     )
     assert mx is not None and mx <= PACK_SHARD_SPAN
+
+
+def _const_embeddings(spark, n, dim=8):
+    """n near-identical vectors: all land in one LSH bucket per band."""
+    rows = [(i, [0.3] * (dim - 1) + [0.01]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_bucket_pairs_hot_bucket_capped(spark):
+    """A single bucket holding 3x MAX_BUCKET identical vectors must be
+    dropped before the collect — no pairs, no unbounded per-row array."""
+    from kafka_go_streamer_spark.operators.dedup import MAX_BUCKET
+    from kafka_go_streamer_spark.plans.similarity import lsh_bucket_pairs
+
+    assert lsh_bucket_pairs(_const_embeddings(spark, MAX_BUCKET * 3)).count() == 0
+
+
+def test_lsh_bucket_pairs_under_cap_still_pairs(spark):
+    """Under the cap the same corpus pairs fully (C(5,2) = 10)."""
+    from kafka_go_streamer_spark.plans.similarity import lsh_bucket_pairs
+
+    assert lsh_bucket_pairs(_const_embeddings(spark, 5)).count() == 10

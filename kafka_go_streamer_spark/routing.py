@@ -71,9 +71,23 @@ def route(
     """Add a ``topic`` routing column; keeps every input row (NULL topic =
     message the reference would not produce anywhere).
 
-    The value column is matched as a string; binary columns are cast
-    (payloads are UTF-8 log lines — the reference matches raw bytes,
-    main.go:515, equivalent for UTF-8 data).
+    The value column is matched as a string; binary columns are cast.
+    The reference matches raw bytes (main.go:515-521). Spark's
+    binary->string cast wraps the bytes UNVALIDATED (UTF8String), so
+    the committed semantics for non-UTF-8 payloads are:
+
+    * substring splits (``contains``) search byte-wise on the raw
+      bytes — identical to the reference's ``strings.Contains`` for
+      ANY payload, valid UTF-8 or not;
+    * regex splits (``rlike``) evaluate over the JVM string view,
+      where each invalid sequence decodes as U+FFFD. For the ASCII
+      patterns configs actually ship (SURVEY.md §7 watch-list), a
+      match against the valid region of the payload is unaffected;
+      only a pattern that must match the malformed bytes THEMSELVES
+      can diverge from RE2-on-bytes (RE2 sees one byte where Java
+      sees one replacement char).
+
+    Both are pinned by tests/test_routing.py's invalid-UTF-8 cases.
     """
     value = F.col(value_col)
     if dict(df.dtypes).get(value_col) == "binary":

@@ -242,3 +242,52 @@ def test_quote_bearing_pattern_and_topic_escape_in_sql_twin(spark):
         con.execute(f"SELECT key, {case} AS topic FROM msgs").fetchall()
     )
     assert via_duck == expected
+
+
+# ---------------------------------------------- non-UTF-8 payloads
+# The reference matches raw bytes (main.go:515-521); these pin what our
+# binary->string cast commits to for malformed payloads (see route()).
+
+
+def test_invalid_utf8_substring_matches_bytewise(spark):
+    """An ASCII substring pattern must still hit a payload whose tail is
+    invalid UTF-8 — Spark's contains() searches the unvalidated bytes,
+    byte-for-byte like the reference's strings.Contains."""
+    rows = [
+        ("m1", bytearray(b'x "source":"/var/log/syslog" y\xff\xfe\x80')),
+        ("m2", bytearray(b"\x80\xffnothing matches here\xc3")),
+        # pattern bytes split by a stray continuation byte must NOT match
+        ("m3", bytearray(b'"source":"/var/log/sys\x80log"')),
+    ]
+    df = spark.createDataFrame(rows, "key string, value binary")
+    got = {r["key"]: r["topic"] for r in route(df, SPLITER_OPENSTACK).collect()}
+    assert got["m1"] == "sc-hubudb1-forti-match"
+    assert got["m2"] == "ic-hrzagt1-openstack-unmatched"
+    assert got["m3"] == "ic-hrzagt1-openstack-unmatched"
+
+
+def test_invalid_utf8_regex_matches_valid_region(spark):
+    """A regex split still matches the intact ASCII region when invalid
+    bytes sit elsewhere in the payload (they decode as U+FFFD, which
+    `.*` spans); an all-garbage payload dead-letters."""
+    rows = [
+        ("r1", bytearray(b'\xfe\xfd junk "source":"10.220.64.10" tail \x80')),
+        ("r2", bytearray(b"\x80\x81\x82")),
+    ]
+    df = spark.createDataFrame(rows, "key string, value binary")
+    got = {r["key"]: r["topic"] for r in route(df, SPLITER_RSYSLOG).collect()}
+    assert got["r1"] == "all-office-infra-match"
+    assert got["r2"] == "sc-hrzagt1-rsyslog-proxy-unmatched"
+
+
+def test_invalid_utf8_key_bytes_preserved_through_routing(spark):
+    """Keys are opaque bytes end-to-end (reference main.go:496-499): a
+    non-UTF-8 key must survive route_and_filter bit-exact."""
+    key = bytes(b"\x00\xff\xfe-binary-key")
+    df = spark.createDataFrame(
+        [(bytearray(key), bytearray(b'"source":"/var/log/syslog"'))],
+        "key binary, value binary",
+    )
+    out = route_and_filter(df, SPLITER_OPENSTACK).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["key"]) == key

@@ -841,10 +841,17 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(HYBRID_POOL)
     )
+    # constant partition key: the rank runs over the <=HYBRID_POOL-row
+    # candidate set (the .limit precedes it), so a single partition is
+    # the POINT. pmod(doc_id, 1) is 0 for every row but — unlike a
+    # bare literal, which Catalyst folds OUT of the spec — survives to
+    # WindowExec, so bench logs stay free of the (here meaningless)
+    # "No Partition Defined" warning.
+    pool_w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
     cand = bm25top.withColumn(
         "rank_bm25",
         F.row_number().over(
-            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            pool_w.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         ),
     )
     emb = load_table(spark, sf_dir, "embeddings")
@@ -865,7 +872,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = withcos.withColumn(
         "rank_cos",
         F.row_number().over(
-            Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+            pool_w.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
         ),
     )
     return ranked.select(

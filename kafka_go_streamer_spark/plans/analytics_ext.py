@@ -541,20 +541,20 @@ def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'l_quantity' AS col_name,
            count(*) - count(l_quantity) AS n_nulls,
            count(DISTINCT l_quantity) AS n_distinct,
-           CAST(round(min(l_quantity), 2) AS VARCHAR) AS min_val,
-           CAST(round(max(l_quantity), 2) AS VARCHAR) AS max_val
+           printf('%.2f', round(min(l_quantity), 2)) AS min_val,
+           printf('%.2f', round(max(l_quantity), 2)) AS max_val
     FROM src
     UNION ALL
     SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
            count(DISTINCT l_extendedprice),
-           CAST(round(min(l_extendedprice), 2) AS VARCHAR),
-           CAST(round(max(l_extendedprice), 2) AS VARCHAR)
+           printf('%.2f', round(min(l_extendedprice), 2)),
+           printf('%.2f', round(max(l_extendedprice), 2))
     FROM src
     UNION ALL
     SELECT 'l_discount', count(*) - count(l_discount),
            count(DISTINCT l_discount),
-           CAST(round(min(l_discount), 2) AS VARCHAR),
-           CAST(round(max(l_discount), 2) AS VARCHAR)
+           printf('%.2f', round(min(l_discount), 2)),
+           printf('%.2f', round(max(l_discount), 2))
     FROM src
     UNION ALL
     SELECT 'l_returnflag', count(*) - count(l_returnflag),
@@ -581,8 +581,13 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
             F.countDistinct(c).alias(f"{c}_distinct"),
-            stable_round(F.min(c), 2).cast("string").alias(f"{c}_min"),
-            stable_round(F.max(c), 2).cast("string").alias(f"{c}_max"),
+            # explicit %.2f on BOTH engines: a bare cast-to-string uses
+            # each engine's own double formatter (Java Double.toString
+            # vs DuckDB), which diverge on scientific-notation
+            # magnitudes and trailing-zero conventions; printf of the
+            # identical rounded double is byte-stable
+            F.format_string("%.2f", stable_round(F.min(c), 2)).alias(f"{c}_min"),
+            F.format_string("%.2f", stable_round(F.max(c), 2)).alias(f"{c}_max"),
         ]
 
     agg = li.agg(

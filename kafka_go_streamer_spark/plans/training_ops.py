@@ -23,9 +23,27 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
+from kafka_go_streamer_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    shingles,
+    shingles_sql,
+)
+from kafka_go_streamer_spark.operators.iterate import pinned
 from kafka_go_streamer_spark.plans.registry import query
-from kafka_go_streamer_spark.plans.scale_ops import _ivf_cells, _ivf_cells_sql
-from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.plans.scale_ops import (
+    IVF_CENTROID_IDS,
+    _ivf_cells,
+    _ivf_cells_sql,
+)
+from kafka_go_streamer_spark.plans.text import (
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    prep_survivors,
+)
+from kafka_go_streamer_spark.sources.tables import fan_out, load_table
 
 #: Token budget of one packed training sequence. Small enough that the
 #: testdata's 10-120-token documents pack several to a sequence.
@@ -222,7 +240,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_temperature_mixture",
     oracle=f"""
     WITH sw AS (
-      SELECT source, pow(sum(n_chars), {MIX_ALPHA}) AS w
+      SELECT source, round(pow(sum(n_chars), {MIX_ALPHA}), 6) AS w
       FROM documents GROUP BY 1
     ),
     tot AS (SELECT sum(w) AS tw FROM sw),
@@ -257,8 +275,13 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank becomes a hash-threshold filter (keep md5 < quota/n
     quantile) — no sort at all; the hash-order semantics match."""
     d = load_table(spark, sf_dir, "documents")
+    # w is rounded at 6dp on BOTH engines before it reaches the floor()
+    # quota boundary: pow() is not guaranteed bit-identical across
+    # Spark/DuckDB, and an unrounded w within an ulp of flipping
+    # floor(MIX_TOTAL * w / tw) would flip a source's quota (the Q11
+    # FP-drift class)
     sw = d.groupBy("source").agg(
-        F.pow(F.sum("n_chars"), F.lit(MIX_ALPHA)).alias("w")
+        stable_round(F.pow(F.sum("n_chars"), F.lit(MIX_ALPHA)), 6).alias("w")
     )
     tot = sw.agg(F.sum("w").alias("tw"))
     quota = (
@@ -466,8 +489,6 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells. Both top-10s use the rounded-cosine + vec_id total
     order so the engines rank identical quanta; the final recall join
     is panel-sized."""
-    from kafka_go_streamer_spark.plans.scale_ops import IVF_CENTROID_IDS
-
     emb = load_table(spark, sf_dir, "embeddings")
     cells = _ivf_cells(spark, sf_dir)
     cents = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
@@ -544,17 +565,6 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.count("c_vec_id") / 10.0, 2).alias("recall_at_10"),
         )
     )
-
-
-from kafka_go_streamer_spark.operators.dedup import (  # noqa: E402
-    connected_components,
-    minhash_lsh_pairs,
-    minhash_lsh_pairs_sql,
-    shingles,
-    shingles_sql,
-)
-from kafka_go_streamer_spark.plans.text import prep_survivors  # noqa: E402
-from kafka_go_streamer_spark.sources.tables import fan_out  # noqa: E402
 
 
 @query(
@@ -678,8 +688,6 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it Catalyst re-inlines the whole gate+dedup chain into each one
     # (the Spark analogue of the DuckDB CTE re-inlining the oracle's
     # MATERIALIZED hints fix; measured 7.4s -> 6.2s at sf0.1)
-    from kafka_go_streamer_spark.operators.iterate import pinned
-
     surv_docs = pinned(surv.join(docs.select("doc_id", "text"), "doc_id"))
     pairs = minhash_lsh_pairs(
         surv_docs.select("doc_id", "text"), "doc_id", "text",
@@ -715,12 +723,6 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack_group, PACK_SCHEMA)
     )
 
-
-from kafka_go_streamer_spark.plans.text import (  # noqa: E402
-    BM25_B,
-    BM25_K1,
-    BM25_TERMS,
-)
 
 #: Hybrid retrieval: BM25 candidate pool size and the RRF damping
 #: constant (60 is the canonical value from the original RRF paper).
@@ -803,8 +805,6 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments order by rounded scores + doc_id so the engines fuse
     identical permutations; RRF itself is exact rational arithmetic in
     doubles."""
-    from kafka_go_streamer_spark.sources.tables import fan_out
-
     d = load_table(spark, sf_dir, "documents")
     w = fan_out(d).select(
         "doc_id", F.explode(X.words(F.col("text"))).alias("w")

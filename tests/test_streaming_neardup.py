@@ -66,7 +66,10 @@ def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path, n_batches):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    # awaitTermination(timeout) returns False on timeout — assert it so
+    # a slow machine fails with a clear timeout, not a confusing
+    # partial-sink set mismatch below
+    assert q.awaitTermination(240), "stream did not finish within 240s"
 
     got = {r["doc_id"] for r in spark.read.parquet(out_sink).collect()}
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)

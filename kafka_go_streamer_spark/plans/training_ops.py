@@ -54,9 +54,14 @@ PACK_CAP = 256
 #: reaches the Arrow fold is HARD-bounded regardless of how many
 #: documents a source has — no single source ever materializes as one
 #: task's group (the 100 TB failure mode of groupBy(source) alone).
-#: 100 keeps several shards live at test scale; production would use
-#: ~1e6 (a few hundred MB of (id, token) triples per group).
-PACK_SHARD_SPAN = 100
+#: Sizing: per-GROUP Arrow/pandas overhead is ~6 ms (measured: span 100
+#: over sf0.1's 5000 docs made 500 groups and cost 3.0 s vs 0.46 s at
+#: span 1000), so the span must keep groups >> that overhead while
+#: still bounding memory; 1000 exercises multiple shards at bench
+#: scale (and the shard-boundary unit test pins the semantics at any
+#: span), production would use ~1e6 (a few hundred MB of (id, token)
+#: triples per group).
+PACK_SHARD_SPAN = 1000
 
 #: Temperature-mixture target sample size and temperature. 0.7 is the
 #: canonical "flatten the source distribution a bit" exponent

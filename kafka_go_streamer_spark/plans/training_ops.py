@@ -32,6 +32,7 @@ from kafka_go_streamer_spark.operators.dedup import (
 )
 from kafka_go_streamer_spark.operators.iterate import pinned
 from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
 from kafka_go_streamer_spark.plans.scale_ops import (
     IVF_CENTROID_IDS,
     _ivf_cells,
@@ -440,7 +441,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_ivf_cells_sql()},
     qs AS (
       SELECT vec_id AS q_id, embedding AS qv
-      FROM embeddings WHERE vec_id % 100 = 0
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {PANEL_MAX_ID}
     ),
     gt AS (
       SELECT q_id, vec_id FROM (
@@ -499,9 +500,9 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
-    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
+    qs = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     wq = Window.partitionBy("q_id")
     gt = (
         emb.crossJoin(F.broadcast(qs))

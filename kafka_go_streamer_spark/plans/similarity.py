@@ -260,10 +260,9 @@ def lsh_bucket_pairs(emb: DataFrame) -> DataFrame:
 NEARDUP_COS_MIN = 0.30
 
 
-@query(
-    "sim_neardup_ivf_cells",
-    oracle=f"""
-    WITH nc AS (
+#: Shared CTE block: IVF cells over embeddings (nc/cents/scored/cells),
+#: used by the pair query below and the embedding drop rule.
+_NEARDUP_CELLS_CTES = f"""nc AS (
       SELECT ceil(sqrt(count(*)))::BIGINT AS c
       FROM embeddings
     ),
@@ -282,7 +281,13 @@ NEARDUP_COS_MIN = 0.30
           PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rn
         FROM scored
       ) WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "sim_neardup_ivf_cells",
+    oracle=f"""
+    WITH {_NEARDUP_CELLS_CTES}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
            round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
     FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -475,4 +480,41 @@ def sim_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", "label", "cos_sim")
+    )
+
+
+@query(
+    "dedup_embedding_drop_rule",
+    oracle=f"""
+    WITH {_NEARDUP_CELLS_CTES},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.embedding', 'b.embedding')} > {NEARDUP_COS_MIN}
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def dedup_embedding_drop_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors under the embedding-cosine near-dup drop rule: a
+    vector drops iff some SMALLER-id vector in its IVF cell is
+    cosine-similar above NEARDUP_COS_MIN — the same monotone keep-first
+    rule as the text-side ``dedup_greedy_drop_rule``, applied to the
+    dense representation. This completes the embedding dedup family:
+    ``sim_neardup_ivf_cells`` finds the pairs, this turns them into a
+    deduped corpus manifest (what a semantic-dedup stage actually
+    emits).
+
+    Scale: inherits the pair stage's IVF blocking (all work is
+    n*sqrt(n)-bounded, no all-pairs anywhere); the rule itself is ONE
+    anti-join of the corpus against the distinct larger-side ids —
+    monotonicity means no fixpoint iteration is needed, unlike the
+    cluster-canonical formulation."""
+    pairs = sim_neardup_ivf_cells(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label").join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
     )

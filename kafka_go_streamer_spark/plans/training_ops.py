@@ -891,3 +891,50 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf"),
     )
+
+
+#: Curriculum phases: training-order buckets per source, highest
+#: quality first. 3 is the conventional easy/medium/hard split.
+CURRICULUM_PHASES = 3
+
+
+@query(
+    "sample_curriculum_phases",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round({X.alpha_ratio_sql('text')}, 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality,
+           ntile({CURRICULUM_PHASES}) OVER (
+             PARTITION BY source
+             ORDER BY quality DESC, doc_id ASC) AS phase
+    FROM scored
+    """,
+)
+def sample_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: split each source's documents into
+    CURRICULUM_PHASES equal-size training phases ordered by a quality
+    score (highest first) — the curriculum-learning prep step that
+    schedules clean data early and noisy data late. The score is the
+    alphabetic-character ratio (the same gate signal the prep pipeline
+    thresholds on), rounded at 6dp so both engines rank identical
+    quanta; (quality DESC, doc_id) is a total order, and ntile's
+    equal-fill semantics are SQL-standard on both engines.
+
+    Scale: ONE window shuffle on source (the same partitioning the
+    packer and mixture sampler use); the score is a codegen'd
+    projection. At corpus scale the rank-based ntile becomes a
+    quantile-threshold assignment (two tiny aggregates, no sort) —
+    same phases, no global ordering."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        stable_round(X.alpha_ratio(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("phase", F.ntile(CURRICULUM_PHASES).over(w))

@@ -68,6 +68,66 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: As-of staleness bound for `join_asof_tolerance` (1 hour): a match
+#: older than this is treated as no match — pd.merge_asof(tolerance=)
+#: / kdb `wj` semantics.
+ASOF_TOLERANCE_S = 3600
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.user_id, e.ts, e.event_id,
+           CASE WHEN p.ts IS NOT NULL
+                 AND date_diff('second', p.ts, e.ts) <= {ASOF_TOLERANCE_S}
+                THEN round(p.purchase_value, 2) END AS purchase_value_asof,
+           CASE WHEN p.ts IS NOT NULL
+                 AND date_diff('second', p.ts, e.ts) <= {ASOF_TOLERANCE_S}
+                THEN p.ts END AS matched_time
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: an event's most recent
+    purchase counts only if it happened within the last hour —
+    ``pd.merge_asof(tolerance=...)`` / kdb window-join semantics, the
+    form feature pipelines actually use ("value of X as of T, but not
+    staler than d"). On the sf0.01 fixtures the bound bites hard
+    (9,451 of 10,000 events have SOME prior purchase; 2,114 within
+    the hour), so the tolerance path is genuinely exercised, not
+    vacuously true.
+
+    Scale: identical plan to ``join_asof_last_purchase`` — the
+    tolerance is a post-window projection over the carried match
+    struct (operators/asof.py), zero extra shuffles. Both engines
+    compare whole-second differences of the same matched row."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        tolerance_seconds=ASOF_TOLERANCE_S,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        stable_round(F.col("purchase_value_asof"), 2).alias(
+            "purchase_value_asof"
+        ),
+        "matched_time",
+    )
+
+
 #: (band_name, lo, hi) — deliberately non-uniform widths so the band
 #: lookup is a genuine range join, not a computable bin.
 QUANTITY_BANDS = [("low", 1.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 51.0)]

@@ -81,6 +81,12 @@ HEADLINE = [
     "pipeline_pretraining_full",
     "retrieval_hybrid_rrf",
     "events_funnel_conversion",
+    # round-6 additions (appended, common prefix still comparable): the
+    # embedding-side dedup manifest (IVF-blocked anti-join), the
+    # tolerance-bounded as-of join, and curriculum-phase assignment
+    "dedup_embedding_drop_rule",
+    "join_asof_tolerance",
+    "sample_curriculum_phases",
 ]
 
 

@@ -353,3 +353,12 @@ def test_profile_stats_single_scan(spark, sf_dir):
     plan = physical_plan(QUERIES["profile_table_stats"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Union" not in plan
+
+
+def test_lsh_pairs_cap_shares_bucket_exchange(spark, sf_dir):
+    """The frequency cap's window count must ride the SAME (band, key)
+    exchange as the bucket group-by — exactly two hash exchanges in the
+    whole plan: the bucket shuffle and the final cross-band pair dedup.
+    A third would mean the cap added its own shuffle."""
+    plan = physical_plan(QUERIES["sim_lsh_bucket_pairs"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -32,12 +32,18 @@ queries).
 
 from __future__ import annotations
 
+import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.functions.vectors import (
+    cosine as vec_cosine,
+    norm as vec_norm,
+)
 from kafka_go_streamer_spark.operators.kmeans import (
     assign_nearest,
     explode_vectors,
@@ -52,6 +58,56 @@ def centroids_path(base: str) -> str:
 
 def vectors_path(base: str) -> str:
     return os.path.join(base, "vectors")
+
+
+def default_index_base(sf_dir: str) -> str:
+    """Deterministic per-corpus index location: one directory per source
+    sf_dir under ``$SPARK_GRAFT_IVF_DIR`` (default: a tmp-dir cache).
+    This is where the registered store-probe query persists its build so
+    repeated probes — the online path — never pay training again."""
+    root = os.environ.get("SPARK_GRAFT_IVF_DIR") or os.path.join(
+        tempfile.gettempdir(), "kgs_ivf_store"
+    )
+    key = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    return os.path.join(root, key)
+
+
+def _source_fingerprint(sf_dir: str) -> dict:
+    """Size+mtime of the embeddings fixture — enough to notice the
+    driver regenerating testdata under an unchanged path."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return {"size": st.st_size, "mtime": int(st.st_mtime)}
+    except OSError:
+        return {"size": -1, "mtime": -1}
+
+
+def ensure_ivf_index(
+    emb: DataFrame, sf_dir: str, iters: int = 2, k: int | None = None
+) -> str:
+    """Build the IVF index for ``sf_dir`` exactly once (offline step),
+    returning its base path. A fingerprint sidecar invalidates the cache
+    if the source fixture changes; otherwise every later call is a pure
+    read — the offline-train / online-probe split at the API level."""
+    base = default_index_base(sf_dir)
+    marker = os.path.join(base, "_fingerprint.json")
+    fp = _source_fingerprint(sf_dir)
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (centroids_path(base), vectors_path(base))
+    )
+    if done and os.path.exists(marker):
+        try:
+            if json.load(open(marker)) == fp:
+                return base
+        except (OSError, ValueError):
+            pass
+    build_ivf_index(emb, base, iters=iters, k=k)
+    os.makedirs(base, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump(fp, f)
+    return base
 
 
 def train_centroids(
@@ -122,6 +178,8 @@ def probe_ivf_index(
     it the probe would scan every cell directory despite the join."""
     q = _query_long(spark, qv)
     q_norm = float(sum(v * v for v in qv)) ** 0.5
+    if q_norm == 0.0:
+        raise ValueError("probe_ivf_index: zero-norm query vector")
 
     cents = spark.read.parquet(centroids_path(base))
     scored = (
@@ -165,12 +223,85 @@ def probe_ivf_index(
             lambda acc, x: acc + x * x,
         )
     )
+    # zero-norm stored vectors would score NaN (which Spark sorts above
+    # every double) — drop them before the cosine instead of letting a
+    # degenerate vector outrank every real match
     return (
         vecs.join(F.broadcast(top_cells), "cell")
+        .filter(vnorm > 0)
         .select(
             "vec_id",
             "cell",
             stable_round(dot / (vnorm * F.lit(q_norm)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(topk)
+    )
+
+
+def probe_ivf_store(
+    spark: SparkSession,
+    base: str,
+    q_emb: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    exclude_id: int | None = None,
+    min_cell_sim: float = -1.0,
+) -> DataFrame:
+    """In-plan variant of :func:`probe_ivf_index`: the query vector is a
+    ONE-ROW DataFrame with a single array column ``qv`` (e.g. selected
+    out of the corpus, or parallelize'd from a client request), so the
+    whole probe — centroid ranking, cell selection, in-cell scoring —
+    stays inside one Spark plan with no driver-side collect at all.
+
+    Same physical shape as the literal path: centroid ranking is k-row
+    work against the broadcast exploded query; the top-``nprobe`` cell
+    ids broadcast into the cell-PARTITIONED vectors table where dynamic
+    partition pruning bounds the scan (tests/test_ivf_store.py asserts
+    ``dynamicpruning`` on this plan too); top-k compiles to
+    TakeOrderedAndProject. Zero-norm stored vectors are dropped before
+    the cosine (NaN would sort above every real score)."""
+    q_long = q_emb.select(
+        F.posexplode(F.col("qv").cast("array<double>")).alias("pos", "q")
+    )
+    qn = q_long.agg(F.sqrt(F.sum(F.col("q") * F.col("q"))).alias("qn"))
+
+    cents = spark.read.parquet(centroids_path(base))
+    scored = (
+        cents.join(F.broadcast(q_long), "pos")
+        .groupBy("cid")
+        .agg(
+            F.sum(F.col("c") * F.col("q")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "cid",
+            stable_round(
+                F.col("dot") / (F.sqrt("cc") * F.col("qn")), 6
+            ).alias("qsim"),
+        )
+    )
+    top_cells = (
+        scored.filter(F.col("qsim") > F.lit(min_cell_sim))
+        .orderBy(F.col("qsim").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(F.col("cid").alias("cell"))
+    )
+
+    vecs = spark.read.parquet(vectors_path(base))
+    if exclude_id is not None:
+        vecs = vecs.filter(F.col("vec_id") != exclude_id)
+    return (
+        vecs.join(F.broadcast(top_cells), "cell")
+        .crossJoin(F.broadcast(q_emb.select("qv")))
+        .filter(vec_norm(F.col("embedding")) > 0)
+        .select(
+            "vec_id",
+            "cell",
+            stable_round(
+                vec_cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(topk)

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
+from kafka_go_streamer_spark.operators.ivf_store import (
+    ensure_ivf_index,
+    probe_ivf_store,
+)
 from kafka_go_streamer_spark.operators.kmeans import lloyd, lloyd_ctes, lloyd_sql
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
@@ -347,6 +351,77 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
+    )
+
+
+def _store_probe_sql() -> str:
+    ctes, final = lloyd_ctes("embeddings", "(SELECT k FROM kk)", iters=2)
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH kk AS (SELECT ceil(sqrt(count(*)))::BIGINT AS k FROM embeddings),
+    {joined_ctes},
+    cells AS (
+      SELECT a.vec_id, a.cid AS cell, e.embedding
+      FROM ({final}) a JOIN embeddings e USING (vec_id)
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qlong AS (
+      SELECT (generate_subscripts(embedding, 1) - 1)::INTEGER AS pos,
+             unnest(embedding)::DOUBLE AS q
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qn AS (SELECT sqrt(sum(q * q)) AS qn FROM qlong),
+    cellrank AS (
+      SELECT c.cid,
+             round(sum(c.c * ql.q)
+                   / (sqrt(sum(c.c * c.c)) * (SELECT qn FROM qn)), 6)
+               AS qsim
+      FROM cent2 c JOIN qlong ql USING (pos)
+      GROUP BY c.cid
+    ),
+    topcells AS (
+      SELECT cid AS cell FROM cellrank WHERE qsim > -1.0
+      ORDER BY qsim DESC, cid ASC LIMIT 2
+    )
+    SELECT cl.vec_id, cl.cell,
+           round(({cosine_sql('cl.embedding', 'q.qv')}), 6) AS cos_sim
+    FROM cells cl JOIN topcells USING (cell) CROSS JOIN q
+    WHERE cl.vec_id <> 0
+    ORDER BY cos_sim DESC, cl.vec_id ASC
+    LIMIT 5
+    """
+
+
+@query("ann_ivf_store_probe", oracle=_store_probe_sql())
+def ann_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search against the MATERIALIZED IVF index — the production
+    offline-train / online-probe split the inline-training query
+    (``ann_ivf_search_trained``) only documents. The first invocation
+    per corpus pays Lloyd training ONCE and persists the artifact
+    (operators/ivf_store.py: trained centroids + a cell-PARTITIONED
+    vectors table); every later probe is pure online work: rank the k
+    stored centroids against the query (k-row job), broadcast the top
+    nprobe=2 cell ids into the partitioned store — dynamic partition
+    pruning bounds the scan to those cells' directories — and take the
+    cosine top-5 within them.
+
+    This replaces the inline-training query in the bench headline: that
+    path re-ran n·sqrt(n) training per invocation and measured x17 wall
+    at x10 data (BENCH_SCALEUP r6); the probe's online cost is
+    ~nprobe·sqrt(n) scoring rows. The query vector (vec_id 0) stays
+    inside the plan — no driver collect anywhere (probe_ivf_store).
+
+    Oracle note: nprobe=2 probes the two best TRAINED cells by centroid
+    cosine, so unlike the inline query (nprobe=1 on the query's own
+    cell) the SQL twin ranks cells explicitly; both engines rank the
+    ROUNDED centroid cosine with cid tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = ensure_ivf_index(emb, sf_dir, iters=2)
+    q_emb = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return probe_ivf_store(
+        spark, base, q_emb, nprobe=2, topk=5, exclude_id=0
     )
 
 

@@ -557,15 +557,21 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= 10)
-        .select("q_id", F.col("vec_id").alias("c_vec_id"))
+        # rename BOTH join keys: gt and cand share lineage (same emb
+        # scan), so joining on same-named columns builds trivially-true
+        # predicates (Spark disambiguates but warns three times per run)
+        .select(
+            F.col("q_id").alias("c_q_id"), F.col("vec_id").alias("c_vec_id")
+        )
     )
     return (
         gt.join(
             cand,
-            (gt.q_id == cand.q_id) & (gt.vec_id == cand.c_vec_id),
+            (F.col("q_id") == F.col("c_q_id"))
+            & (F.col("vec_id") == F.col("c_vec_id")),
             "left",
         )
-        .groupBy(gt.q_id)
+        .groupBy("q_id")
         .agg(
             F.count("c_vec_id").alias("n_hits"),
             stable_round(F.count("c_vec_id") / 10.0, 2).alias("recall_at_10"),

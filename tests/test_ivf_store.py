@@ -13,7 +13,9 @@ from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.vectors import cosine
 from kafka_go_streamer_spark.operators.ivf_store import (
     build_ivf_index,
+    ensure_ivf_index,
     probe_ivf_index,
+    probe_ivf_store,
     train_centroids,
     vectors_path,
 )
@@ -60,20 +62,25 @@ def test_build_probe_matches_inline_computation(spark, tmp_path):
     q = with_cell.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec"), F.col("cell").alias("qc")
     )
-    qcells = (
-        with_cell.select("cell", "embedding")
-        .crossJoin(F.broadcast(q.select("qvec")))
-        .groupBy("cell")
-        .count()
-    )
-    # rank cells by centroid cosine exactly as the store does
-    top_cells = {
-        r["cell"]
-        for r in probe_ivf_index(spark, base, qv, nprobe=2, topk=5)
-        .select("cell")
-        .distinct()
-        .collect()
-    }
+    # rank cells INDEPENDENTLY of the probe under test: centroid cosine
+    # vs the query computed from the trained long-form centroids in
+    # plain python, so the cell-selection half of the probe is checked
+    # against something that shares no code with it
+    import math
+
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in cents.collect():
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+    qn = math.sqrt(sum(v * v for v in qv))
+
+    def _cell_cos(d: dict[int, float]) -> float:
+        dotp = sum(c * qv[p] for p, c in d.items())
+        cc = math.sqrt(sum(c * c for c in d.values()))
+        return dotp / (cc * qn)
+
+    ranked = sorted(by_cid, key=lambda cid: (-_cell_cos(by_cid[cid]), cid))
+    top_cells = set(ranked[:2])
+    assert {cell for (_vid, cell, _sim) in got} <= top_cells
     want = [
         (r["vec_id"], r["cell"], r["cos_sim"])
         for r in with_cell.filter(
@@ -122,3 +129,109 @@ def test_probe_plan_uses_dynamic_partition_pruning(spark, tmp_path):
     df = probe_ivf_index(spark, base, _qv(spark), nprobe=2, topk=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_inplan_probe_matches_literal_probe(spark, tmp_path):
+    """probe_ivf_store (query vector kept inside the plan) must return
+    exactly what the literal-vector probe returns, and its scan must
+    also be dynamically pruned — the registered store-probe query runs
+    this path."""
+    base = str(tmp_path / "ivf")
+    emb = _load_emb(spark)
+    build_ivf_index(emb, base)
+    qv = _qv(spark)
+    want = [
+        (r["vec_id"], r["cell"], r["cos_sim"])
+        for r in probe_ivf_index(
+            spark, base, qv, nprobe=2, topk=5, exclude_id=0
+        ).collect()
+    ]
+    q_emb = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    df = probe_ivf_store(spark, base, q_emb, nprobe=2, topk=5, exclude_id=0)
+    got = [(r["vec_id"], r["cell"], r["cos_sim"]) for r in df.collect()]
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_probe_drops_zero_norm_vectors(spark, tmp_path):
+    """A zero-norm stored vector must never appear in the top-k (its
+    cosine is NaN, which would otherwise sort above every real score),
+    and a zero-norm query is rejected outright."""
+    import pytest
+
+    base = str(tmp_path / "ivf")
+    rows = []
+    for i in range(10):
+        if i == 7:
+            vec = [0.0, 0.0, 0.0, 0.0]
+        else:
+            vec = [float(i + 1), 1.0, 0.5 * i, 0.25]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    build_ivf_index(emb, base)
+    got = probe_ivf_index(
+        spark, base, [1.0, 0.0, 0.0, 0.0], nprobe=10, topk=10
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 7 not in ids
+    assert all(r["cos_sim"] == r["cos_sim"] for r in got)  # no NaN
+    with pytest.raises(ValueError):
+        probe_ivf_index(spark, base, [0.0, 0.0, 0.0, 0.0])
+
+
+def test_ensure_index_builds_once_and_detects_staleness(
+    spark, tmp_path, monkeypatch
+):
+    """ensure_ivf_index: second call is a pure cache hit (the artifact
+    is not rewritten); a changed source fingerprint triggers a rebuild."""
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_DIR", str(tmp_path / "cache"))
+    src = tmp_path / "corpus"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", src / "embeddings.parquet")
+    emb = spark.read.parquet(str(src / "embeddings.parquet"))
+
+    base = ensure_ivf_index(emb, str(src))
+    marker = os.path.join(vectors_path(base), "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    assert ensure_ivf_index(emb, str(src)) == base
+    assert os.path.getmtime(marker) == mtime  # untouched: cache hit
+
+    os.utime(src / "embeddings.parquet")  # fingerprint changes
+    ensure_ivf_index(emb, str(src))
+    assert os.path.getmtime(marker) > mtime  # rebuilt
+
+
+def test_index_survives_session_boundary_sf01(spark, tmp_path, monkeypatch):
+    """The production lifecycle contract: build the index once at
+    sf0.1, then probe it from a FRESH session (new session state — no
+    temp views, caches, or session confs from the build survive) and
+    assert the probe still answers AND still compiles to a
+    dynamically-pruned scan of the persisted store."""
+    monkeypatch.setenv("SPARK_GRAFT_IVF_DIR", str(tmp_path / "cache"))
+    sf_dir = "/root/testdata/sf0.1"
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = ensure_ivf_index(emb, sf_dir)
+
+    fresh = spark.newSession()
+    qv = [
+        float(x)
+        for x in load_table(fresh, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    df = probe_ivf_index(fresh, base, qv, nprobe=2, topk=5, exclude_id=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = df.collect()
+    assert len(got) == 5
+    # scores are real cosines, best-first
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)

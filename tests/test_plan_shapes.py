@@ -357,8 +357,10 @@ def test_profile_stats_single_scan(spark, sf_dir):
 
 def test_lsh_pairs_cap_shares_bucket_exchange(spark, sf_dir):
     """The frequency cap's window count must ride the SAME (band, key)
-    exchange as the bucket group-by — exactly two hash exchanges in the
-    whole plan: the bucket shuffle and the final cross-band pair dedup.
-    A third would mean the cap added its own shuffle."""
+    exchange as the bucket group-by: at most two hash exchanges in the
+    whole plan (the bucket shuffle and the final cross-band pair
+    dedup). More would mean the cap added its own shuffle. Upper bound
+    rather than exact count so planner-side exchange renames/merges
+    across Spark versions don't fail the test spuriously."""
     plan = physical_plan(QUERIES["sim_lsh_bucket_pairs"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") <= 2

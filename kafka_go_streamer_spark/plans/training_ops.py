@@ -944,3 +944,80 @@ def sample_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality").desc(), F.col("doc_id").asc()
     )
     return scored.withColumn("phase", F.ntile(CURRICULUM_PHASES).over(w))
+
+
+#: Interior quantile cut points for the 3-phase curriculum, spelled as
+#: exact double literals so Spark and DuckDB interpolate from the SAME
+#: percentage values.
+_CURR_Q_HIGH = 2.0 / 3.0
+_CURR_Q_LOW = 1.0 / 3.0
+
+
+@query(
+    "sample_curriculum_phases_quantile",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round({X.alpha_ratio_sql('text')}, 6) AS quality
+      FROM documents
+    ),
+    th AS (
+      SELECT source,
+             round(quantile_cont(quality, {_CURR_Q_HIGH!r}), 6) AS t_high,
+             round(quantile_cont(quality, {_CURR_Q_LOW!r}), 6) AS t_low
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality,
+           CASE WHEN s.quality >= th.t_high THEN 1
+                WHEN s.quality >= th.t_low THEN 2
+                ELSE 3 END AS phase
+    FROM scored s JOIN th USING (source)
+    """,
+)
+def sample_curriculum_phases_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-threshold curriculum assignment — the corpus-scale form
+    the ntile query's docstring commits to: instead of ranking every
+    document inside its source (a full per-source sort through ONE
+    reducer — the toy-scale convenience), compute the two interior
+    quality quantiles per source with ONE aggregate and assign phases
+    by comparing each document against its source's thresholds via a
+    broadcast join. No global ordering anywhere; the corpus is scanned
+    once for scoring and once for assignment.
+
+    Phase semantics: 1 = top third by quality (trains first), ties at a
+    threshold promote UP (>=) — so phase sizes can deviate from n/3 by
+    the tie mass, which is the standard price of the sort-free form
+    (tests pin that it agrees with ntile everywhere off the
+    boundaries). Both engines interpolate quantiles linearly at
+    p*(n-1) from identical double percentages and round thresholds at
+    6dp, so the cut points are bit-identical.
+
+    At 10^11 documents the exact per-source percentile buffer becomes
+    the bottleneck; the drop-in swap is ``F.approx_percentile``
+    (mergeable t-digest, bounded state) with identical plan shape —
+    the assignment side never changes."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        stable_round(X.alpha_ratio(F.col("text")), 6).alias("quality"),
+    )
+    th = scored.groupBy("source").agg(
+        stable_round(
+            F.percentile(F.col("quality"), F.lit(_CURR_Q_HIGH)), 6
+        ).alias("t_high"),
+        stable_round(
+            F.percentile(F.col("quality"), F.lit(_CURR_Q_LOW)), 6
+        ).alias("t_low"),
+    )
+    return scored.join(F.broadcast(th), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(F.col("quality") >= F.col("t_high"), F.lit(1))
+        .when(F.col("quality") >= F.col("t_low"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("phase"),
+    )

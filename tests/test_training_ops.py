@@ -171,3 +171,65 @@ def test_pack_group_invariants(tokens):
     for r in out.itertuples(index=False):
         if r.seq_id > 0 and r.seq_offset == 0:
             assert fills[r.seq_id - 1] + r.n_tokens > PACK_CAP
+
+
+def test_curriculum_quantile_agrees_with_ntile_off_boundaries(spark, sf_dir):
+    """The sort-free quantile-threshold curriculum must assign the same
+    phase as the ntile form for every document except where boundary
+    ties make the two definitions legitimately diverge: a doc whose
+    quality EQUALS a source threshold (the >= rule promotes it up while
+    ntile splits by rank), or a quality value that ntile itself splits
+    across two phases."""
+    import numpy as np
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.plans.training_ops import (
+        _CURR_Q_HIGH,
+        _CURR_Q_LOW,
+    )
+
+    nt = {
+        r["doc_id"]: (r["source"], r["quality"], r["phase"])
+        for r in QUERIES["sample_curriculum_phases"](spark, sf_dir).collect()
+    }
+    qt = {
+        r["doc_id"]: r["phase"]
+        for r in QUERIES["sample_curriculum_phases_quantile"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert nt.keys() == qt.keys()
+    assert set(qt.values()) <= {1, 2, 3}
+
+    # independent thresholds per source (numpy linear interpolation,
+    # same p*(n-1) rule both engines use), rounded like the queries
+    by_source: dict[str, list[float]] = {}
+    for src, quality, _ in nt.values():
+        by_source.setdefault(src, []).append(quality)
+    th = {
+        src: (
+            round(np.percentile(vals, _CURR_Q_HIGH * 100) + 5e-9, 6),
+            round(np.percentile(vals, _CURR_Q_LOW * 100) + 5e-9, 6),
+        )
+        for src, vals in by_source.items()
+    }
+    # quality values ntile splits across >1 phase (rank-tie mass)
+    split: dict[tuple[str, float], set[int]] = {}
+    for src, quality, phase in nt.values():
+        split.setdefault((src, quality), set()).add(phase)
+
+    mismatches = 0
+    for doc_id, (src, quality, nphase) in nt.items():
+        if qt[doc_id] == nphase:
+            continue
+        mismatches += 1
+        t_high, t_low = th[src]
+        on_boundary = quality in (t_high, t_low)
+        tie_split = len(split[(src, quality)]) > 1
+        assert on_boundary or tie_split, (
+            f"doc {doc_id} (src={src}, q={quality}): ntile={nphase} "
+            f"quantile={qt[doc_id]} but not a boundary/tie case "
+            f"(th={th[src]})"
+        )
+    # the two forms must agree on the bulk of the corpus
+    assert mismatches <= max(3, len(nt) // 20)

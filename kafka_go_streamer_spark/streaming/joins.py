@@ -75,3 +75,77 @@ def stream_stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(max_delay))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def stream_stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    tolerance: str = "INTERVAL 1 HOUR",
+    agg_window: str = "1 hour",
+) -> DataFrame:
+    """Streaming as-of join: for each left event, the LATEST right event
+    with ``right_ts`` in ``[left_ts - tolerance, left_ts]`` per ``key``
+    — the streaming twin of ``operators/asof.asof_join`` with a
+    tolerance bound (every match is staleness-bounded, which is also
+    what keeps the state finite).
+
+    Construction (chained stateful operators, append mode):
+
+    1. watermarked stream-stream INTERVAL join emits every candidate
+       (left, right) pair inside the tolerance window — state on both
+       sides is evicted past (watermark + tolerance);
+    2. a windowed aggregation picks ``max(struct(right_ts, values))``
+       per left event — last-within-tolerance with a deterministic
+       lexicographic tiebreak on the value columns at equal
+       timestamps. The group key is every left column except the event
+       time plus a tumbling ``window(left_ts)`` (Spark admits at most
+       ONE event-time column through an aggregation), so the left side
+       must carry a unique event identifier; the aggregation satisfies
+       append-mode's event-time requirement and its state is likewise
+       watermark-evicted.
+
+    Inner semantics: a left event with NO right event inside its
+    tolerance window does not appear (the batch operator instead emits
+    it with NULL match columns — streaming cannot, because "no match"
+    is only decidable once the watermark passes, which is exactly what
+    the aggregation's window already waits for; use the batch operator
+    under foreachBatch if NULL rows are required).
+
+    Results for a left window emit once the watermark passes its end —
+    bounded lateness end-to-end, the same contract as every windowed
+    aggregation in this package.
+    """
+    lw = _event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _event_time(right, right_ts).withWatermark(right_ts, watermark)
+    right_vals = [c for c in right.columns if c not in (key, right_ts)]
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(tolerance))
+    )
+    joined = lw.join(rw, cond, "inner").drop(rw[key])
+    left_cols = list(left.columns)
+    # the group key is every left column EXCEPT the event time (Spark
+    # allows at most one event-time column through an aggregation, and
+    # window(left_ts) is it) — so the left side MUST carry a unique
+    # event identifier among its other columns; left_ts is constant per
+    # left event and comes back via max()
+    group_keys = [c for c in left_cols if c != left_ts]
+    best = F.max(
+        F.struct(
+            F.col(right_ts).alias("_mt"),
+            *[F.col(c).alias(c) for c in right_vals],
+        )
+    ).alias("_m")
+    out = joined.groupBy(
+        *group_keys, F.window(F.col(left_ts), agg_window).alias("_w")
+    ).agg(F.max(F.col(left_ts)).alias(left_ts), best)
+    return out.select(
+        *left_cols,
+        *[F.col("_m")[c].alias(f"{c}_asof") for c in right_vals],
+        F.col("_m")["_mt"].alias("matched_time"),
+    )

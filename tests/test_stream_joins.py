@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.sources.tables import _fix_nanos, load_table
 from kafka_go_streamer_spark.streaming.joins import (
     stream_static_enrich,
+    stream_stream_asof_join,
     stream_stream_interval_join,
 )
 
@@ -110,4 +111,99 @@ def test_stream_stream_interval_join_matches_batch(
         for r in want_df.select("click_id", "purchase_id").collect()
     }
     assert want, "calibration: batch twin must produce pairs"
+    assert got == want
+
+
+def test_stream_stream_asof_join_matches_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """The watermarked streaming as-of (interval join +
+    last-within-tolerance aggregation) must produce exactly the batch
+    answer: for every purchase, the latest click by the same user
+    within the hour before it. A far-future sentinel row on each side
+    pushes the final watermark past every real window so append mode
+    emits the complete result under availableNow."""
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return purchases, clicks
+
+    # watermark-advancing sentinel: one purchase + one click far past
+    # the fixture's time range, on a user id no real event uses —
+    # derived from the fixture itself so the parquet schema (incl. the
+    # NTZ timestamp type) matches the stream's declared schema exactly
+    batch_events = load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    top = (
+        raw.orderBy(F.col("ts").desc())
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("user_id", F.lit(10**9).cast("bigint"))
+    )
+    sentinel = top.withColumn("event_type", F.lit("purchase")).union(
+        top.withColumn("event_type", F.lit("click"))
+    )
+    sentinel.write.mode("append").parquet(events_stream_dir)
+
+    stream = _events_stream(spark, sf_dir, events_stream_dir)
+    s_purch, s_clicks = split(stream)
+    joined = stream_stream_asof_join(
+        s_purch,
+        s_clicks,
+        key="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        watermark="1 hour",
+        tolerance="INTERVAL 1 HOUR",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("asof_attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = spark.sql(
+        "SELECT purchase_id, click_id_asof, matched_time"
+        " FROM asof_attributed WHERE user_id < 1000000000"
+    ).collect()
+
+    # batch twin: identical predicates, last-by-(r_ts, click_id)
+    b_purch, b_clicks = split(batch_events)
+    pairs = b_purch.join(
+        b_clicks,
+        (b_purch.user_id == b_clicks.user_id)
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).drop(b_clicks.user_id)
+    want_rows = (
+        pairs.groupBy("user_id", "purchase_id", "l_ts")
+        .agg(F.max(F.struct(F.col("r_ts"), F.col("click_id"))).alias("m"))
+        .select(
+            "purchase_id",
+            F.col("m.click_id").alias("click_id_asof"),
+            F.col("m.r_ts").alias("matched_time"),
+        )
+        .collect()
+    )
+    want = {
+        (r["purchase_id"], r["click_id_asof"], r["matched_time"])
+        for r in want_rows
+    }
+    got = {
+        (r["purchase_id"], r["click_id_asof"], r["matched_time"])
+        for r in got_rows
+    }
+    assert want, "calibration: batch twin must produce matches"
     assert got == want

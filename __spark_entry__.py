@@ -106,13 +106,29 @@ DEMOTED = (
     "text_chunking",
 )
 
+# Queries whose CODE changed this round despite already holding a green
+# driver verdict: forced to the front of the window so the verdict
+# can't go stale (rotation discipline — a green row must describe the
+# code as it exists now).
+#   ann_recall_multiprobe: round 7 aliased both sides of its self-join
+#   dedup_embedding_drop_rule: round 7 rebuilt it store-backed +
+#     rep-capped after the scale-up measured the r6 form at x18.7
+ROTATE_FRONT = (
+    "ann_recall_multiprobe",
+    "dedup_embedding_drop_rule",
+)
+
 
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
-    unverified = [n for n in names if n not in DRIVER_VERIFIED and n not in DEMOTED]
-    demoted = [n for n in DEMOTED if n in names and n not in DRIVER_VERIFIED]
-    verified = [n for n in names if n in DRIVER_VERIFIED]
-    return unverified + demoted + verified
+    front = [n for n in ROTATE_FRONT if n in names]
+    rest = [n for n in names if n not in front]
+    unverified = [
+        n for n in rest if n not in DRIVER_VERIFIED and n not in DEMOTED
+    ]
+    demoted = [n for n in DEMOTED if n in rest and n not in DRIVER_VERIFIED]
+    verified = [n for n in rest if n in DRIVER_VERIFIED]
+    return front + unverified + demoted + verified
 
 
 def entry(spark: SparkSession) -> DataFrame:

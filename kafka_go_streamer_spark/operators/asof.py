@@ -94,6 +94,13 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        # Tolerance is counted in whole-second boundaries via cast-to-
+        # long truncation, matching DuckDB date_diff('second') for
+        # NON-NEGATIVE epochs (both truncate toward zero there).
+        # Precondition: timestamps >= 1970-01-01 — for sub-second
+        # pre-epoch values Spark's truncation rounds toward zero while
+        # DuckDB counts boundary crossings, shifting the verdict by one
+        # second.
         within = (
             F.col(on).cast("long") - F.col("_match_time").cast("long")
             <= tolerance_seconds

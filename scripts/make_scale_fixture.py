@@ -81,6 +81,17 @@ def replicate(src: str, dst: str, factor: int) -> None:
                     sel.append(f"text || ' rep{i}' AS text")
                 elif t == "documents" and c == "n_chars" and i > 0:
                     sel.append(f"length(text || ' rep{i}') AS n_chars")
+                elif t == "embeddings" and c == "embedding" and i > 0:
+                    # mirror the text suffix on the vector side: nudge
+                    # the first component per copy so cross-copy vectors
+                    # are NEAR- rather than exact duplicates — byte-
+                    # identical replicas would pile every copy into the
+                    # same LSH bucket / IVF cell and make similarity
+                    # scale-up timings unrepresentative
+                    sel.append(
+                        "list_prepend((embedding[1] + "
+                        f"{i} * 0.001)::FLOAT, embedding[2:]) AS embedding"
+                    )
                 else:
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{src_pq}'")

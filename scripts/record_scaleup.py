@@ -33,7 +33,9 @@ def main() -> None:
         "note": (
             "same-machine back-to-back runs; sf1 synthesized by "
             "scripts/make_scale_fixture.py (10x key-shifted replication "
-            "of the sf0.1 driver fixtures, per-copy text perturbation)"
+            "of the sf0.1 driver fixtures, per-copy text AND embedding "
+            "perturbation so dedup/similarity see near- not exact "
+            "duplicates)"
         ),
         "data_factor": data_factor,
         "sf_small": small["sf"],

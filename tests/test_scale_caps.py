@@ -206,3 +206,25 @@ def test_lsh_bucket_pairs_under_cap_still_pairs(spark):
     from kafka_go_streamer_spark.plans.similarity import lsh_bucket_pairs
 
     assert lsh_bucket_pairs(_const_embeddings(spark, 5)).count() == 10
+
+
+def test_embedding_drop_rule_cap_inactive_below_cap(spark, sf_dir, monkeypatch, tmp_path):
+    """The rep cap is pure scale protection: wherever every cell fits
+    under NEARDUP_MAX_CELL_REPS (true at the test scales), the capped
+    drop rule must equal the uncapped one — the cap only prunes
+    comparisons that a hot cell would otherwise explode."""
+    monkeypatch.setenv("SPARK_GRAFT_IVF_DIR", str(tmp_path / "ivf"))
+    from kafka_go_streamer_spark.plans.similarity import embedding_drop_rule
+
+    capped = {
+        (r["vec_id"], r["label"])
+        for r in embedding_drop_rule(spark, sf_dir).collect()
+    }
+    uncapped = {
+        (r["vec_id"], r["label"])
+        for r in embedding_drop_rule(
+            spark, sf_dir, max_reps=10**9
+        ).collect()
+    }
+    assert capped == uncapped
+    assert capped  # survivors exist

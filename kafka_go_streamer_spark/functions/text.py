@@ -158,6 +158,49 @@ def bag_fingerprint_sql(expr: str) -> str:
     )
 
 
+def mean_word_len(ws: Column) -> Column:
+    """Mean word length over a pre-bound words array (4 dp)."""
+    total = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return stable_round(total / F.greatest(F.size(ws), F.lit(1)), 4)
+
+
+def mean_word_len_sql(ws_expr: str) -> str:
+    return (
+        f"round(list_sum(list_transform({ws_expr}, w -> length(w))) * 1.0"
+        f" / greatest(len({ws_expr}), 1), 4)"
+    )
+
+
+def alpha_word_ratio(ws: Column) -> Column:
+    """Share of words containing at least one ASCII letter (4 dp) —
+    the Gopher "80% of words contain an alphabetic character" signal."""
+    hits = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    return stable_round(hits / F.greatest(F.size(ws), F.lit(1)), 4)
+
+
+def alpha_word_ratio_sql(ws_expr: str) -> str:
+    return (
+        f"round(len(list_filter({ws_expr}, w -> regexp_matches(w, '[a-z]')))"
+        f" * 1.0 / greatest(len({ws_expr}), 1), 4)"
+    )
+
+
+def symbol_word_ratio(text: Column, ws: Column) -> Column:
+    """(# of '#' chars + '...' occurrences) / word count (4 dp) — the
+    Gopher symbol-to-word screen for boilerplate/markup."""
+    syms = F.regexp_count(text, F.lit(r"#|\.\.\."))
+    return stable_round(syms / F.greatest(F.size(ws), F.lit(1)), 4)
+
+
+def symbol_word_ratio_sql(expr: str, ws_expr: str) -> str:
+    return (
+        f"round(len(regexp_extract_all({expr}, '#|\\.\\.\\.')) * 1.0"
+        f" / greatest(len({ws_expr}), 1), 4)"
+    )
+
+
 #: Winnowing parameters (Schleimer et al., "Winnowing: Local Algorithms
 #: for Document Fingerprinting"): k-gram size and window width. Frozen so
 #: the SQL twin reproduces signatures exactly.

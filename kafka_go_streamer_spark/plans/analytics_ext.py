@@ -823,3 +823,75 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         stable_round(F.col("n") * 1.0 / F.sum("n").over(wn), 4).alias("p"),
     )
+
+
+@query(
+    "merge_upsert_user_state",
+    oracle="""
+    WITH cut AS (
+      SELECT max(ts) - INTERVAL 2 DAY AS c FROM events
+    ),
+    merged AS (
+      SELECT e.user_id,
+             arg_max(e.event_type, e.ts) AS last_event_type,
+             arg_max(e.value, e.ts)      AS last_value,
+             max(e.ts)                                  AS last_ts,
+             bool_or(e.ts <  (SELECT c FROM cut))       AS has_base,
+             bool_or(e.ts >= (SELECT c FROM cut))       AS has_change
+      FROM events e
+      GROUP BY e.user_id
+    )
+    SELECT user_id, last_ts, last_event_type,
+           round(last_value, 4) AS last_value,
+           CASE WHEN has_change AND has_base THEN 'update'
+                WHEN has_change THEN 'insert'
+                ELSE 'carry' END AS op
+    FROM merged
+    """,
+)
+def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert (SCD type 1) as a SINGLE aggregation: maintain a
+    latest-state-per-key table from an event changelog, labeling every
+    key with the merge action a MERGE INTO would have taken against the
+    state as of a cutoff (here max(ts) - 2 days, derived in-plan so the
+    query is fixture-independent): 'update' (state existed, newer
+    change arrived), 'insert' (first events are post-cutoff), 'carry'
+    (no change since cutoff).
+
+    Scale: the naive form is base-vs-changes with a window over each
+    plus a full-outer join — THREE shuffles on user_id. This plan folds
+    all of it into ONE groupBy(user_id): max_by(x, ts) picks the
+    terminal state — deterministic because (user_id, ts) is unique at
+    microsecond precision in this changelog (the natural property of a
+    per-key event log; a real pipeline appends a log sequence number to
+    the ordering key) — while two bool_or's recover which side(s) of
+    the cutoff contributed — the same physical cost as any keyed
+    aggregate, with map-side partial aggregation. The cutoff scalar
+    broadcasts (one tiny agg), never re-scanning events."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("c")
+    )
+    merged = (
+        ev.join(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", F.col("ts")).alias("last_event_type"),
+            F.max_by("value", F.col("ts")).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.max((F.col("ts") < F.col("c")).cast("boolean")).alias("has_base"),
+            F.max((F.col("ts") >= F.col("c")).cast("boolean")).alias(
+                "has_change"
+            ),
+        )
+    )
+    return merged.select(
+        "user_id",
+        "last_ts",
+        "last_event_type",
+        stable_round(F.col("last_value"), 4).alias("last_value"),
+        F.when(F.col("has_change") & F.col("has_base"), "update")
+        .when(F.col("has_change"), "insert")
+        .otherwise("carry")
+        .alias("op"),
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.text import (
     fingerprint,
     fingerprint_sql,
@@ -414,3 +415,95 @@ def dedup_greedy_drop_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
     return batch_drop_rule(docs.select("doc_id"), pairs)
+
+
+#: Duplicated-span parameters: span length in words (the scaled-down
+#: analogue of the "50 consecutive tokens seen elsewhere" rule from
+#: Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+#: Better") — frozen so the SQL twin reproduces spans exactly.
+SPAN_WORDS = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {words_sql('text')} AS ws FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(ws, i, i + {SPAN_WORDS - 1}), ' ')) AS span_h
+      FROM w, unnest(range(1, greatest(len(ws) - {SPAN_WORDS - 1}, 0) + 1))
+           AS t(i)
+    ),
+    stats AS (
+      SELECT span_h, count(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span_h
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_spans,
+             sum(CASE WHEN st.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+      FROM spans s JOIN stats st USING (span_h)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_spans, 0)::BIGINT     AS n_spans,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           round(coalesce(p.n_dup_spans, 0) * 1.0
+                 / greatest(coalesce(p.n_spans, 0), 1), 4) AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the substring-level
+    dedup signal (suffix-array dedup's distributed approximation): for
+    every consecutive SPAN_WORDS-word span, find spans occurring in >= 2
+    distinct documents and report each document's duplicated-span count
+    and coverage ratio. Catches partial overlap (quoted paragraphs,
+    boilerplate headers) that whole-document and bag fingerprints miss.
+
+    Scale shape: spans are built INSIDE the row with a higher-order
+    transform over the bound words array (no shuffle, no lead() window),
+    then exploded once; per-span stats are ONE hash aggregate on the
+    16-byte span hash with map-side combine; the stats join back is
+    hash-on-hash with 1:1 fan (doc pairs are never materialized, so
+    there is no quadratic blow-up no matter how hot a span is); the
+    per-doc rollup reuses the doc_id key. Span hashes, not span text,
+    cross every shuffle.
+    """
+    k = SPAN_WORDS
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    span_arr = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = d.select(
+        "doc_id", F.explode(span_arr).alias("span_h")
+    )
+    stats = spans.groupBy("span_h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        spans.join(stats, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        stable_round(
+            F.coalesce("n_dup_spans", F.lit(0))
+            / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )

@@ -630,3 +630,73 @@ def dedup_embedding_drop_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the cap, where tests pin capped == uncapped. Zero-norm
     vectors join no pairs and always survive."""
     return embedding_drop_rule(spark, sf_dir)
+
+
+#: Random-projection (Johnson–Lindenstrauss sign sketch) parameters:
+#: output dimensionality and the two mixing primes of the deterministic
+#: +/-1 matrix R[pos][j] = sign(((pos*RP_A + j*RP_B) mod 83) mod 2).
+#: Frozen so the SQL twin reproduces the matrix bit-for-bit.
+RP_DIMS = 8
+RP_A = 73856093
+RP_B = 19349663
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH exploded AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    SELECT e.vec_id, j.j,
+           round(sum(CASE WHEN ((e.pos * {RP_A} + j.j * {RP_B}) % 83) % 2 = 0
+                          THEN e.v ELSE -e.v END) / sqrt(64.0), 6) AS proj
+    FROM exploded e, (SELECT unnest(range(0, {RP_DIMS})) AS j) j
+    GROUP BY e.vec_id, j.j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign-sketch dimensionality reduction:
+    project each 64-d embedding to RP_DIMS dimensions through a
+    DETERMINISTIC +/-1 matrix derived arithmetically from (pos, j) — no
+    stored matrix, no rand(), bit-identical on any engine/cluster/rerun.
+    The 8-d sketch preserves pairwise distances within JL error and is
+    the cheap pre-filter stage for the similarity family (score sketches
+    first, re-rank survivors on full vectors).
+
+    Scale shape: each output coordinate is a higher-order fold over the
+    bound embedding array — the whole projection is a NARROW codegen'd
+    row projection with ZERO shuffles and no UDF (contrast with the
+    oracle's explode+regroup, which is the toy-scale relational spelling
+    of the same sum). Long (vec_id, j, proj) output via one posexplode
+    of the 8-element result array."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    projs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, p: F.when(
+                        (
+                            (p.cast("long") * RP_A + F.lit(j * RP_B)) % 83
+                        ) % 2
+                        == 0,
+                        x,
+                    ).otherwise(-x),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(RP_DIMS)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(projs).alias("j", "proj")
+    ).select(
+        "vec_id",
+        "j",
+        stable_round(F.col("proj") / F.lit(8.0), 6).alias("proj"),
+    )

@@ -716,3 +716,70 @@ def sample_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH bound AS (
+      SELECT doc_id, {X.words_sql('text')} AS ws, text FROM documents
+    )
+    SELECT doc_id,
+           len(ws)::INTEGER AS n_words,
+           {X.mean_word_len_sql('ws')} AS mean_word_len,
+           {X.symbol_word_ratio_sql('text', 'ws')} AS symbol_ratio,
+           {X.alpha_word_ratio_sql('ws')} AS alpha_word_ratio,
+           len(list_filter(list_distinct(ws),
+               w -> list_contains(['the','a','of','and','to','in','is','it'], w)
+           ))::INTEGER AS sw_distinct,
+           CASE WHEN len(ws) BETWEEN 50 AND 100000
+                 AND {X.mean_word_len_sql('ws')} BETWEEN 3 AND 10
+                 AND {X.symbol_word_ratio_sql('text', 'ws')} < 0.1
+                 AND {X.alpha_word_ratio_sql('ws')} >= 0.8
+                 AND len(list_filter(list_distinct(ws),
+                     w -> list_contains(['the','a','of','and','to','in','is','it'], w)
+                 )) >= 2
+                THEN 'keep' ELSE 'filter' END AS verdict
+    FROM bound
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, MassiveText) quality rule set:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word share, and distinct-stopword floor, combined into a
+    keep/filter verdict.  Complements ``text_quality`` (char-level
+    alpha ratio) with the document-structure screens production corpus
+    filters actually use.
+
+    Scale: the words array is bound ONCE per row and every rule is a
+    higher-order array expression over it — a pure narrow projection,
+    codegen'd, no shuffle, no UDF; pushes column pruning down to
+    (doc_id, text)."""
+    d = load_table(spark, sf_dir, "documents")
+    sw_en = X.STOPWORDS["en"]
+    bound = d.select(
+        "doc_id", "text", X.words(F.col("text")).alias("ws")
+    )
+    sw_distinct = F.size(
+        F.filter(
+            F.array_distinct(F.col("ws")), lambda w: w.isin(*sw_en)
+        )
+    )
+    scored = bound.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        X.mean_word_len(F.col("ws")).alias("mean_word_len"),
+        X.symbol_word_ratio(F.col("text"), F.col("ws")).alias("symbol_ratio"),
+        X.alpha_word_ratio(F.col("ws")).alias("alpha_word_ratio"),
+        sw_distinct.alias("sw_distinct"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("sw_distinct") >= 2)
+    )
+    return scored.select(
+        "*", F.when(keep, "keep").otherwise("filter").alias("verdict")
+    )

@@ -1021,3 +1021,60 @@ def sample_curriculum_phases_quantile(
         .otherwise(F.lit(3))
         .alias("phase"),
     )
+
+
+#: Weighted-sample size (per corpus) for the Efraimidis–Spirakis query.
+WEIGHTED_K = 20
+
+
+@query(
+    "sample_weighted_hash",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                / 4294967297.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key, rk
+    FROM ranked WHERE rk <= {WEIGHTED_K}
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential race), deterministic: each doc draws a reproducible
+    uniform u from its key hash (first 8 md5 hex chars -> (0,1)) and
+    competes with key ln(u)/w, w = n_chars; the top-k by key IS a
+    w-weighted sample without replacement. Unlike rand()-based samplers
+    the draw is a pure row function — same sample on any cluster size,
+    any partitioning, any rerun — which is what corpus-mixture sampling
+    needs to be auditable.
+
+    Scale: one narrow projection + a global top-k that compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows, no global sort); row_number over the k survivors is driver-
+    side-trivial. ln(u)/w (not u^(1/w)) keeps the key monotone while
+    avoiding pow()'s cross-libm drift."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + 1.0
+    ) / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id", "source", "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    topk = keyed.orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    ).limit(WEIGHTED_K)
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id", "source", "n_chars",
+        stable_round(F.col("es_key"), 6).alias("es_key"),
+        F.row_number().over(w).alias("rk"),
+    )

@@ -364,3 +364,47 @@ def test_lsh_pairs_cap_shares_bucket_exchange(spark, sf_dir):
     across Spark versions don't fail the test spuriously."""
     plan = physical_plan(QUERIES["sim_lsh_bucket_pairs"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_gopher_quality_is_narrow_projection(spark, sf_dir):
+    """Every Gopher rule is a higher-order expression over the bound
+    words array: the whole query must stay a scan -> project with zero
+    Exchange nodes (no shuffle, no UDF at any corpus size)."""
+    plan = physical_plan(QUERIES["text_gopher_quality"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_no_shuffle(spark, sf_dir):
+    """The JL sign sketch is a row-local array fold + posexplode —
+    zero Exchange nodes (the relational explode+regroup spelling is
+    the oracle's job, not the Spark plan's)."""
+    plan = physical_plan(QUERIES["embedding_random_projection"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The Efraimidis-Spirakis top-k must compile to
+    TakeOrderedAndProject (per-partition heaps, no global sort of the
+    corpus)."""
+    plan = physical_plan(QUERIES["sample_weighted_hash"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_upsert_single_aggregate_exchange(spark, sf_dir):
+    """The SCD-1 merge folds base/changes/full-outer-join into ONE
+    groupBy(user_id): exactly one hash-partitioning exchange over the
+    events scan (plus the broadcast of the 1-row cutoff), and no join
+    machinery beyond that broadcast."""
+    plan = physical_plan(QUERIES["merge_upsert_user_state"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_spans_no_pair_explosion(spark, sf_dir):
+    """Duplicated-span detection must never materialize doc x doc
+    pairs: the plan joins span rows 1:1 with per-span stats (hash
+    join on the span hash) — no cartesian/nested-loop node anywhere."""
+    plan = physical_plan(QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -90,6 +90,12 @@ HEADLINE = [
     "dedup_embedding_drop_rule",
     "join_asof_tolerance",
     "sample_curriculum_phases",
+    # round-7 additions (appended, common prefix still comparable): the
+    # duplicated-span dedup (the widest explode in the text family),
+    # the zero-shuffle JL sketch, and the single-exchange SCD-1 merge
+    "dedup_substring_spans",
+    "embedding_random_projection",
+    "merge_upsert_user_state",
 ]
 
 

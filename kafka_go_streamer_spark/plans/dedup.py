@@ -432,8 +432,9 @@ SPAN_WORDS = 8
     ),
     spans AS (
       SELECT doc_id,
-             md5(array_to_string(
-               list_slice(ws, i, i + {SPAN_WORDS - 1}), ' ')) AS span_h
+             ('0x' || substr(md5(array_to_string(
+               list_slice(ws, i, i + {SPAN_WORDS - 1}), ' ')), 1, 15)
+             )::BIGINT AS span_h
       FROM w, unnest(range(1, greatest(len(ws) - {SPAN_WORDS - 1}, 0) + 1))
            AS t(i)
     ),
@@ -464,27 +465,41 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and coverage ratio. Catches partial overlap (quoted paragraphs,
     boilerplate headers) that whole-document and bag fingerprints miss.
 
-    Scale shape: spans are built INSIDE the row with a higher-order
-    transform over the bound words array (no shuffle, no lead() window),
-    then exploded once; per-span stats are ONE hash aggregate on the
-    16-byte span hash with map-side combine; the stats join back is
-    hash-on-hash with 1:1 fan (doc pairs are never materialized, so
-    there is no quadratic blow-up no matter how hot a span is); the
-    per-doc rollup reuses the doc_id key. Span hashes, not span text,
-    cross every shuffle.
+    Scale shape: spans are built RELATIONALLY — posexplode words once,
+    assemble each span with lead() over (doc_id, pos), hash each span
+    ONCE — the same O(words) form as winnow_fingerprint_rows (the
+    in-row transform spelling re-evaluates the words array per element
+    under Catalyst project-collapse: measured ~10x slower at sf0.1).
+    Per-span stats are ONE hash aggregate on a 60-bit integer span
+    hash (8-byte shuffle keys, not 32-char hex strings) with map-side
+    combine; the stats join back is hash-on-hash with 1:1 fan — doc
+    pairs are never materialized, so there is no quadratic blow-up no
+    matter how hot a span is; the window, the per-doc rollup, and the
+    final left join all share the doc_id key.
     """
+    from pyspark.sql import Window
+
     k = SPAN_WORDS
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    span_arr = F.when(
-        F.size(ws) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - k + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = d.select(
-        "doc_id", F.explode(span_arr).alias("span_h")
+    toks = d.select("doc_id", F.posexplode(ws).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)]
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            gram.alias("_g"),
+            F.lead("w", k - 1).over(win).alias("_complete"),
+        )
+        .filter(F.col("_complete").isNotNull())
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("span_h"),
+        )
     )
     stats = spans.groupBy("span_h").agg(
         F.count_distinct("doc_id").alias("n_docs")

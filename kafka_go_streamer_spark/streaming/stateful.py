@@ -49,3 +49,72 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Streaming twin of plans/analytics_ext.py:merge_upsert_user_state —
+#: the per-key terminal state an SCD-1 MERGE maintains, kept in the
+#: state store instead of recomputed per run.
+UPSERT_SCHEMA = (
+    "user_id bigint, last_ts timestamp, last_event_type string, "
+    "last_value double, op string"
+)
+_UPSERT_STATE = "ts_ns bigint, etype string, value double"
+
+
+def _latest_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    had = state.exists
+    if had:
+        ts_ns, etype, value = state.get
+    else:
+        ts_ns = -(1 << 62)
+        etype, value = None, None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        # terminal event of this batch for the key: max ts wins (ties
+        # impossible — (user_id, ts) unique in the changelog, the same
+        # precondition the batch twin documents)
+        ns = pdf["ts"].astype("int64")
+        i = int(ns.idxmax())
+        if int(ns.loc[i]) > ts_ns:
+            ts_ns = int(ns.loc[i])
+            etype = pdf["event_type"].loc[i]
+            value = float(pdf["value"].loc[i])
+    state.update((ts_ns, etype, value))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts": [pd.Timestamp(ts_ns)],
+            "last_event_type": [etype],
+            "last_value": [value],
+            "op": ["update" if had else "insert"],
+        }
+    )
+
+
+def latest_state_per_user(events: DataFrame) -> DataFrame:
+    """Streaming MERGE/upsert (SCD type 1): per-user terminal
+    (ts, event_type, value) maintained in the state store across
+    micro-batches, each emission labeled 'insert' (key unseen before
+    this batch) or 'update' — the streaming twin of the batch
+    ``merge_upsert_user_state`` query, with the state table replacing
+    the batch query's pre-cutoff scan. Out-of-order events cannot
+    regress state: a batch only advances a key when it carries a newer
+    ts (max_by semantics, matching the batch twin exactly).
+
+    Input needs ``user_id``, ``ts``, ``event_type``, ``value``.
+
+    Scale: state is hash-partitioned by user_id like any streaming
+    aggregation — per-key payload is one (ts, enum, double) tuple, and
+    each micro-batch touches only the keys present in it."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_state,
+        outputStructType=UPSERT_SCHEMA,
+        stateStructType=_UPSERT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -47,3 +47,85 @@ def test_running_totals_carry_state_across_batches(spark, tmp_path):
         assert latest[2] == (1, 1.0)
     finally:
         q.stop()
+
+
+def test_streaming_upsert_matches_batch_merge(spark, sf_dir, tmp_path):
+    """The streaming latest-state upsert, fed the events fixture split
+    at the batch query's own cutoff (max ts - 2 days), must converge to
+    exactly the batch merge's terminal state per user, and its final
+    op labels must map onto the batch op column: a key whose last
+    emission was batch-1's 'insert' is the batch 'carry' (no change
+    after the cutoff); everything else matches name-for-name."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import latest_state_per_user
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.max("ts") - F.expr("INTERVAL 2 DAYS")).collect()[0][0]
+    cols = ["user_id", "ts", "event_type", "value"]
+    src = tmp_path / "upsert_stream"
+    ev.filter(F.col("ts") < F.lit(cut)).select(cols).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    ev.filter(F.col("ts") >= F.lit(cut)).select(cols).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import shutil
+
+    def files_of(d):
+        return [p for p in d.glob("*.parquet")]
+
+    shutil.copy(files_of(src / "b1")[0], feed / "b1.parquet")
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(feed))
+    q = (
+        latest_state_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("upsert_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch1_keys = {
+            r["user_id"]
+            for r in spark.sql("SELECT user_id FROM upsert_stream").collect()
+        }
+        shutil.copy(files_of(src / "b2")[0], feed / "b2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM upsert_stream").collect()
+    finally:
+        q.stop()
+
+    # memory sink appends update-mode emissions; last write per key wins
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (
+            r["last_ts"],
+            r["last_event_type"],
+            round(r["last_value"], 4),
+            r["op"],
+        )
+
+    batch = {
+        r["user_id"]: (
+            r["last_ts"],
+            r["last_event_type"],
+            r["last_value"],
+            r["op"],
+        )
+        for r in QUERIES["merge_upsert_user_state"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (b_ts, b_et, b_val, b_op) in batch.items():
+        s_ts, s_et, s_val, s_op = got[uid]
+        assert (s_ts, s_et, s_val) == (b_ts, b_et, b_val), uid
+        expected_op = s_op
+        if s_op == "insert" and uid in batch1_keys and b_op == "carry":
+            expected_op = "carry"  # no post-cutoff change for this key
+        assert expected_op == b_op, (uid, s_op, b_op)

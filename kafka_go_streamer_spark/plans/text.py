@@ -5,7 +5,7 @@ the DuckDB SQL derive from the same module, one source of truth."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
@@ -782,4 +782,106 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "*", F.when(keep, "keep").otherwise("filter").alias("verdict")
+    )
+
+
+#: DSIR selection size: how many non-target documents to keep.
+DSIR_K = 50
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS word FROM documents
+    ),
+    freq_r AS (SELECT word, count(*) AS cr FROM tok GROUP BY word),
+    tot_r  AS (SELECT sum(cr) AS tr, count(*) AS v FROM freq_r),
+    freq_t AS (
+      SELECT t.word, count(*) AS ct
+      FROM tok t JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY t.word
+    ),
+    tot_t AS (SELECT sum(ct) AS tt FROM freq_t),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             avg(ln((coalesce(ft.ct, 0) + 1.0) / (tot_t.tt + tot_r.v))
+                 - ln(fr.cr * 1.0 / tot_r.tr)) AS logratio
+      FROM tok t
+      JOIN freq_r fr USING (word)
+      LEFT JOIN freq_t ft USING (word), tot_r, tot_t
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.source, s.n_tokens::INTEGER AS n_tokens,
+             round(s.logratio, 6) AS logratio,
+             row_number() OVER (ORDER BY s.logratio DESC, s.doc_id ASC) AS rk
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE d.lang <> 'en'
+    )
+    SELECT doc_id, source, n_tokens, logratio, rk
+    FROM ranked WHERE rk <= {DSIR_K}
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every RAW (non-target) document by how much more likely its tokens
+    are under a TARGET-domain unigram LM (here: the lang='en' slice)
+    than under the raw-corpus LM — avg log p_target(w) - log p_raw(w),
+    Laplace-smoothed over the corpus vocabulary — and keep the top-K
+    most target-like documents. This is the data-selection step that
+    upgrades a quality gate into a domain-matching gate, fully
+    deterministic (no rand(): selection is a pure function of the
+    corpus).
+
+    Scale shape: ONE tokenize pass feeds both LM count tables (vocab-
+    sized, map-side combined — broadcastable here, ordinary shuffle
+    joins at web scale); scoring re-joins tokens to the two frequency
+    tables and aggregates per doc; the final top-K compiles to
+    TakeOrderedAndProject. All JVM built-ins, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("word")
+    )
+    freq_r = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    tot_r = freq_r.agg(
+        F.sum("cr").alias("tr"), F.count(F.lit(1)).alias("v")
+    )
+    target_ids = d.filter(F.col("lang") == "en").select("doc_id")
+    freq_t = (
+        tok.join(target_ids, "doc_id")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot_t = freq_t.agg(F.sum("ct").alias("tt"))
+    scored = (
+        tok.join(F.broadcast(freq_r), "word")
+        .join(F.broadcast(freq_t), "word", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.avg(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.col("v"))
+                )
+                - F.log(F.col("cr") / F.col("tr"))
+            ).alias("logratio"),
+        )
+    )
+    raw = d.filter(F.col("lang") != "en").select("doc_id", "source")
+    ranked = scored.join(raw, "doc_id").orderBy(
+        F.col("logratio").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_K)
+    w = Window.orderBy(F.col("logratio").desc(), F.col("doc_id").asc())
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        stable_round(F.col("logratio"), 6).alias("logratio"),
+        F.row_number().over(w).alias("rk"),
     )

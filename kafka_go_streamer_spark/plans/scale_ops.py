@@ -491,3 +491,55 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_n, round(avg(value), 4) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.type_n,
+           round(e.value - d.type_avg, 4) AS value_vs_avg
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SKEW-JOIN shape: enrich a fact table on a low-cardinality,
+    heavily skewed key (event_type: 5 values over the whole corpus)
+    against a keyed dimension. A plain shuffle join on that key puts
+    every hot key's rows through ONE reducer; the salted form fans the
+    fact side across SALT sub-partitions (salt derived from the fact
+    row) and replicates each dim row SALT times via an in-plan explode,
+    joining on (key, salt) — per-reducer volume is bounded by 1/SALT of
+    the hot key. The oracle is the plain join: salting must never
+    change results.
+
+    Demo honesty: at fixture scale Spark would happily broadcast this
+    dim (and AQE's skew-join split is the config-level fix); the
+    registered shape is the MANUAL pattern for when the dim exceeds
+    broadcast size and the engine can't split (e.g. a forced
+    shuffle-hash join). The shuffle-hash hint keeps the broadcast
+    planner from silently erasing the demonstrated shape."""
+    SALT = 8
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        stable_round(F.avg("value"), 4).alias("type_avg"),
+    )
+    dim_rep = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("_salt")
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(SALT)))
+    return (
+        fact.join(dim_rep.hint("shuffle_hash"), ["event_type", "_salt"])
+        .select(
+            "event_id",
+            "event_type",
+            "type_n",
+            stable_round(F.col("value") - F.col("type_avg"), 4).alias(
+                "value_vs_avg"
+            ),
+        )
+    )

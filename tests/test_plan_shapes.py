@@ -408,3 +408,22 @@ def test_substring_spans_no_pair_explosion(spark, sf_dir):
     plan = physical_plan(QUERIES["dedup_substring_spans"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_selection_is_take_ordered(spark, sf_dir):
+    """DSIR's top-K selection must compile to TakeOrderedAndProject,
+    not a global sort of the scored corpus."""
+    plan = physical_plan(QUERIES["sample_dsir_importance"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_partitions_on_salt(spark, sf_dir):
+    """The salted join must actually shuffle on (key, salt) — the salt
+    column appears in the join's hash partitioning — and must not be
+    silently collapsed into a broadcast (which would erase the
+    demonstrated skew defense)."""
+    plan = physical_plan(QUERIES["join_salted_skew"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    import re as _re
+    part = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("_salt" in p for p in part)

@@ -895,3 +895,48 @@ def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("carry")
         .alias("op"),
     )
+
+
+@query(
+    "merge_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current,
+           round(value, 4) AS value
+    FROM events
+    WHERE user_id % 10 = 0
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from an event
+    changelog: every state change becomes a validity interval
+    [valid_from, valid_to), the open-ended row flagged ``is_current``
+    — the full-history complement of the SCD-1 terminal-state merge
+    (``merge_upsert_user_state``). Restricted to every 10th user so
+    the driver compare stays bounded; the shape is key-agnostic.
+
+    Scale: ONE window shuffle on user_id (lead over ts) builds every
+    interval — no self-join of the changelog against itself, which is
+    the naive interval construction and quadratic per hot key. The
+    filter prunes at the scan. Determinism: (user_id, ts) unique at
+    microsecond precision (same documented precondition as the SCD-1
+    twin)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        stable_round(F.col("value"), 4).alias("value"),
+    )

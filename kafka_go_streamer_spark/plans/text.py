@@ -885,3 +885,64 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("logratio"), 6).alias("logratio"),
         F.row_number().over(w).alias("rk"),
     )
+
+
+#: Vocabulary-coverage report size.
+VOCAB_TOP = 20
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH freq AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest({X.words_sql('text')}) AS word FROM documents)
+      GROUP BY word
+    ),
+    tot AS (SELECT sum(c) AS t FROM freq),
+    ranked AS (
+      SELECT word, c,
+             row_number() OVER (ORDER BY c DESC, word ASC) AS rk,
+             sum(c) OVER (ORDER BY c DESC, word ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    )
+    SELECT rk, word, c AS freq,
+           round(c * 1.0 / tot.t, 6)   AS share,
+           round(cum * 1.0 / tot.t, 6) AS cum_share
+    FROM ranked, tot WHERE rk <= {VOCAB_TOP}
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design statistic: the corpus frequency head — top
+    words with individual and CUMULATIVE corpus share (the curve that
+    decides vocabulary size: how many types cover 95% of tokens).
+
+    Scale shape: the word count is the standard map-side-combined
+    aggregate (vocab-sized output — millions of rows at web scale, not
+    corpus-sized); ranking runs on that vocab table, not the corpus,
+    and the running sum is one window over it. Deterministic total
+    order via (freq desc, word asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(X.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.agg(F.sum("c").alias("t"))
+    w = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    ranked = freq.select(
+        "word",
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    ).filter(F.col("rk") <= VOCAB_TOP)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "word",
+        F.col("c").alias("freq"),
+        stable_round(F.col("c") / F.col("t"), 6).alias("share"),
+        stable_round(F.col("cum") / F.col("t"), 6).alias("cum_share"),
+    )

@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "embedding_random_projection",
     "merge_upsert_user_state",
+    "sample_dsir_importance",
 ]
 
 

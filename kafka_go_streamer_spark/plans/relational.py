@@ -856,3 +856,44 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(w_top).alias("top_order_in_priority"),
     )
+
+
+@query(
+    "json_variant_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract_string(props, '$.k')::INTEGER)::BIGINT AS k_sum,
+           round(avg(json_extract_string(props, '$.k')::INTEGER), 4) AS k_avg
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, and field access is ``variant_get`` path lookup
+    over that encoding — the engine-native path for JSON at scale
+    (contrast ``json_extraction``, which re-parses the raw string per
+    ``get_json_object`` call; with many extracted fields the variant
+    form parses once where the string form parses per field).
+
+    Scale: parse + path-get are codegen'd row-local expressions; the
+    aggregate is one map-side-combined shuffle on event_type.
+    ``try_parse_json`` would null out malformed rows instead of
+    failing the query — the fixture's props are clean, so the strict
+    parse doubles as an input contract."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            stable_round(F.avg("k"), 4).alias("k_avg"),
+        )
+    )

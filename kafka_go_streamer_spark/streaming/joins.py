@@ -77,6 +77,58 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner").drop(rw[key])
 
 
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    max_delay: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """LEFT OUTER watermarked interval join: like
+    :func:`stream_stream_interval_join`, but a left event with NO right
+    match inside its window still emits — with NULL right columns —
+    once the watermark establishes no match can arrive. This is the
+    shape attribution pipelines need for the unconverted majority
+    ("every click, with its purchase if one followed within the hour").
+
+    The NULL verdict is watermark-delayed by construction: Spark holds
+    the unmatched left row in state until the right watermark passes
+    ``left_ts + max_delay`` (only then is "no match" final), so outer
+    results trail the inner ones by up to watermark + delay — the
+    bounded-lateness cost of a correct negative.
+
+    Both sides are explicitly aliased before the join: when left and
+    right derive from the SAME source (two filters of one stream — the
+    common case), ``lw[key] == rw[key]`` is ambiguous under Spark's
+    self-join resolution and ``drop`` can keep the RIGHT key column —
+    which is NULL on every unmatched row, silently corrupting the key
+    of exactly the rows an outer join exists to keep."""
+    lw = (
+        _event_time(left, left_ts)
+        .withWatermark(left_ts, watermark)
+        .alias("_ssl")
+    )
+    rw = (
+        _event_time(right, right_ts)
+        .withWatermark(right_ts, watermark)
+        .alias("_ssr")
+    )
+    lcol = lambda c: F.col(f"_ssl.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"_ssr.{c}")  # noqa: E731
+    cond = (
+        (lcol(key) == rcol(key))
+        & (rcol(right_ts) > lcol(left_ts))
+        & (rcol(right_ts) <= lcol(left_ts) + F.expr(max_delay))
+    )
+    right_cols = [c for c in right.columns if c != key]
+    return lw.join(rw, cond, "leftOuter").select(
+        *[lcol(c).alias(c) for c in left.columns],
+        *[rcol(c).alias(c) for c in right_cols],
+    )
+
+
 def stream_stream_asof_join(
     left: DataFrame,
     right: DataFrame,

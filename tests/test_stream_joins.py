@@ -207,3 +207,104 @@ def test_stream_stream_asof_join_matches_batch(
     }
     assert want, "calibration: batch twin must produce matches"
     assert got == want
+
+
+def test_stream_stream_outer_interval_join_matches_batch(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """The left-outer watermarked interval join must emit BOTH the
+    matched pairs and the unmatched-left rows (NULL right columns),
+    equaling the batch left-outer twin exactly. The far-future
+    sentinel pushes the right watermark past every real left window so
+    the no-match verdicts become final under availableNow."""
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return clicks, purchases
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    top = (
+        raw.orderBy(F.col("ts").desc())
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("user_id", F.lit(10**9).cast("bigint"))
+    )
+    sentinel = top.withColumn("event_type", F.lit("click")).union(
+        top.withColumn("event_type", F.lit("purchase"))
+    )
+
+    stream = _events_stream(spark, sf_dir, events_stream_dir)
+    s_clicks, s_purch = split(stream)
+    from kafka_go_streamer_spark.streaming.joins import (
+        stream_stream_interval_join_outer,
+    )
+
+    joined = stream_stream_interval_join_outer(
+        s_clicks, s_purch, key="user_id",
+        watermark="1 hour", max_delay="INTERVAL 1 HOUR",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+    try:
+        # batch 1: the real events; outer verdicts not yet final
+        q.processAllAvailable()
+        # batch 2: the far-future sentinel advances both watermarks past
+        # every real left window + delay...
+        sentinel.write.mode("append").parquet(events_stream_dir)
+        q.processAllAvailable()
+        # ...and the unmatched left rows are evicted + emitted by the
+        # NO-DATA micro-batch Spark runs after the watermark advance.
+        # That batch is asynchronous (processAllAvailable returns when
+        # no new INPUT remains, not when state has flushed), so poll
+        # for the NULL rows instead of stopping immediately.
+        import time
+
+        for _ in range(150):
+            n_nulls = spark.sql(
+                "SELECT count(*) FROM outer_attributed"
+                " WHERE purchase_id IS NULL"
+            ).collect()[0][0]
+            if n_nulls > 0:
+                break
+            time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql(
+            "SELECT click_id, purchase_id FROM outer_attributed"
+            " WHERE user_id < 1000000000"
+        ).collect()
+    }
+
+    b_clicks, b_purch = split(load_table(spark, sf_dir, "events"))
+    want_df = b_clicks.join(
+        b_purch,
+        (b_clicks.user_id == b_purch.user_id)
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).drop(b_purch.user_id)
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in want_df.select("click_id", "purchase_id").collect()
+    }
+    # calibration: the outer join must carry BOTH matches and NULLs
+    assert any(p is not None for _, p in want)
+    assert any(p is None for _, p in want)
+    assert got == want

@@ -306,3 +306,83 @@ def probe_ivf_store(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(topk)
     )
+
+
+def probe_ivf_index_many(
+    spark: SparkSession,
+    base: str,
+    q_df: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    min_cell_sim: float = -1.0,
+) -> DataFrame:
+    """Batched multi-query probe against a persisted index: ``q_df`` is
+    (q_id, qv) — a whole panel of query vectors scored in ONE plan.
+    Centroid ranking is k x |Q| rows (a per-q_id window picks each
+    query's top-``nprobe`` cells); the (q_id, cell) pairs broadcast
+    into the cell-partitioned store; the final per-query top-k is a
+    window over candidates only. This is the serving-path shape: the
+    per-batch cost is |Q| x (k + nprobe cells), never the corpus.
+
+    Zero-norm queries produce no output rows (their centroid cosine is
+    NULL-division-guarded out); zero-norm stored vectors are dropped
+    before scoring, as in the single-query probe."""
+    from pyspark.sql import Window
+
+    q_long = q_df.select(
+        "q_id",
+        F.posexplode(F.col("qv").cast("array<double>")).alias("pos", "q"),
+    )
+    qn = q_long.groupBy("q_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q"))).alias("qn")
+    )
+
+    cents = spark.read.parquet(centroids_path(base))
+    scored = (
+        cents.join(F.broadcast(q_long), "pos")
+        .groupBy("q_id", "cid")
+        .agg(
+            F.sum(F.col("c") * F.col("q")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+        .join(F.broadcast(qn.filter(F.col("qn") > 0)), "q_id")
+        .select(
+            "q_id",
+            "cid",
+            stable_round(
+                F.col("dot") / (F.sqrt("cc") * F.col("qn")), 6
+            ).alias("qsim"),
+        )
+    )
+    cw = Window.partitionBy("q_id").orderBy(
+        F.col("qsim").desc(), F.col("cid").asc()
+    )
+    top_cells = (
+        scored.filter(F.col("qsim") > F.lit(min_cell_sim))
+        .withColumn("_rk", F.row_number().over(cw))
+        .filter(F.col("_rk") <= nprobe)
+        .select("q_id", F.col("cid").alias("cell"))
+    )
+
+    vecs = spark.read.parquet(vectors_path(base))
+    cand = (
+        vecs.join(F.broadcast(top_cells), "cell")
+        .join(F.broadcast(q_df), "q_id")
+        .filter(vec_norm(F.col("embedding")) > 0)
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            stable_round(
+                vec_cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    kw = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(kw))
+        .filter(F.col("_rk") <= topk)
+        .select("q_id", "vec_id", "cell", "cos_sim", F.col("_rk").alias("rk"))
+    )

@@ -201,3 +201,42 @@ def stream_stream_asof_join(
         *[F.col("_m")[c].alias(f"{c}_asof") for c in right_vals],
         F.col("_m")["_mt"].alias("matched_time"),
     )
+
+
+def serve_ann_stream(
+    spark,
+    index_base: str,
+    query_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    nprobe: int = 2,
+    topk: int = 5,
+):
+    """ONLINE ANN serving: a stream of (q_id, qv) query vectors probed
+    per micro-batch against the persisted IVF index
+    (operators/ivf_store.py) via the batched multi-query probe, results
+    appended to a parquet sink — the model-serving loop over the same
+    artifact the offline pipeline builds. foreachBatch (not a stream
+    join) because the probe needs per-query top-k windows, which the
+    streaming planner can't express over an unbounded stream but are
+    trivially bounded inside one batch.
+
+    At-least-once into the parquet sink via the checkpoint; per-batch
+    cost is |batch| x (k centroids + nprobe cells) — the corpus is
+    never scanned (cell partition pruning), so latency tracks batch
+    size, not index size."""
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        probe_ivf_index_many,
+    )
+
+    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            probe_ivf_index_many(
+                spark, index_base, batch_df, nprobe=nprobe, topk=topk
+            ).write.mode("append").parquet(out_dir)
+
+    return (
+        query_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""Online ANN serving: the streaming probe loop over the persisted IVF
+index must return, per streamed query vector, exactly the batch
+multi-query probe's answer — and the batch multi-query probe must agree
+with the single-query probe it generalizes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.operators.ivf_store import (
+    build_ivf_index,
+    probe_ivf_index,
+    probe_ivf_index_many,
+)
+from kafka_go_streamer_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def index_base(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = str(tmp_path / "ivf")
+    build_ivf_index(emb, base, iters=1)
+    return base
+
+
+def _query_panel(spark, sf_dir, ids):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(*ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+
+
+def test_multi_probe_matches_single_probe(spark, sf_dir, index_base):
+    ids = [0, 7, 42]
+    panel = _query_panel(spark, sf_dir, ids)
+    many = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in probe_ivf_index_many(spark, index_base, panel).collect()
+    }
+    for qid in ids:
+        qv = [
+            float(v)
+            for v in panel.filter(F.col("q_id") == qid).collect()[0]["qv"]
+        ]
+        single = probe_ivf_index(spark, index_base, qv).collect()
+        for rk, r in enumerate(single, start=1):
+            assert many[(qid, rk)] == (r["vec_id"], r["cos_sim"]), (qid, rk)
+
+
+def test_streaming_serving_matches_batch_probe(
+    spark, sf_dir, index_base, tmp_path
+):
+    from kafka_go_streamer_spark.streaming.joins import serve_ann_stream
+
+    ids_b1, ids_b2 = [0, 7], [42]
+    feed = tmp_path / "queries"
+    feed.mkdir()
+    _query_panel(spark, sf_dir, ids_b1).coalesce(1).write.parquet(
+        str(feed / "_stage1")
+    )
+    schema = spark.read.parquet(str(feed / "_stage1")).schema
+    import shutil
+
+    def promote(stage):
+        src = next((feed / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage.strip('_')}.parquet")
+
+    promote("_stage1")
+    stream = spark.readStream.schema(schema).parquet(
+        str(feed) + "/*.parquet"
+    )
+    out = str(tmp_path / "results")
+    q = serve_ann_stream(
+        spark, index_base, stream, out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _query_panel(spark, sf_dir, ids_b2).coalesce(1).write.parquet(
+            str(feed / "_stage2")
+        )
+        promote("_stage2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in spark.read.parquet(out).collect()
+    }
+    panel = _query_panel(spark, sf_dir, ids_b1 + ids_b2)
+    want = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in probe_ivf_index_many(spark, index_base, panel).collect()
+    }
+    assert got == want
+    assert len({q for q, _ in got}) == 3  # all streamed queries answered

@@ -877,7 +877,12 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.join(raw, "doc_id").orderBy(
         F.col("logratio").desc(), F.col("doc_id").asc()
     ).limit(DSIR_K)
-    w = Window.orderBy(F.col("logratio").desc(), F.col("doc_id").asc())
+    # single-partition window over the <= DSIR_K survivors (the limit
+    # precedes it); pmod keeps a non-foldable constant partition spec so
+    # WindowExec doesn't log the (here meaningless) no-partition warning
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.col("logratio").desc(), F.col("doc_id").asc()
+    )
     return ranked.select(
         "doc_id",
         "source",
@@ -920,9 +925,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the word count is the standard map-side-combined
     aggregate (vocab-sized output — millions of rows at web scale, not
-    corpus-sized); ranking runs on that vocab table, not the corpus,
-    and the running sum is one window over it. Deterministic total
-    order via (freq desc, word asc)."""
+    corpus-sized); the top-VOCAB_TOP selection is orderBy+limit, which
+    compiles to TakeOrderedAndProject (per-partition heaps — the vocab
+    table is NEVER globally sorted into one partition), and the rank /
+    running-share windows run over only those VOCAB_TOP rows (the
+    head's cumulative sum needs nothing below the head). Deterministic
+    total order via (freq desc, word asc)."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(X.words(F.col("text"))).alias("word"))
@@ -930,15 +938,20 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = freq.agg(F.sum("c").alias("t"))
-    w = Window.orderBy(F.col("c").desc(), F.col("word").asc())
-    ranked = freq.select(
+    top = freq.orderBy(F.col("c").desc(), F.col("word").asc()).limit(
+        VOCAB_TOP
+    )
+    w = Window.partitionBy(
+        F.pmod(F.length(F.col("word")), F.lit(1))
+    ).orderBy(F.col("c").desc(), F.col("word").asc())
+    ranked = top.select(
         "word",
         "c",
         F.row_number().over(w).alias("rk"),
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "cum"
         ),
-    ).filter(F.col("rk") <= VOCAB_TOP)
+    )
     return ranked.crossJoin(F.broadcast(tot)).select(
         "rk",
         "word",

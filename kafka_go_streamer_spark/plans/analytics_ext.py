@@ -940,3 +940,58 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         stable_round(F.col("value"), 4).alias("value"),
     )
+
+
+#: Session gap: a pause longer than this starts a new session.
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_sessionize_ids",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts)
+                      > {SESSION_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           sum(is_start) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS session_seq
+    FROM flagged
+    """,
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT sessionization: assign every event its user-local
+    session sequence number, where a gap over SESSION_GAP_MIN minutes
+    starts a new session (lag-flag + running sum — the standard
+    sessionize idiom). Complements ``window_session_per_user``, which
+    AGGREGATES per session window; this emits the row-level session
+    key that downstream joins/funnels group on.
+
+    Scale: both windows share ONE hash partitioning on user_id (one
+    shuffle); per-user ordering is a within-partition sort, never
+    global. Gap comparison uses whole-second differences, identical in
+    both engines for the fixtures' non-negative epochs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_s = F.col("ts").cast("long") - prev.cast("long")
+    is_start = F.when(
+        prev.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    return ev.select("user_id", "event_id", "ts", is_start.alias("_s")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )

@@ -20,6 +20,7 @@ from kafka_go_streamer_spark.operators.dedup import (
     exact_dedup_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    shingles_sql,
     simhash64_sql,
     simhash64_table,
     simhash_sql,
@@ -521,4 +522,115 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
             4,
         ).alias("dup_ratio"),
+    )
+
+
+#: Jaccard threshold the pipeline considers a true near-duplicate
+#: (the eval measures recall of the banded LSH pipeline against
+#: frequency-capped exact ground truth at this threshold).
+LSH_EVAL_TAU = 0.5
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH w0 AS (SELECT doc_id, {words_sql('text')} AS w FROM documents),
+    docs AS (SELECT doc_id, {shingles_sql('w')} AS sh FROM w0),
+    ex0 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    ex AS (
+      SELECT doc_id, s FROM (
+        SELECT *, count(*) OVER (PARTITION BY s) AS _bucket_n FROM ex0
+      ) WHERE _bucket_n <= {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN docs da ON c.id_a = da.doc_id
+      JOIN docs db ON c.id_b = db.doc_id
+      WHERE len(list_filter(da.sh, x -> list_contains(db.sh, x))) * 1.0
+            / (len(da.sh) + len(db.sh)
+               - len(list_filter(da.sh, x -> list_contains(db.sh, x))))
+            >= {LSH_EVAL_TAU}
+    ),
+    pred AS (
+      SELECT id_a, id_b FROM (
+        {{pairs_sql}}
+      ) WHERE jaccard >= {LSH_EVAL_TAU}
+    ),
+    hit AS (SELECT * FROM pred INTERSECT SELECT * FROM truth)
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT count(*) FROM hit)::BIGINT   AS n_found,
+           round((SELECT count(*) FROM hit) * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+    """.replace(
+        "{pairs_sql}",
+        minhash_lsh_pairs_sql(
+            "documents", "doc_id", "text", min_intersection=1
+        ),
+    ),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation for the MinHash-LSH dedup family — the dedup
+    analogue of ``ann_recall_multiprobe``: compare the pairs the
+    banded LSH pipeline surfaces (and exact-verifies at tau) against
+    exact-Jaccard-above-tau ground truth, and report the recall the
+    banding trades for its bounded candidate generation.
+
+    Ground truth at scale cannot be all-pairs; it uses the SAME
+    bounded shape as production candidate generation — a shingle
+    equi-join with the standard MAX_BUCKET frequency cap (a pair
+    missing from capped truth would need EVERY shared shingle hotter
+    than the cap, which a tau>=0.5 pair — sharing most of both
+    documents' shingles — cannot). Exact Jaccard then runs on the
+    candidates' FULL shingle sets; recall counts predicted∩truth over
+    truth. Two count aggregates + a division finish the job."""
+    from kafka_go_streamer_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    ex = cap_bucket(
+        sh.select("doc_id", F.explode("sh").alias("s")), "s"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    truth = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .filter(
+            inter / (F.size("sa") + F.size("sb") - inter) >= LSH_EVAL_TAU
+        )
+        .select("id_a", "id_b")
+    )
+    pred = (
+        minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=1)
+        .filter(F.col("jaccard") >= LSH_EVAL_TAU)
+        .select("id_a", "id_b")
+    )
+    hit = pred.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nf = hit.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        nt.crossJoin(F.broadcast(nf))
+        .select(
+            "n_truth",
+            "n_found",
+            stable_round(
+                F.col("n_found") / F.greatest(F.col("n_truth"), F.lit(1)), 4
+            ).alias("recall"),
+        )
     )

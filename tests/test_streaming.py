@@ -132,3 +132,86 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.sql("SELECT event_id FROM dedup_smoke").collect()
     )
     assert got == ["a", "b", "c"]
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """session_window (the MERGING window operator) under the
+    micro-batch runtime: per-user sessions from a two-batch file
+    stream must equal the batch twin exactly — including sessions
+    whose events arrive in DIFFERENT micro-batches (the state-merge
+    path that batch execution never exercises)."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans.windows import SESSION_GAP_MIN
+    from kafka_go_streamer_spark.sources.tables import _fix_nanos, load_table
+
+    src_dir = tmp_path / "sess_stream"
+    src_dir.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # split mid-timeline so many sessions straddle the batch boundary
+    cut = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("c")
+    ).collect()[0]["c"]
+    raw.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    raw.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    import shutil
+
+    feed = tmp_path / "sess_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    stream = _fix_nanos(
+        spark.readStream.schema(raw.schema).parquet(str(feed))
+    )
+
+    def sessionize(df):
+        return df.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+
+    q = (
+        sessionize(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("sess_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["sw"]["start"], r["sw"]["end"]): (
+                r["n"],
+                round(r["total"], 4),
+            )
+            for r in spark.sql("SELECT * FROM sess_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r["user_id"], r["sw"]["start"], r["sw"]["end"]): (
+            r["n"],
+            round(r["total"], 4),
+        )
+        for r in sessionize(ev).collect()
+    }
+    assert got == want
+    # calibration: the batch split must actually straddle sessions
+    ids_b1 = {r["user_id"] for r in ev.filter(F.col("ts") < F.lit(cut)).collect()}
+    ids_b2 = {r["user_id"] for r in ev.filter(F.col("ts") >= F.lit(cut)).collect()}
+    assert ids_b1 & ids_b2

@@ -13,6 +13,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     routing_queries,
     scale_ops,
     similarity,
+    sketches,
     sql_api,
     text,
     tpch_classics,

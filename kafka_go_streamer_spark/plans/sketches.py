@@ -1,0 +1,434 @@
+"""Mergeable sketch operators: HyperLogLog, Count-Min, Bloom filter.
+
+At 100 TB, exact distinct counts and frequency tables over
+high-cardinality keys are shuffle monsters; the production answer is
+a MERGEABLE sketch: each executor folds its partition into a
+fixed-size summary (64 registers / a 4x256 counter grid / a 2048-bit
+set), partial summaries combine associatively map-side, and only the
+constant-size sketch crosses the wire. These queries implement the
+three canonical sketches relationally so the exact same integer/bit
+arithmetic runs in Spark and in the DuckDB oracle — every hash is an
+md5 slice, every register update a groupBy-max/sum, so the sketch
+itself is bit-reproducible across engines (unlike Spark's built-in
+``approx_count_distinct``/``bloom_filter_agg``, whose binary sketch
+formats are engine-private; the built-ins are the drop-in production
+alternative and share these semantics).
+
+The reference engine (p53/kafka-go-streamer) has no aggregation
+surface at all (SURVEY.md §2.1, main.go:348-651); this module is
+north-star training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- HLL
+
+#: HyperLogLog geometry: p=6 -> m=64 registers; the 60-bit md5-slice
+#: hash splits into 6 index bits (h % 64) and a 54-bit suffix whose
+#: leading-zero run feeds the register. 64 registers keep the
+#: generated bit-length CASE chain small while exercising the exact
+#: register algebra production uses at p=14.
+HLL_M = 64
+HLL_W = 54  # suffix width in bits
+#: alpha_64 * m^2 * 2^55 precomputed in Python and embedded as ONE
+#: double literal on both engines, so the estimate is a single integer
+#: sum followed by a single float division — bit-identical across
+#: engines (no float accumulation order to disagree on).
+HLL_ALPHA = 0.709
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(2**55)
+
+
+def _bitlen_case(expr: str, width: int) -> str:
+    """SQL CASE chain computing bit_length(expr) for a non-negative
+    integer of at most ``width`` bits — pure integer comparisons, so
+    the text runs unchanged (and identically) in Spark SQL and DuckDB.
+    A float ``floor(log2(x))`` would be the short form, but log2 is a
+    libm call whose ulp behavior differs across engines exactly at
+    powers of two; the CASE chain has no float anywhere."""
+    arms = " ".join(
+        f"WHEN {expr} >= {2 ** (i - 1)} THEN {i}"
+        for i in range(width, 0, -1)
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def _hll_rho_sql(w_expr: str) -> str:
+    """rho = position of the leftmost 1-bit in the 54-bit suffix
+    (1-based), W+1 when the suffix is all zeros."""
+    return f"({HLL_W + 1} - {_bitlen_case(w_expr, HLL_W)})"
+
+
+#: Integer register weight: 2^(55 - reg). reg ranges over [1, 55], so
+#: the weight is an exact BIGINT in [1, 2^54] and the per-group sum of
+#: <= 64 weights stays far inside BIGINT range — the harmonic mean's
+#: SUM(2^-reg) is carried as exact integers scaled by 2^55 and only
+#: the final division touches floating point.
+def _hll_weight_sql(reg_expr: str) -> str:
+    return f"(CAST(1 AS BIGINT) << (55 - {reg_expr}))"
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             user_id
+      FROM events
+    ),
+    rr AS (
+      SELECT event_type, h % {HLL_M} AS idx,
+             {_hll_rho_sql(f"(h >> 6)")} AS rho, user_id
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, idx, max(rho) AS reg
+      FROM rr GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT '__all__' AS event_type, idx, max(reg) AS reg
+      FROM regs GROUP BY 2
+    ),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    est AS (
+      SELECT event_type,
+             count(*) AS filled_registers,
+             sum({_hll_weight_sql('reg')})
+               + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)
+               AS int_sum
+      FROM allregs GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM rr GROUP BY 1
+      UNION ALL
+      SELECT '__all__', count(DISTINCT user_id) FROM rr
+    )
+    SELECT e.event_type, e.filled_registers,
+           round(
+             CASE WHEN {HLL_NUMERATOR!r} / e.int_sum <= {2.5 * HLL_M}
+                       AND e.filled_registers < {HLL_M}
+                  THEN {HLL_M} * ln({float(HLL_M)} /
+                                    ({HLL_M} - e.filled_registers))
+                  ELSE {HLL_NUMERATOR!r} / e.int_sum
+             END, 1) AS hll_distinct,
+           x.exact_distinct
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, plus the
+    merged-register corpus-wide row (``__all__``) proving the sketch's
+    defining property: registers from disjoint partitions combine by
+    elementwise max, so the union estimate needs no re-scan.
+
+    Scale: the only shuffle over data is the (event_type, idx) groupBy
+    — 64 registers per group, map-side combinable (max), so each
+    executor ships at most ``groups x 64`` rows regardless of input
+    size. The exact countDistinct column is the verification twin and
+    would be dropped at 100 TB — the sketch IS the product. Estimate
+    arithmetic is exact-integer until one final float division, so
+    Spark and DuckDB agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        "user_id",
+    )
+    rr = h.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.expr(_hll_rho_sql("(h >> 6)")).alias("rho"),
+        "user_id",
+    )
+    regs = rr.groupBy("event_type", "idx").agg(F.max("rho").alias("reg"))
+    merged = (
+        regs.groupBy("idx")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("__all__").alias("event_type"), "idx", "reg")
+    )
+    allregs = regs.unionByName(merged)
+    est = allregs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("filled_registers"),
+        (
+            F.sum(F.expr(_hll_weight_sql("reg")))
+            + (HLL_M - F.count(F.lit(1))) * F.lit(2**55).cast("long")
+        ).alias("int_sum"),
+    )
+    exact = rr.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    ).unionByName(
+        rr.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+            F.lit("__all__").alias("event_type"), "exact_distinct"
+        )
+    )
+    raw = F.lit(HLL_NUMERATOR) / F.col("int_sum")
+    # Flajolet et al.'s small-range correction: when the raw estimate
+    # is <= 2.5m and empty registers remain, linear counting
+    # m*ln(m/V) is far more accurate. Both branches are a single libm
+    # call / division over identical integers, and the eps-stabilized
+    # rounding absorbs any last-ulp ln() disagreement across engines.
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M))
+        & (F.col("filled_registers") < HLL_M),
+        HLL_M
+        * F.log(
+            F.lit(float(HLL_M)) / (HLL_M - F.col("filled_registers"))
+        ),
+    ).otherwise(raw)
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "filled_registers",
+        stable_round(corrected, 1).alias("hll_distinct"),
+        "exact_distinct",
+    )
+
+
+# ---------------------------------------------------------- Count-Min
+
+#: Count-Min geometry: depth 4 (four independent md5 slices of the
+#: key), width 256 buckets. The sketch is a fixed 4x256 counter grid;
+#: estimates are upward-biased (min over the 4 rows), never under.
+CMS_D = 4
+CMS_W = 256
+
+
+def _cms_bucket_sql(key_expr: str, row: int) -> str:
+    """Bucket of ``key`` in sketch row ``row``: an independent 32-bit
+    md5 slice mod the width. Same text on both engines."""
+    lo = 8 * row + 1
+    return (
+        f"(('0x' || substr(md5({key_expr}), {lo}, 8))::BIGINT % {CMS_W})"
+    )
+
+
+def _cms_bucket_spark(key, row: int):
+    lo = 8 * row + 1
+    return (
+        F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long") % CMS_W
+    )
+
+
+@query(
+    "sketch_countmin_heavy_users",
+    oracle=f"""
+    WITH cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_sql('user_id::VARCHAR', d)} AS bucket "
+        "FROM events"
+        for d in range(CMS_D)
+      )}
+    ),
+    sketch AS (
+      SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, count(*) AS true_count FROM events GROUP BY 1
+    ),
+    probes AS (
+      SELECT t.user_id, t.true_count, s.cnt
+      FROM truth t
+      JOIN sketch s
+        ON s.bucket = CASE s.d
+             {" ".join(
+               f"WHEN {d} THEN {_cms_bucket_sql('t.user_id::VARCHAR', d)}"
+               for d in range(CMS_D)
+             )}
+           END
+    )
+    SELECT user_id, true_count, min(cnt) AS cms_estimate
+    FROM probes GROUP BY 1, 2
+    ORDER BY true_count DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def sketch_countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: estimate per-user event counts from a
+    fixed 4x256 counter grid and report the top-10 against truth
+    (estimates are >= truth by construction — collisions only add).
+
+    Scale: the grid build is one groupBy over (row, bucket) — 1024
+    counters total, map-side combinable sums, so the shuffle is
+    constant-size no matter the input. The probe side joins the
+    (distinct-key, bucket) table against the 1024-row sketch — the
+    sketch broadcasts. At 100 TB you'd keep only the grid and probe ad
+    hoc; the truth column here is the verification twin."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(key, d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    tkey = F.col("user_id").cast("string")
+    probes = truth.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(tkey, d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "true_count", "p.d", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.orderBy(
+        F.col("true_count").desc(), F.col("user_id").asc()
+    ).limit(10)
+
+
+# -------------------------------------------------------------- Bloom
+
+#: Bloom geometry: 2048 bits, 3 hash functions (independent md5
+#: slices mod m). With ~1/3 of 150 build keys set, ~3 bits each, the
+#: fill ratio stays low and the false-positive rate small but nonzero
+#: — the query reports it against ground truth.
+BLOOM_M = 2048
+BLOOM_K = 3
+#: Build-side membership predicate: customers with acctbal above this
+#: are the "allowlist" the filter summarizes.
+BLOOM_ACCTBAL = 5000.0
+
+
+def _bloom_pos_sql(key_expr: str, k: int) -> str:
+    lo = 8 * k + 1
+    return (
+        f"(('0x' || substr(md5({key_expr}), {lo}, 8))::BIGINT % {BLOOM_M})"
+    )
+
+
+def _bloom_pos_spark(key, k: int):
+    lo = 8 * k + 1
+    return (
+        F.conv(F.substring(F.md5(key), lo, 8), 16, 10).cast("long") % BLOOM_M
+    )
+
+
+@query(
+    "sketch_bloom_filter_probe",
+    oracle=f"""
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL}
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+          f"SELECT {_bloom_pos_sql('c_custkey::VARCHAR', k)} AS pos "
+          "FROM members"
+          for k in range(BLOOM_K)
+        )}
+      )
+    ),
+    probe AS (
+      SELECT c.c_custkey,
+             (c.c_acctbal > {BLOOM_ACCTBAL}) AS is_member,
+             {" + ".join(
+               "(CASE WHEN "
+               + _bloom_pos_sql('c.c_custkey::VARCHAR', k)
+               + " IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)"
+               for k in range(BLOOM_K)
+             )} AS hits
+      FROM customer c
+    )
+    SELECT
+      count(*) AS n_probed,
+      sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS true_members,
+      sum(CASE WHEN hits = {BLOOM_K} THEN 1 ELSE 0 END) AS bloom_positive,
+      sum(CASE WHEN hits = {BLOOM_K} AND NOT is_member THEN 1 ELSE 0 END)
+        AS false_positives,
+      (SELECT count(*) FROM bits) AS bits_set
+    FROM probe
+    """,
+)
+def sketch_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + probe with ground-truth accounting: the
+    high-balance customer allowlist is folded into a 2048-bit / 3-hash
+    filter, every customer is probed, and the row reports probe count,
+    true members, bloom positives, false positives, and bits set —
+    bloom positives ⊇ true members always (no false negatives).
+
+    Scale: the filter is the DISTINCT of (3 x members) bit positions —
+    a constant-size (<= 2048-row) set that broadcasts to the probe
+    side, which is exactly how a runtime join filter prunes a 100 TB
+    probe scan before the shuffle (Spark's production form is
+    ``bloom_filter_agg`` / AQE's InSubqueryExec runtime filter; this
+    relational twin pins the semantics cross-engine). The probe is one
+    scan + a broadcast-hash lookup per hash function, no shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL).select(
+        "c_custkey"
+    )
+    mkey = F.col("c_custkey").cast("string")
+    bits = (
+        members.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos_spark(mkey, k) for k in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    pkey = F.col("c_custkey").cast("string")
+    probe = cust.select(
+        "c_custkey",
+        (F.col("c_acctbal") > BLOOM_ACCTBAL).alias("is_member"),
+        *[_bloom_pos_spark(pkey, k).alias(f"p{k}") for k in range(BLOOM_K)],
+    )
+    joined = probe
+    for k in range(BLOOM_K):
+        hit = (
+            bits.withColumnRenamed("pos", f"p{k}")
+            .withColumn(f"hit{k}", F.lit(1))
+        )
+        joined = joined.join(F.broadcast(hit), f"p{k}", "left")
+    hits = sum(
+        F.coalesce(F.col(f"hit{k}"), F.lit(0)) for k in range(BLOOM_K)
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        joined.withColumn("hits", hits)
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias(
+                "true_members"
+            ),
+            F.sum(F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)).alias(
+                "bloom_positive"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("hits") == BLOOM_K) & ~F.col("is_member"), 1
+                ).otherwise(0)
+            ).alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+    )

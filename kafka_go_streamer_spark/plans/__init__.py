@@ -16,6 +16,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     sketches,
     sql_api,
     text,
+    timeseries,
     tpch_classics,
     tpch_extended,
     tpch_final,

@@ -1,0 +1,480 @@
+"""Time-series & statistics surface: marketing attribution, gap-fill
+interpolation, z-score anomaly flags, Welch's t-test, and PageRank
+over the behavioral transition graph.
+
+These are the analytics a product/events pipeline runs next to the
+training-data operators: all are built on the same shuffle-disciplined
+primitives (as-of join, single-pass conditional aggregation, lead()
+bigrams) and every float path is either exact-integer or rounded with
+the eps stabilizer so the DuckDB oracle hashes identically. The
+reference engine (p53/kafka-go-streamer) has no analytics surface
+(SURVEY.md §2.1, main.go:348-651); this module is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.operators.asof import asof_join
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+#: Attribution lookback: a purchase is credited to the last click/view
+#: touch within this many seconds; older (or absent) touches fall into
+#: the 'direct' bucket.
+ATTRIB_WINDOW_S = 24 * 3600
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT e.user_id, e.ts, e.event_id, e.value,
+             CASE WHEN t.ts IS NOT NULL
+                   AND date_diff('second', t.ts, e.ts) <= {ATTRIB_WINDOW_S}
+                  THEN t.touch_type ELSE 'direct' END AS channel
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      ASOF LEFT JOIN t ON e.user_id = t.user_id AND e.ts >= t.ts
+    )
+    SELECT channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM p GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view within a 24 h lookback (else
+    'direct'), then channels are rolled up to purchase counts and
+    revenue — the classic attribution report.
+
+    Scale: one as-of join (union + carry-forward window on user_id —
+    operators/asof.py, no per-group pandas) plus a channel-cardinality
+    aggregate. Touches are pre-deduplicated to one row per (user, ts)
+    with arg_max(event_id) tie-breaking so both engines pick the same
+    touch at identical timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        tolerance_seconds=ATTRIB_WINDOW_S,
+    )
+    return (
+        out.select(
+            F.coalesce(F.col("touch_type_asof"), F.lit("direct")).alias(
+                "channel"
+            ),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            stable_round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+#: Resample bucket width (4 h) for the gap-fill query: coarse enough
+#: that the spine stays a small multiple of the observation count,
+#: fine enough that most buckets are gaps and the interpolation path
+#: is genuinely exercised.
+RESAMPLE_S = 4 * 3600
+
+
+@query(
+    "ts_resample_interpolate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id,
+             (floor(epoch(ts) / {RESAMPLE_S}) * {RESAMPLE_S})::BIGINT
+               AS bucket_s,
+             avg(value) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(bucket_s) AS b0, max(bucket_s) AS b1
+      FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(range(b0, b1 + {RESAMPLE_S}, {RESAMPLE_S})) AS bucket_s
+      FROM span
+    ),
+    g AS (
+      SELECT s.user_id, s.bucket_s, o.v
+      FROM spine s LEFT JOIN obs o USING (user_id, bucket_s)
+    ),
+    f AS (
+      SELECT user_id, bucket_s, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket_s
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket_s
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM g
+    )
+    SELECT user_id, bucket_s,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (bucket_s - pb) / (nb - pb)
+                 END, 4) AS v_interp,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+    FROM f
+    """,
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with linear gap interpolation: per-user
+    purchase values averaged into 4 h buckets, the bucket spine
+    generated densely between each user's first and last observation,
+    and empty buckets filled by linear interpolation between the
+    neighboring observations — the standard time-series densification
+    in front of forecasting / feature windows.
+
+    Scale: the spine is generated IN-ROW (sequence/explode per user —
+    never a cross join against a calendar table), buckets are exact
+    integers (epoch div), and the fill is two carry-forward/backward
+    windows over one user_id shuffle. Interpolation weights
+    ``(t-prev)/(next-prev)`` are exact integer ratios; only the
+    observed averages carry float rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (
+                F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S
+            ).cast("long").alias("bucket_s"),
+            "value",
+        )
+        .groupBy("user_id", "bucket_s")
+        .agg(F.avg("value").alias("v"))
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("bucket_s").alias("b0"), F.max("bucket_s").alias("b1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("b0", "b1", F.lit(RESAMPLE_S).cast("long"))
+        ).alias("bucket_s"),
+    )
+    g = spine.join(obs, ["user_id", "bucket_s"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("v").isNotNull(), F.col("bucket_s"))
+    f = g.select(
+        "user_id",
+        "bucket_s",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(ob, ignorenulls=True).over(wp).alias("pb"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(ob, ignorenulls=True).over(wn).alias("nb"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("bucket_s") - F.col("pb"))
+        / (F.col("nb") - F.col("pb"))
+    )
+    return f.select(
+        "user_id",
+        "bucket_s",
+        stable_round(interp, 4).alias("v_interp"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("is_observed"),
+    )
+
+
+#: |z| threshold for the anomaly flag, applied to the ROUNDED z-score
+#: so the knife-edge comparison is made on identical values in both
+#: engines.
+ZSCORE_THRESHOLD = 2.5
+
+#: Shared variance formula (sum-of-squares form) so Spark and DuckDB
+#: compute the same expression tree rather than their own streaming
+#: stddev kernels; fine for well-scaled data, and cross-engine
+#: reproducibility is the point here.
+_VAR_SQL = "((sumsq - s * s / n) / (n - 1))"
+
+
+@query(
+    "events_zscore_anomaly",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s,
+             sum(value * value) AS sumsq
+      FROM events GROUP BY 1
+    ),
+    sc AS (
+      SELECT e.event_id, e.event_type, e.value,
+             round((e.value - st.s / st.n) /
+                   sqrt({_VAR_SQL}), 3) AS z
+      FROM events e JOIN st USING (event_type)
+    )
+    SELECT event_id, event_type, round(value, 2) AS value, z
+    FROM sc
+    WHERE z >= {ZSCORE_THRESHOLD} OR z <= -{ZSCORE_THRESHOLD}
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flags: events whose value deviates more than
+    2.5 sample standard deviations from their event type's mean — the
+    baseline anomaly screen over a metric stream.
+
+    Scale: per-type stats are ONE map-side-combinable aggregate (type
+    cardinality rows); the 5-row stats frame broadcasts back onto the
+    scan, so flagging is a single pass with no second shuffle. The
+    threshold compares the ROUNDED z so Spark and DuckDB agree even
+    when their float sums differ in the last ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+    )
+    sc = ev.join(F.broadcast(st), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        stable_round(
+            (F.col("value") - F.col("s") / F.col("n"))
+            / F.sqrt(F.expr(_VAR_SQL)),
+            3,
+        ).alias("z"),
+    )
+    return sc.filter(
+        (F.col("z") >= ZSCORE_THRESHOLD) | (F.col("z") <= -ZSCORE_THRESHOLD)
+    ).select(
+        "event_id", "event_type", stable_round(F.col("value"), 2).alias("value"), "z"
+    )
+
+
+@query(
+    "stats_ab_welch_ttest",
+    oracle=f"""
+    WITH st AS (
+      SELECT
+        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS s_a,
+        sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS s_b,
+        sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0 END) AS q_a,
+        sum(CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0 END) AS q_b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+             ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS va_n,
+             ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS vb_n
+      FROM st
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 4) AS mean_a,
+           round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) AS t_stat,
+           round((va_n + vb_n) * (va_n + vb_n) /
+                 (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)),
+                 2) AS welch_df
+    FROM m
+    """,
+)
+def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two user cohorts (A =
+    even user_id, B = odd) on purchase value: cohort sizes, means, the
+    t statistic, and the Welch–Satterthwaite degrees of freedom — the
+    A/B-experiment readout.
+
+    Scale: the whole test is ONE conditional aggregate over the scan
+    (six partial sums, map-side combinable) followed by scalar
+    arithmetic on a single row — no shuffle of the data by cohort, no
+    second pass, which is how experiment scorecards stay cheap at any
+    event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    a = F.col("user_id") % 2 == 0
+    st = ev.agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(a, F.col("value")).otherwise(0.0)).alias("s_a"),
+        F.sum(F.when(~a, F.col("value")).otherwise(0.0)).alias("s_b"),
+        F.sum(F.when(a, F.col("value") * F.col("value")).otherwise(0.0)).alias("q_a"),
+        F.sum(F.when(~a, F.col("value") * F.col("value")).otherwise(0.0)).alias("q_b"),
+    )
+    m = st.select(
+        "n_a",
+        "n_b",
+        (F.col("s_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("s_b") / F.col("n_b")).alias("mean_b"),
+        F.expr("((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a").alias("va_n"),
+        F.expr("((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b").alias("vb_n"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        stable_round(F.col("mean_a"), 4).alias("mean_a"),
+        stable_round(F.col("mean_b"), 4).alias("mean_b"),
+        stable_round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("va_n") + F.col("vb_n")),
+            4,
+        ).alias("t_stat"),
+        stable_round(
+            (F.col("va_n") + F.col("vb_n"))
+            * (F.col("va_n") + F.col("vb_n"))
+            / (
+                F.col("va_n") * F.col("va_n") / (F.col("n_a") - 1)
+                + F.col("vb_n") * F.col("vb_n") / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+#: PageRank damping factor and fixed iteration count. Three iterations
+#: over a 5-node graph converge to ~1e-3; the point is the RELATIONAL
+#: iteration shape (edge extraction at data scale, rank refinement on
+#: the node-cardinality table), not numerical convergence.
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    seq = """
+    seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    e AS (
+      SELECT event_type AS f, next_type AS t, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT f, t, n / sum(n) OVER (PARTITION BY f) AS p FROM e
+    ),
+    nodes AS (
+      SELECT f AS node FROM e UNION SELECT t FROM e
+    ),
+    ns AS (SELECT count(*) AS nn FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM ns) AS r FROM nodes)"""
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             {1.0 - PR_DAMPING} / (SELECT nn FROM ns)
+             + {PR_DAMPING} * coalesce((
+                 SELECT sum(prev.r * ew.p)
+                 FROM ew JOIN r{k - 1} prev ON prev.node = ew.f
+                 WHERE ew.t = n.node), 0) AS r
+      FROM nodes n
+    )""")
+    return (
+        "WITH "
+        + seq
+        + ","
+        + ",".join(iters)
+        + f"""
+    SELECT node AS event_type, round(r, 6) AS pagerank
+    FROM r{PR_ITERS}"""
+    )
+
+
+@query("graph_pagerank_transitions", oracle=_pagerank_oracle())
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the behavioral transition graph: nodes are event
+    types, edges the lead()-derived next-event transitions weighted by
+    conditional probability, ranks refined through three damped
+    iterations — 'which state does user behavior concentrate in'.
+
+    Scale: the data-sized work is the ONE window shuffle extracting
+    bigram edges (same plan as events_transition_matrix); the
+    iteration then runs entirely on node/edge-cardinality frames (the
+    5x5 matrix), each step a broadcast join + tiny aggregate, so
+    iteration cost is independent of event volume. Dangling-node mass
+    is dropped identically on both engines (no out-edge, no
+    contribution). At web-graph node counts the same loop holds with
+    the rank table partitioned instead of broadcast — the contraction
+    loop in operators/dedup.py:connected_components is this pattern's
+    big-graph sibling."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    e = seq.groupBy(
+        F.col("event_type").alias("f"), F.col("next_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("f")
+    ew = e.select("f", "t", (F.col("n") / F.sum("n").over(wf)).alias("p"))
+    nodes = (
+        e.select(F.col("f").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+    )
+    ns = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = nodes.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("r"), "nn"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.select(F.col("node").alias("f"), "r")), "f"
+            )
+            .groupBy("t")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("c"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(
+                F.broadcast(contrib.withColumnRenamed("t", "node")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - PR_DAMPING) / F.col("nn")
+                    + PR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+                "nn",
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        stable_round(F.col("r"), 6).alias("pagerank"),
+    )

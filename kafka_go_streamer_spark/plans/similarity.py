@@ -284,6 +284,39 @@ _NEARDUP_CELLS_CTES = f"""nc AS (
     )"""
 
 
+def ivf_sqrt_cells(emb: DataFrame) -> DataFrame:
+    """Assign every vector to one of ceil(sqrt(n)) IVF cells (centroid
+    = the vector with that id — the deterministic, oracle-checkable
+    stand-in for trained centroids; SQL twin: _NEARDUP_CELLS_CTES).
+    Returns (vec_id, embedding, cell). Assignment is a broadcast of c
+    centroids + a per-row top-1 window: n*sqrt(n) work, sqrt(n)-row
+    broadcast — no stage quadratic at any corpus size."""
+    from pyspark.sql import Window
+
+    nc = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).alias("_c"))
+    cents = (
+        emb.crossJoin(F.broadcast(nc))
+        .filter(F.col("vec_id") < F.col("_c"))
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+
+
 @query(
     "sim_neardup_ivf_cells",
     oracle=f"""
@@ -311,28 +344,7 @@ def sim_neardup_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is a broadcast of c centroids + per-row top-1 window;
     pairing is an equi-join on the cell id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nc = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).alias("_c"))
-    cents = (
-        emb.crossJoin(F.broadcast(nc))
-        .filter(F.col("vec_id") < F.col("_c"))
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cent_id").asc()
-    )
-    cells = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
-    )
+    cells = ivf_sqrt_cells(emb)
     a, b = cells.alias("a"), cells.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
@@ -699,4 +711,93 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "j",
         stable_round(F.col("proj") / F.lit(8.0), 6).alias("proj"),
+    )
+
+
+#: Hard negatives per anchor: the most-similar candidates BELOW the
+#: near-dup threshold — close enough to be confusable, provably not
+#: duplicates. Top-N per anchor keeps the mined set bounded.
+HARD_NEG_TOPN = 5
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH {_NEARDUP_CELLS_CTES},
+    anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS av, cell
+      FROM cells
+      WHERE vec_id % 50 = 0 AND vec_id < {PANEL_MAX_ID}
+    ),
+    cand AS (
+      SELECT a.anchor_id, c.vec_id AS neg_id, a.cell,
+             {cosine_sql('a.av', 'c.embedding')} AS cos_sim
+      FROM anchors a JOIN cells c
+        ON a.cell = c.cell AND c.vec_id <> a.anchor_id
+      WHERE {cosine_sql('a.av', 'c.embedding')} <= {NEARDUP_COS_MIN}
+        AND {cosine_sql('a.av', 'c.embedding')} > 0
+    )
+    SELECT anchor_id, neg_id, cell,
+           round(cos_sim, 6) AS cos_sim, rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id ASC) AS rk
+      FROM cand
+    ) WHERE rk <= {HARD_NEG_TOPN}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor in a bounded
+    panel, the top-5 most-similar same-cell vectors whose cosine falls
+    in (0, NEARDUP_COS_MIN] — confusable-but-not-duplicate examples,
+    exactly the negatives an embedding-model contrastive trainer wants
+    (random negatives are too easy; near-dups would be false
+    negatives).
+
+    Scale: candidates come from the SAME IVF-cell blocking as the
+    near-dup pairs (ivf_sqrt_cells — n*sqrt(n) assignment, equi-join
+    on cell, no all-pairs stage); the anchor panel is bounded in id
+    space (PANEL_MAX_ID) so per-anchor work is sqrt(n) and the output
+    is anchors x top-5. The per-anchor top-N compiles to a ranked
+    window over the cell-join output, partition-pruned to anchors."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_sqrt_cells(emb)
+    anchors = cells.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        "cell",
+    )
+    a, c = anchors.alias("a"), cells.alias("c")
+    cos = cosine(F.col("a.av"), F.col("c.embedding"))
+    cand = (
+        a.join(
+            c,
+            (F.col("a.cell") == F.col("c.cell"))
+            & (F.col("c.vec_id") != F.col("a.anchor_id")),
+        )
+        .filter((cos <= NEARDUP_COS_MIN) & (cos > 0))
+        .select(
+            F.col("a.anchor_id").alias("anchor_id"),
+            F.col("c.vec_id").alias("neg_id"),
+            F.col("a.cell").alias("cell"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HARD_NEG_TOPN)
+        .select(
+            "anchor_id",
+            "neg_id",
+            "cell",
+            stable_round(F.col("cos_sim"), 6).alias("cos_sim"),
+            "rk",
+        )
     )

@@ -959,3 +959,55 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("c") / F.col("t"), 6).alias("share"),
         stable_round(F.col("cum") / F.col("t"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "text_bpe_pair_merges",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({X.words_sql('text')!s}) AS w FROM documents
+    ),
+    pr AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS cnt
+    FROM pr GROUP BY 1
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistics: corpus-wide counts of adjacent
+    character pairs inside words, top-20 — exactly the frequency table
+    the first byte-pair-encoding merge decision reads (subsequent
+    merges would re-run the same query over the re-tokenized corpus;
+    word-boundary markers are omitted so the pair space is the plain
+    in-word bigram set).
+
+    Scale: pairs are generated positionally IN-ROW (a codegen'd
+    transform over each word — no self-join of adjacent characters),
+    the count is map-side combinable, and the top-20 compiles to
+    TakeOrderedAndProject; the full pair table is never materialized
+    or sorted globally. This is the vocabulary-induction twin of
+    text_ngram_topk one level down (chars, not words)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(X.words(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )

@@ -148,6 +148,36 @@ def build_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    spark: SparkSession, base: str, new_emb: DataFrame
+) -> None:
+    """INCREMENTAL: fold new vectors into an existing index WITHOUT
+    retraining — assign each new vector to its nearest STORED centroid
+    and append into the cell-partitioned vectors table. This is the
+    index-maintenance half of the offline/online split: the quantizer
+    is retrained on the offline cadence (build_ivf_index), while fresh
+    corpus arrivals stream in between retrains through this path, each
+    append touching only the cell directories its vectors land in.
+
+    Cost per append: |new| x k assignment work against the broadcast
+    centroid table + one partitioned write of |new| rows — independent
+    of the resident index size. Probes see appended vectors
+    immediately (the partition listing picks up the new files); cell
+    balance degrades only as far as the data drifts from the trained
+    quantizer, which is the usual signal to schedule a retrain."""
+    cents = spark.read.parquet(centroids_path(base))
+    ex = explode_vectors(new_emb)
+    assigned = assign_nearest(ex, cents).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    (
+        new_emb.join(assigned, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(vectors_path(base))
+    )
+
+
 def _query_long(spark: SparkSession, qv: list[float]) -> DataFrame:
     """(pos, qv) long form of the query vector — a k-free tiny frame."""
     return spark.createDataFrame(

@@ -240,3 +240,39 @@ def serve_ann_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def ingest_ann_stream(
+    spark,
+    index_base: str,
+    vector_stream: DataFrame,
+    checkpoint_dir: str,
+):
+    """Streaming IVF index ingest: a stream of (vec_id, embedding[,
+    label]) rows folded into the persisted index per micro-batch via
+    append_to_ivf_index (operators/ivf_store.py) — the ingestion twin
+    of serve_ann_stream. Together they close the online loop: new
+    corpus vectors land in their cells as they arrive, probes see them
+    on the next batch, and the trained quantizer only changes on the
+    offline retrain cadence.
+
+    foreachBatch because the append is a partitioned-parquet write
+    keyed by a computed column (the cell assignment), which the
+    streaming file sink can't express. At-least-once via the
+    checkpoint: a replayed batch re-appends its rows, so downstream
+    probes should treat (vec_id) as the dedup key exactly as any
+    at-least-once parquet consumer would (or the sink can be compacted
+    with operators/compaction.py on the retrain cadence)."""
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        append_to_ivf_index,
+    )
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_to_ivf_index(spark, index_base, batch_df)
+
+    return (
+        vector_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

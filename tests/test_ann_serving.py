@@ -95,3 +95,61 @@ def test_streaming_serving_matches_batch_probe(
     }
     assert got == want
     assert len({q for q, _ in got}) == 3  # all streamed queries answered
+
+
+def test_streaming_ingest_matches_batch_append(spark, sf_dir, tmp_path):
+    """Streaming index ingest (ingest_ann_stream) must leave the store
+    in exactly the state a batch append leaves it in — same rows, same
+    cell assignments — regardless of how the arrivals are batched."""
+    import shutil
+
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        append_to_ivf_index,
+        build_ivf_index,
+        vectors_path,
+    )
+    from kafka_go_streamer_spark.streaming.joins import ingest_ann_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 300)
+    new1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    new2 = emb.filter(F.col("vec_id") >= 400)
+
+    base_s = str(tmp_path / "ivf_stream")
+    base_b = str(tmp_path / "ivf_batch")
+    build_ivf_index(old, base_s, iters=1)
+    build_ivf_index(old, base_b, iters=1)
+
+    # batch reference: both arrivals appended directly
+    append_to_ivf_index(spark, base_b, new1)
+    append_to_ivf_index(spark, base_b, new2)
+
+    # streaming: the same arrivals as two file-source micro-batches
+    feed = tmp_path / "arrivals"
+    feed.mkdir()
+    new1.coalesce(1).write.parquet(str(feed / "_stage1"))
+    schema = spark.read.parquet(str(feed / "_stage1")).schema
+
+    def promote(stage):
+        src = next((feed / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage.strip('_')}.parquet")
+
+    promote("_stage1")
+    stream = spark.readStream.schema(schema).parquet(str(feed) + "/*.parquet")
+    q = ingest_ann_stream(spark, base_s, stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        new2.coalesce(1).write.parquet(str(feed / "_stage2"))
+        promote("_stage2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot(base):
+        return {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(vectors_path(base)).collect()
+        }
+
+    assert snapshot(base_s) == snapshot(base_b)
+    assert len(snapshot(base_s)) == emb.count()

@@ -235,3 +235,75 @@ def test_index_survives_session_boundary_sf01(spark, tmp_path, monkeypatch):
     sims = [r["cos_sim"] for r in got]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_append_folds_new_vectors_into_stored_cells(spark, tmp_path):
+    """Incremental append: new vectors must land in the cell their
+    nearest STORED centroid defines (no retraining), the store must
+    grow to the union, and a probe over the appended index must equal
+    the same probe math computed inline over the full vector set with
+    the stored quantizer."""
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        append_to_ivf_index,
+        centroids_path,
+    )
+
+    base = str(tmp_path / "ivf")
+    emb = _load_emb(spark)
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    build_ivf_index(old, base)
+    append_to_ivf_index(spark, base, new)
+
+    vecs = spark.read.parquet(vectors_path(base))
+    assert vecs.count() == emb.count()
+
+    # appended rows sit exactly where the stored quantizer puts them
+    cents = spark.read.parquet(centroids_path(base))
+    want_cells = {
+        r["vec_id"]: r["cid"]
+        for r in assign_nearest(explode_vectors(new), cents).collect()
+    }
+    got_cells = {
+        r["vec_id"]: r["cell"]
+        for r in vecs.filter(F.col("vec_id") >= 300).collect()
+    }
+    assert got_cells == want_cells
+
+    # probe over the appended store == inline scoring of ALL vectors
+    # restricted to the probed cells (same centroids, same math)
+    qv = _qv(spark)
+    got = [
+        (r["vec_id"], r["cell"], r["cos_sim"])
+        for r in probe_ivf_index(
+            spark, base, qv, nprobe=2, topk=5, exclude_id=0
+        ).collect()
+    ]
+    top_cells = {cell for (_vid, cell, _sim) in got}
+    all_cells = {
+        r["vec_id"]: r["cid"]
+        for r in assign_nearest(explode_vectors(emb), cents).collect()
+    }
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            stable_round(
+                cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cos_sim"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (
+            (r["vec_id"], all_cells[r["vec_id"]], r["cos_sim"])
+            for r in scored
+            if all_cells[r["vec_id"]] in top_cells
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )[:5]
+    assert got == want

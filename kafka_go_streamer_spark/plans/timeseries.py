@@ -436,9 +436,18 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.lead("event_type").over(w).alias("next_type"),
     ).filter(F.col("next_type").isNotNull())
-    e = seq.groupBy(
-        F.col("event_type").alias("f"), F.col("next_type").alias("t")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    # Pin the edge table ONCE: without the barrier every iteration's
+    # reference to ew/nodes re-derives the whole lineage from the
+    # events scan (measured: 19 scans in the 3-iteration plan) — the
+    # classic iterative-lineage trap. Pinned, the corpus is scanned
+    # exactly once and the loop runs on the materialized 5x5 frame.
+    e = pinned(
+        seq.groupBy(
+            F.col("event_type").alias("f"), F.col("next_type").alias("t")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
     wf = Window.partitionBy("f")
     ew = e.select("f", "t", (F.col("n") / F.sum("n").over(wf)).alias("p"))
     nodes = (

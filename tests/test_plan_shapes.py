@@ -427,3 +427,71 @@ def test_salted_join_partitions_on_salt(spark, sf_dir):
     import re as _re
     part = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert any("_salt" in p for p in part)
+
+
+def test_sketch_hll_register_shuffle_is_constant_size(spark, sf_dir):
+    """The HLL build's only data-sized stage is the scan: the
+    (event_type, idx) register aggregate must partial-aggregate
+    map-side (HashAggregate below the exchange), so each executor
+    ships at most groups x 64 register rows. No SortMergeJoin anywhere
+    — the register/exact joins run on sketch-sized frames."""
+    plan = physical_plan(QUERIES["sketch_hll_distinct"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sketch_bloom_probe_is_broadcast_only(spark, sf_dir):
+    """The bloom probe must be a scan + broadcast lookups: the bit-set
+    is constant-size (<= 2048 rows), so a SortMergeJoin of the probe
+    side against it would be a planning failure."""
+    plan = physical_plan(QUERIES["sketch_bloom_filter_probe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_welch_ttest_single_pass(spark, sf_dir):
+    """The A/B test is ONE conditional aggregate over one scan — no
+    shuffle of the data by cohort, no join, no second scan."""
+    plan = physical_plan(QUERIES["stats_ab_welch_ttest"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark, sf_dir):
+    """The per-type stats frame (type-cardinality rows) must broadcast
+    back onto the event scan — flagging is one pass, not a shuffle of
+    events by type."""
+    plan = physical_plan(QUERIES["events_zscore_anomaly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_topk_no_global_sort(spark, sf_dir):
+    """The BPE pair count must partial-aggregate map-side and the
+    top-20 must compile to TakeOrderedAndProject — the full pair table
+    is never globally sorted."""
+    plan = physical_plan(QUERIES["text_bpe_pair_merges"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"Sort .*global=true", plan) is None
+
+
+def test_pagerank_iterations_broadcast(spark, sf_dir):
+    """PageRank's data-sized work is the ONE window shuffle extracting
+    bigram edges; every rank-refinement join must broadcast the
+    node-cardinality rank table (no SortMergeJoin in any iteration)."""
+    plan = physical_plan(QUERIES["graph_pagerank_transitions"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # events were scanned exactly once, AT PIN TIME: the iteration plan
+    # itself reads only the materialized edge frame — zero parquet
+    # scans left (without the pin the 3-iteration lineage re-derived
+    # the events scan 19 times)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_hard_negatives_blocked_by_cells(spark, sf_dir):
+    """Hard-negative mining must inherit the IVF-cell blocking: no
+    cartesian/broadcast nested-loop pairing of the corpus with itself
+    (the anchor x cell equi-join is the only pair generator)."""
+    plan = physical_plan(QUERIES["sim_hard_negatives"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -97,6 +97,15 @@ HEADLINE = [
     "embedding_random_projection",
     "merge_upsert_user_state",
     "sample_dsir_importance",
+    # round-7 late additions (appended, common prefix still
+    # comparable): the constant-shuffle HLL sketch, the IVF-cell-
+    # blocked hard-negative miner, the spine-generating gap-fill, the
+    # pinned-edge PageRank loop, and the BPE pair-count top-k
+    "sketch_hll_distinct",
+    "sim_hard_negatives",
+    "ts_resample_interpolate",
+    "graph_pagerank_transitions",
+    "text_bpe_pair_merges",
 ]
 
 

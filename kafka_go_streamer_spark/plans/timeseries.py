@@ -487,3 +487,229 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         stable_round(F.col("r"), 6).alias("pagerank"),
     )
+
+
+#: Rolling-feature knobs: simple stats over the last ROLL_N events and
+#: an exponentially-weighted average (decay EWMA_A) over the last
+#: EWMA_N — the standard per-entity feature block in front of a model.
+ROLL_N = 5
+EWMA_N = 10
+EWMA_A = 0.8
+
+
+@query(
+    "ts_rolling_features",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+        avg(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW) AS roll_avg,
+        max(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN {ROLL_N - 1} PRECEDING AND CURRENT ROW) AS roll_max,
+        list(value) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN {EWMA_N - 1} PRECEDING AND CURRENT ROW) AS vs
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(roll_avg, 4) AS roll_avg,
+           round(roll_max, 2) AS roll_max,
+           round(
+             list_sum(list_transform(range(1, len(vs) + 1),
+               i -> vs[i] * pow({EWMA_A}, len(vs) - i)))
+             / list_sum(list_transform(range(1, len(vs) + 1),
+               i -> pow({EWMA_A}, len(vs) - i))), 4) AS ewma
+    FROM w
+    """,
+)
+def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling feature block: trailing-5 mean and max plus an
+    exponentially-weighted moving average (decay 0.8, depth 10) over
+    each user's event-ordered value stream — the feature-engineering
+    pass in front of per-entity models.
+
+    Scale: ONE window shuffle on user_id serves all three features
+    (identical partition/order spec, so the sort is shared); the EWMA
+    is computed from a BOUNDED collected frame (<= 10 values) with an
+    in-row weighted fold — per-row memory is constant, unlike the
+    numerically explosive pow(a, -rownum) prefix trick, and there is
+    no per-pair self-join. Weights are generated positionally so both
+    engines fold in the same order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_N - 1), 0)
+    )
+    we = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_N - 1), 0)
+    )
+    f = ev.select(
+        "user_id",
+        "event_id",
+        F.avg("value").over(w).alias("roll_avg"),
+        F.max("value").over(w).alias("roll_max"),
+        F.collect_list("value").over(we).alias("vs"),
+    )
+    ewma = F.expr(
+        f"aggregate(transform(sequence(1, size(vs)), "
+        f"i -> element_at(vs, i) * pow({EWMA_A}D, size(vs) - i)), "
+        "0D, (acc, x) -> acc + x) / "
+        f"aggregate(transform(sequence(1, size(vs)), "
+        f"i -> pow({EWMA_A}D, size(vs) - i)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        stable_round(F.col("roll_avg"), 4).alias("roll_avg"),
+        stable_round(F.col("roll_max"), 2).alias("roll_max"),
+        stable_round(ewma, 4).alias("ewma"),
+    )
+
+
+#: OLS time origin: 2024-01-01 UTC, the fixture's epoch start. Shifting
+#: x to small integers keeps the normal-equation sums well inside
+#: double precision.
+OLS_X0 = 1704067200
+
+
+@query(
+    "stats_groupwise_ols",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx, sum(value) AS sy,
+             sum(x * value) AS sxy, sum(x * x) AS sxx
+      FROM (
+        SELECT event_type,
+               (floor(epoch(ts))::BIGINT - {OLS_X0}) AS x, value
+        FROM events
+      ) GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400,
+                 6) AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS intercept
+    FROM st
+    """,
+)
+def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise least-squares trend: per event type, the OLS slope
+    (per day) and intercept of value against event time — the 'is this
+    metric drifting' screen over a metric stream.
+
+    Scale: the regression is ONE map-side-combinable aggregate (five
+    sums per group) over the scan; the normal-equation solve is scalar
+    arithmetic on the type-cardinality result. x is shifted to the
+    fixture's epoch start so x² sums stay well inside double precision
+    at any volume (the classic catastrophic-cancellation guard)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - OLS_X0).alias("x")
+    st = ev.select("event_type", x, "value").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(F.col("x") * F.col("value")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return st.select(
+        "event_type",
+        "n",
+        stable_round(slope * 86400, 6).alias("slope_per_day"),
+        stable_round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept"),
+    )
+
+
+#: Column pairs for the correlation matrix over lineitem measures.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    sums = ",\n             ".join(
+        [f"sum({c}) AS s_{c}, sum({c} * {c}) AS q_{c}" for c in _CORR_COLS]
+        + [
+            f"sum({a} * {b}) AS x_{a}_{b}"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1 :]
+        ]
+    )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round((n * x_{a}_{b} - s_{a} * s_{b}) / "
+                f"sqrt((n * q_{a} - s_{a} * s_{a}) * "
+                f"(n * q_{b} - s_{b} * s_{b})), 6) AS corr FROM st"
+            )
+    return (
+        "WITH st AS (\n"
+        f"      SELECT count(*) AS n,\n             {sums}\n"
+        "      FROM lineitem\n    )\n    "
+        + "\n    UNION ALL ".join(pairs)
+    )
+
+
+@query("stats_corr_matrix", oracle=_corr_oracle())
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures (all 6
+    pairs of quantity/extendedprice/discount/tax) — the numeric-column
+    profiling step that catches redundant features before training.
+
+    Scale: every pairwise correlation reads the SAME single aggregate
+    row (count + 4 sums + 4 square-sums + 6 cross-sums, all map-side
+    combinable in one pass over one scan); the matrix itself is
+    assembled by exploding a 6-element literal array over that
+    broadcast row — one scan, one shuffle of one row, regardless of
+    table size or pair count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"x_{a}_{b}"))
+    st = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                stable_round(
+                    (
+                        F.col("n") * F.col(f"x_{a}_{b}")
+                        - F.col(f"s_{a}") * F.col(f"s_{b}")
+                    )
+                    / F.sqrt(
+                        (
+                            F.col("n") * F.col(f"q_{a}")
+                            - F.col(f"s_{a}") * F.col(f"s_{a}")
+                        )
+                        * (
+                            F.col("n") * F.col(f"q_{b}")
+                            - F.col(f"s_{b}") * F.col(f"s_{b}")
+                        )
+                    ),
+                    6,
+                ).alias("corr"),
+            )
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1 :]
+        ]
+    )
+    return st.select(F.explode(pairs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )

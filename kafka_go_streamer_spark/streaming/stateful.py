@@ -14,6 +14,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -118,3 +119,38 @@ def latest_state_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_registers_stream(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: maintain the per-(event_type, register)
+    max-rho table over an unbounded event stream — the streaming twin
+    of the batch ``sketch_hll_distinct`` build (plans/sketches.py),
+    sharing its hash/register expressions verbatim.
+
+    max() is associative and commutative, so the register table is
+    EXACTLY mergeable across micro-batches: after any prefix of the
+    stream the state equals the batch build over the same rows (the
+    sketch property the batch query proves across partitions, proven
+    here across TIME — tests/test_streaming.py). State size is bounded
+    by types x HLL_M rows regardless of stream volume, so this runs in
+    complete/update mode forever without watermark eviction; the
+    distinct-count estimate is read off the registers at any moment
+    with the batch query's estimate arithmetic."""
+    from kafka_go_streamer_spark.plans.sketches import HLL_M, _hll_rho_sql
+
+    h = events.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    rr = h.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.expr(_hll_rho_sql("(h >> 6)")).alias("rho"),
+    )
+    return rr.groupBy("event_type", "idx").agg(F.max("rho").alias("reg"))

@@ -215,3 +215,73 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
     ids_b1 = {r["user_id"] for r in ev.filter(F.col("ts") < F.lit(cut)).collect()}
     ids_b2 = {r["user_id"] for r in ev.filter(F.col("ts") >= F.lit(cut)).collect()}
     assert ids_b1 & ids_b2
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The streaming HLL register table after two micro-batches must
+    equal the batch build over the same rows — the sketch's
+    mergeability proven across TIME (the batch query proves it across
+    partitions). State is types x 64 rows regardless of volume."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import (
+        hll_registers_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # split by USER, not by time: batch 2 must introduce users batch 1
+    # never saw, or every register is already final after batch 1 and
+    # the cross-batch merge is vacuous
+    cut = ev.agg(F.expr("percentile(user_id, 0.5)")).collect()[0][0]
+    src_dir = tmp_path / "hll_src"
+    ev.filter(F.col("user_id") <= cut).coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    ev.filter(F.col("user_id") > cut).coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    feed = tmp_path / "hll_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    q = (
+        hll_registers_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            (r["event_type"], r["idx"]): r["reg"]
+            for r in spark.sql("SELECT * FROM hll_smoke").collect()
+        }
+        promote("b2")
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["idx"]): r["reg"]
+            for r in spark.sql("SELECT * FROM hll_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r["event_type"], r["idx"]): r["reg"]
+        for r in hll_registers_stream(ev).collect()
+    }
+    assert got == want
+    # calibration: the second batch genuinely advanced some register
+    # (otherwise the cross-batch max-merge was vacuous)
+    assert mid != got
+    # and registers only ever grow batch-over-batch
+    assert all(mid[k] <= got[k] for k in mid)

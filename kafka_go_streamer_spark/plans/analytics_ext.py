@@ -995,3 +995,99 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_seq"),
     )
+
+
+@query(
+    "quality_expectations_check",
+    oracle="""
+    SELECT 'events.user_id_not_null' AS expectation,
+           count(*) AS n_checked,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'events.value_non_negative', count(*),
+           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'orders.custkey_references_customer', count(*),
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey_references_orders', count(*),
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.quantity_in_1_50', count(*),
+           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents.n_chars_matches_text', count(*),
+           sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+    FROM documents
+    """,
+)
+def quality_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: one row per expectation with
+    checked/violation counts — null checks, range checks, referential
+    integrity (FK orphans), and a derived-column consistency check,
+    the contract a pipeline asserts before promoting a batch.
+
+    Scale: every non-relational expectation is a conditional aggregate
+    fused into ONE scan of its table (no filter-then-count double
+    scan); the two referential checks are left joins against
+    dimension-sized build sides (customer/orders broadcast at their
+    respective fact joins), counting NULL probes — the orphan count —
+    without materializing orphan rows. Output is expectation-
+    cardinality, so the gate's cost is the scans, full stop."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(df, name, bad):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_violations"),
+        ).select(
+            F.lit(name).alias("expectation"), "n_checked", "n_violations"
+        )
+
+    fk_orders = check(
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left",
+        ),
+        "orders.custkey_references_customer",
+        F.col("c_custkey").isNull(),
+    )
+    fk_lineitem = check(
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left",
+        ),
+        "lineitem.orderkey_references_orders",
+        F.col("o_orderkey").isNull(),
+    )
+    parts = [
+        check(ev, "events.user_id_not_null", F.col("user_id").isNull()),
+        check(ev, "events.value_non_negative", F.col("value") < 0),
+        fk_orders,
+        fk_lineitem,
+        check(
+            li,
+            "lineitem.quantity_in_1_50",
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        check(
+            docs,
+            "documents.n_chars_matches_text",
+            F.col("n_chars") != F.length("text"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

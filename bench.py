@@ -106,6 +106,15 @@ HEADLINE = [
     "ts_resample_interpolate",
     "graph_pagerank_transitions",
     "text_bpe_pair_merges",
+    # ...and the rest of the continuation wave: bounded-frame rolling
+    # features, the one-pass correlation matrix, the multi-table
+    # quality gate, the k-round coreset selection, and the
+    # vocabulary-blocked fuzzy matcher
+    "ts_rolling_features",
+    "stats_corr_matrix",
+    "quality_expectations_check",
+    "sample_kcenter_coreset",
+    "dedup_names_levenshtein",
 ]
 
 

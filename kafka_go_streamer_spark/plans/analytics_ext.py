@@ -1091,3 +1091,97 @@ def quality_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT user_id, date_trunc('week', ts) AS rev_week,
+             sum(value) AS rev
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT c.cohort_week,
+             (datediff('day', c.cohort_week, w.rev_week) / 7)::INTEGER
+               AS week_offset,
+             w.rev
+      FROM cohorts c JOIN weekly w USING (user_id)
+    ),
+    sized AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+    )
+    SELECT j.cohort_week, j.week_offset,
+           round(sum(j.rev), 2) AS revenue,
+           round(sum(sum(j.rev)) OVER (
+             PARTITION BY j.cohort_week ORDER BY j.week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_revenue,
+           round(sum(sum(j.rev)) OVER (
+             PARTITION BY j.cohort_week ORDER BY j.week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / any_value(s.cohort_size), 4) AS cum_ltv_per_user
+    FROM joined j JOIN sized s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: per signup-week cohort and week
+    offset, the period revenue, the cumulative revenue, and cumulative
+    LTV per cohort member — the retention triangle's revenue twin
+    (events_retention_weekly counts heads; this sums wallets).
+
+    Scale: same shape as retention — two aggregates over the SAME
+    user-partitioned shuffle (cohort = min week, weekly revenue per
+    user), a user-keyed join of user-cardinality frames, then the
+    cumulative window runs on the (cohort, offset)-cardinality matrix,
+    never on events. Cohort sizes join broadcast (week-cardinality
+    rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", F.col("ts")).alias("rev_week"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    joined = cohorts.join(weekly, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.to_date("rev_week"), F.to_date("cohort_week")) / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+        "rev",
+    )
+    sized = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    per_cell = joined.groupBy("cohort_week", "week_offset").agg(
+        F.sum("rev").alias("revenue")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_cell.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            stable_round(F.col("revenue"), 2).alias("revenue"),
+            stable_round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+            stable_round(
+                F.sum("revenue").over(w) / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )

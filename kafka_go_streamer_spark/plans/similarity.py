@@ -290,8 +290,17 @@ def ivf_sqrt_cells(emb: DataFrame) -> DataFrame:
     stand-in for trained centroids; SQL twin: _NEARDUP_CELLS_CTES).
     Returns (vec_id, embedding, cell). Assignment is a broadcast of c
     centroids + a per-row top-1 window: n*sqrt(n) work, sqrt(n)-row
-    broadcast — no stage quadratic at any corpus size."""
+    broadcast — no stage quadratic at any corpus size.
+
+    The result is ``pinned()``: every consumer self-joins cells
+    against itself, and without the barrier each join side re-derives
+    the whole assignment lineage independently — measured 6 parquet
+    scans and TWO n*sqrt(n) assignment passes per query (Catalyst
+    plans the self-join sides separately; no ReusedExchange). Pinned,
+    the corpus is scanned and assigned exactly once per query."""
     from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.operators.iterate import pinned as _pin
 
     nc = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).alias("_c"))
     cents = (
@@ -310,7 +319,7 @@ def ivf_sqrt_cells(emb: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cent_id").asc()
     )
-    return (
+    return _pin(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("cent_id").alias("cell"))

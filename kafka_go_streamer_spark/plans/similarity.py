@@ -862,3 +862,101 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HARD_NEG_TOPN)
         .select("anchor_id", "neg_id", "cell", "cos_sim", "rk")
     )
+
+
+#: Fixed coreset size for the unrolled greedy k-center (Gonzalez)
+#: selection. Three rounds keeps the oracle a finite CTE chain; the
+#: Spark side is the same construction driven by a Python loop, so k
+#: is a knob there.
+KCENTER_K = 3
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=f"""
+    WITH c1 AS (
+      SELECT embedding AS e1 FROM embeddings WHERE vec_id = 0
+    ),
+    d1 AS (
+      SELECT e.vec_id, e.embedding,
+             round(1 - {cosine_sql('e.embedding', 'c1.e1')}, 6) AS d
+      FROM embeddings e CROSS JOIN c1
+    ),
+    c2 AS (
+      SELECT vec_id, embedding, d FROM d1
+      ORDER BY d DESC, vec_id ASC LIMIT 1
+    ),
+    d2 AS (
+      SELECT d1.vec_id, d1.embedding,
+             least(d1.d,
+                   round(1 - {cosine_sql('d1.embedding', 'c2.embedding')},
+                         6)) AS d
+      FROM d1 CROSS JOIN c2
+    ),
+    c3 AS (
+      SELECT vec_id, embedding, d FROM d2
+      ORDER BY d DESC, vec_id ASC LIMIT 1
+    )
+    SELECT 1 AS rk, 0::BIGINT AS vec_id, 0.0 AS sel_dist
+    UNION ALL SELECT 2, vec_id, d FROM c2
+    UNION ALL SELECT 3, vec_id, d FROM c3
+    """,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez) coreset selection over the embedding
+    corpus: seed with vec_id 0, then repeatedly take the vector
+    farthest (cosine distance) from the selected set — the classic
+    2-approximate coverage coreset used for diversity-aware data
+    pruning. Returns each center with the min-distance it was selected
+    at (a non-increasing sequence = the coverage radius curve).
+
+    Scale: each round is ONE corpus scan — a broadcast of the current
+    1-row center against the carried min-distance column, then an
+    argmax via TakeOrderedAndProject(1) — so k rounds cost k linear
+    passes with k 1-row broadcasts; no pairwise stage, no collect (the
+    argmax row flows into the next round's broadcast inside the plan).
+    Distances are rounded BEFORE the argmax ordering so both engines
+    resolve knife-edge ties identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ce")
+    )
+    cur = emb.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "embedding",
+        stable_round(1 - cosine(F.col("embedding"), F.col("ce")), 6).alias(
+            "d"
+        ),
+    )
+    picks = [
+        c1.select(
+            F.lit(1).alias("rk"),
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(0.0).alias("sel_dist"),
+        )
+    ]
+    for rk in range(2, KCENTER_K + 1):
+        sel = cur.orderBy(F.col("d").desc(), F.col("vec_id").asc()).limit(1)
+        picks.append(
+            sel.select(
+                F.lit(rk).alias("rk"),
+                "vec_id",
+                F.col("d").alias("sel_dist"),
+            )
+        )
+        if rk < KCENTER_K:
+            nxt = F.broadcast(sel.select(F.col("embedding").alias("ce")))
+            cur = cur.crossJoin(nxt).select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("d"),
+                    stable_round(
+                        1 - cosine(F.col("embedding"), F.col("ce")), 6
+                    ),
+                ).alias("d"),
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

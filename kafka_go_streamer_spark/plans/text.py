@@ -1011,3 +1011,79 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+#: Frozen linear quality-classifier weights (a fastText-style model
+#: "shipped" as constants): intercept, log-word-count, mean word
+#: length, alpha ratio, English stopword-hit share of words. Frozen so
+#: the SQL twin scores bit-comparably; a retrain ships new constants,
+#: not new plumbing.
+QC_W0 = -4.0
+QC_W_LOGWC = 0.9
+QC_W_MWL = 0.35
+QC_W_ALPHA = 2.0
+QC_W_STOP = 3.0
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             ln({X.word_count_sql('text')} + 1) AS logwc,
+             {X.mean_word_len_sql(X.words_sql('text'))} AS mwl,
+             {X.alpha_ratio_sql('text')} AS alpha,
+             {X.stopword_hits_sql('text', 'en')} * 1.0 /
+               greatest({X.word_count_sql('text')}, 1) AS stopshare
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({QC_W0} + {QC_W_LOGWC} * logwc
+             + {QC_W_MWL} * mwl + {QC_W_ALPHA} * alpha
+             + {QC_W_STOP} * stopshare))), 4) AS quality_score,
+           CASE WHEN round(1.0 / (1.0 + exp(-({QC_W0}
+             + {QC_W_LOGWC} * logwc + {QC_W_MWL} * mwl
+             + {QC_W_ALPHA} * alpha + {QC_W_STOP} * stopshare))), 4)
+             >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM f
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE as a projection: a frozen
+    logistic model over four cheap text features (log word count, mean
+    word length, alphabetic ratio, stopword share) scores every
+    document and thresholds a keep flag — how a fastText-style quality
+    model actually runs inside a corpus pipeline once trained.
+
+    Scale: inference is a pure narrow projection (features and sigmoid
+    are all codegen'd expressions over the scan — no UDF, no shuffle,
+    no model server round-trip), so it runs at scan speed on any
+    corpus. The keep decision thresholds the ROUNDED score so both
+    engines agree at the boundary; the weights are literals, so a
+    model update is a constant swap with an unchanged plan."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = X.word_count(F.col("text"))
+    f = d.select(
+        "doc_id",
+        F.log(wc + F.lit(1)).alias("logwc"),
+        X.mean_word_len(X.words(F.col("text"))).alias("mwl"),
+        X.alpha_ratio(F.col("text")).alias("alpha"),
+        (
+            X.stopword_hits(F.col("text"), "en")
+            * 1.0
+            / F.greatest(wc, F.lit(1))
+        ).alias("stopshare"),
+    )
+    z = (
+        F.lit(QC_W0)
+        + QC_W_LOGWC * F.col("logwc")
+        + QC_W_MWL * F.col("mwl")
+        + QC_W_ALPHA * F.col("alpha")
+        + QC_W_STOP * F.col("stopshare")
+    )
+    score = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return f.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("keep"),
+    )

@@ -495,3 +495,12 @@ def test_hard_negatives_blocked_by_cells(spark, sf_dir):
     (the anchor x cell equi-join is the only pair generator)."""
     plan = physical_plan(QUERIES["sim_hard_negatives"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_narrow_projection(spark, sf_dir):
+    """Model inference must stay a scan -> project: all four features
+    and the sigmoid are codegen'd expressions — zero Exchange, zero
+    Python eval at any corpus size."""
+    plan = physical_plan(QUERIES["text_quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -267,10 +267,13 @@ def test_simhash64_pairs_no_cartesian_and_capped(spark, sf_dir):
 
 
 def test_neardup_sqrt_cells_broadcast(spark, sf_dir):
-    """sim_neardup_ivf_cells: the sqrt(n) centroid set must broadcast
-    (bounded), and pairing must remain an equi-join on the cell id."""
+    """sim_neardup_ivf_cells: the cell assignment (whose sqrt(n)
+    centroid set broadcasts at pin time) is materialized ONCE and the
+    final plan self-joins the pinned frame — zero parquet re-scans,
+    and pairing remains an equi-join on the cell id (no cartesian)."""
     plan = physical_plan(QUERIES["sim_neardup_ivf_cells"](spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
 
 

@@ -432,3 +432,165 @@ def sketch_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_bits))
     )
+
+
+@query(
+    "sketch_hll_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             user_id
+      FROM events
+    ),
+    rr AS (
+      SELECT event_type, h % {HLL_M} AS idx,
+             {_hll_rho_sql(f"(h >> 6)")} AS rho, user_id
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, idx, max(rho) AS reg
+      FROM rr GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type,
+             {HLL_NUMERATOR!r} / (sum({_hll_weight_sql('reg')})
+               + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
+      FROM regs GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             coalesce(a.idx, b.idx) AS idx,
+             greatest(coalesce(a.reg, 0), coalesce(b.reg, 0)) AS reg
+      FROM regs a FULL JOIN regs b
+        ON a.idx = b.idx AND a.event_type < b.event_type
+      WHERE a.event_type IS NOT NULL AND b.event_type IS NOT NULL
+    ),
+    uest AS (
+      SELECT type_a, type_b,
+             {HLL_NUMERATOR!r} / (sum({_hll_weight_sql('reg')})
+               + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)) AS eu
+      FROM pairs GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS exact_intersection
+      FROM (SELECT DISTINCT event_type, user_id FROM rr) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM rr) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b,
+           round(ea.e + eb.e - u.eu, 1) AS hll_intersection,
+           x.exact_intersection
+    FROM uest u
+    JOIN est ea ON ea.event_type = u.type_a
+    JOIN est eb ON eb.event_type = u.type_b
+    JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+    """,
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: estimated distinct-user INTERSECTION for every
+    event-type pair via inclusion–exclusion — |A∩B| ≈ est(A) + est(B)
+    − est(A∪B), where est(A∪B) comes from the elementwise register max
+    (the only set operation HLL supports natively). This is how
+    audience-overlap questions are answered at 100 TB without ever
+    co-shuffling the two sides' raw members.
+
+    Scale: one register build (the same constant-size shuffle as
+    sketch_hll_distinct), then ALL pairwise unions are computed by
+    joining the register table with itself on idx — type-pair ×
+    64-register work, independent of corpus size. The exact
+    intersection column is the verification twin (a user-level
+    self-join that the sketch path exists to avoid). Raw estimates
+    (no small-range correction) on all three terms so the algebra is
+    exact over the same integer sums in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        "user_id",
+    )
+    rr = h.select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.expr(_hll_rho_sql("(h >> 6)")).alias("rho"),
+        "user_id",
+    )
+    regs = rr.groupBy("event_type", "idx").agg(F.max("rho").alias("reg"))
+
+    def estimate(df, keys):
+        return df.groupBy(*keys).agg(
+            (
+                F.lit(HLL_NUMERATOR)
+                / (
+                    F.sum(F.expr(_hll_weight_sql("reg")))
+                    + (HLL_M - F.count(F.lit(1)))
+                    * F.lit(2**55).cast("long")
+                )
+            ).alias("e")
+        )
+
+    est = estimate(regs, ["event_type"])
+    a = regs.select(
+        F.col("event_type").alias("type_a"),
+        F.col("idx").alias("idx_a"),
+        F.col("reg").alias("reg_a"),
+    )
+    b = regs.select(
+        F.col("event_type").alias("type_b"),
+        F.col("idx").alias("idx_b"),
+        F.col("reg").alias("reg_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("idx_a") == F.col("idx_b"))
+            & (F.col("type_a") < F.col("type_b")),
+            "full",
+        )
+        .filter(F.col("type_a").isNotNull() & F.col("type_b").isNotNull())
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("idx_a"), F.col("idx_b")).alias("idx"),
+            F.greatest(
+                F.coalesce(F.col("reg_a"), F.lit(0)),
+                F.coalesce(F.col("reg_b"), F.lit(0)),
+            ).alias("reg"),
+        )
+    )
+    uest = estimate(pairs, ["type_a", "type_b"]).withColumnRenamed("e", "eu")
+    du = rr.select("event_type", "user_id").distinct()
+    xa = du.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
+    )
+    xb = du.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    exact = (
+        xa.join(
+            xb,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    ea = est.select(F.col("event_type").alias("type_a"), F.col("e").alias("e_a"))
+    eb = est.select(F.col("event_type").alias("type_b"), F.col("e").alias("e_b"))
+    return (
+        uest.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            stable_round(
+                F.col("e_a") + F.col("e_b") - F.col("eu"), 1
+            ).alias("hll_intersection"),
+            "exact_intersection",
+        )
+    )

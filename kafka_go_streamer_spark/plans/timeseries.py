@@ -588,7 +588,7 @@ OLS_X0 = 1704067200
              sum(x * value) AS sxy, sum(x * x) AS sxx
       FROM (
         SELECT event_type,
-               (floor(epoch(ts))::BIGINT - {OLS_X0}) AS x, value
+               ((floor(epoch(ts))::BIGINT - {OLS_X0}))::DOUBLE AS x, value
         FROM events
       ) GROUP BY 1
     )
@@ -609,9 +609,13 @@ def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums per group) over the scan; the normal-equation solve is scalar
     arithmetic on the type-cardinality result. x is shifted to the
     fixture's epoch start so x² sums stay well inside double precision
-    at any volume (the classic catastrophic-cancellation guard)."""
+    at any volume (the classic catastrophic-cancellation guard), and
+    the sums run in DOUBLE on both engines — BIGINT x*x sums
+    overflow long at ~10^5 rows of month-scale offsets (caught by
+    the sf0.1 replica); DuckDB's HUGEINT escape hatch has no Spark
+    twin."""
     ev = load_table(spark, sf_dir, "events")
-    x = (F.unix_timestamp("ts") - OLS_X0).alias("x")
+    x = (F.unix_timestamp("ts") - OLS_X0).cast("double").alias("x")
     st = ev.select("event_type", x, "value").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

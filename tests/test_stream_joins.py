@@ -308,3 +308,85 @@ def test_stream_stream_outer_interval_join_matches_batch(
     assert any(p is not None for _, p in want)
     assert any(p is None for _, p in want)
     assert got == want
+
+
+def test_streaming_zscore_flags_match_batch(spark, sf_dir, tmp_path):
+    """The z-score anomaly screen under streaming: per-type stats are a
+    STATIC frame broadcast into the stream (stream_static_enrich), so
+    flagging an unbounded stream needs no state — and the union of
+    per-batch flags must equal the batch query's flags regardless of
+    batching. (Production recomputes the stats frame on its own
+    cadence; each micro-batch picks up the current table.)"""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.plans.timeseries import ZSCORE_THRESHOLD
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.joins import stream_static_enrich
+    from kafka_go_streamer_spark.functions.rounding import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+    )
+
+    cut = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    src_dir = tmp_path / "z_src"
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    feed = tmp_path / "z_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        shutil.copy(
+            next((src_dir / stage).glob("*.parquet")),
+            feed / f"{stage}.parquet",
+        )
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    z = stable_round(
+        (F.col("value") - F.col("s") / F.col("n"))
+        / F.sqrt(F.expr("((sumsq - s * s / n) / (n - 1))")),
+        3,
+    )
+    flagged = (
+        stream_static_enrich(stream, stats, on="event_type")
+        .select("event_id", z.alias("z"))
+        .filter(
+            (F.col("z") >= ZSCORE_THRESHOLD)
+            | (F.col("z") <= -ZSCORE_THRESHOLD)
+        )
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("z_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["z"])
+            for r in spark.sql("SELECT * FROM z_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r["event_id"], r["z"])
+        for r in QUERIES["events_zscore_anomaly"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 5  # non-vacuous

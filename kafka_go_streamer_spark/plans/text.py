@@ -1087,3 +1087,134 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         F.when(score >= 0.5, 1).otherwise(0).alias("keep"),
     )
+
+
+#: Shared train-split predicate (first md5 nibble of doc_id in 0..d):
+#: MUST stay identical to sample_split_train_eval's assignment so the
+#: held-out scorer and the split accounting agree on membership.
+_TRAIN_NIBS = "0123456789abcd"
+_VAL_NIB = "e"
+
+
+@query(
+    "text_eval_perplexity_heldout",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS nib,
+             unnest({X.words_sql('text')}) AS word
+      FROM documents
+    ),
+    freq AS (
+      SELECT word, count(*) AS c FROM tok
+      WHERE nib IN ({", ".join(f"'{c}'" for c in _TRAIN_NIBS)})
+      GROUP BY word
+    ),
+    stats AS (
+      SELECT sum(c) AS t, count(*) AS v FROM freq
+    ),
+    scored AS (
+      SELECT tok.doc_id,
+             ln((coalesce(freq.c, 0) + 1.0) / (stats.t + stats.v)) AS lp
+      FROM tok LEFT JOIN freq USING (word) CROSS JOIN stats
+      WHERE tok.nib = '{_VAL_NIB}'
+    )
+    SELECT doc_id, count(*)::INTEGER AS n_tokens,
+           round(avg(lp), 6) AS avg_logprob,
+           round(exp(-avg(lp)), 2) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_eval_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation with proper split hygiene:
+    a Laplace-smoothed unigram LM is trained ONLY on the train split
+    (the same md5-nibble assignment as ``sample_split_train_eval``)
+    and scores only the val split — per-doc mean log-probability and
+    perplexity. Unseen val words get the (c+1)/(T+V) smoothed mass
+    instead of crashing the join, which is the whole point of
+    evaluating off-train (``text_unigram_logprob`` trains on the full
+    corpus and can never see an OOV).
+
+    Scale: identical shape to the corpus LM — one map-side-combined
+    word count over the train partition (vocab-sized output), then the
+    val tokens LEFT-join the broadcast frequency table; the split
+    predicate is a row-local nibble CASE that pushes into both scans.
+    The smoothing constants ride as a broadcast 1-row frame."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tok = d.select(
+        "doc_id",
+        nib.alias("nib"),
+        F.explode(X.words(F.col("text"))).alias("word"),
+    )
+    freq = (
+        tok.filter(F.col("nib").isin(*_TRAIN_NIBS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = freq.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.filter(F.col("nib") == _VAL_NIB)
+        .join(F.broadcast(freq), "word", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("t") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        stable_round(F.avg("lp"), 6).alias("avg_logprob"),
+        stable_round(F.exp(-F.avg("lp")), 2).alias("perplexity"),
+    )
+
+
+#: Feature-hashing width (the "hashing trick"): words hash into a
+#: fixed bucket space so the feature dimensionality is constant no
+#: matter how the vocabulary grows.
+FEATURE_HASH_BUCKETS = 1024
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           (('0x' || substr(md5(word), 1, 8))::BIGINT
+             % {FEATURE_HASH_BUCKETS}) AS bucket,
+           count(*) AS tf
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every document's sparse bag-of-words feature
+    vector over a FIXED 1024-bucket space (word -> md5-slice hash ->
+    bucket, counts summed on collision) — the input representation of
+    linear text models (fastText / Vowpal Wabbit style), sized
+    independently of vocabulary growth so the model shape never
+    changes as the corpus scales.
+
+    Scale: explode -> hash -> one map-side-combinable groupBy on
+    (doc_id, bucket); no vocabulary table, no dictionary broadcast, no
+    second pass — the defining advantage of hashing over a fitted
+    vocabulary encoder at 100 TB (the collision cost is the textbook
+    trade, bounded by the bucket count)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+        % FEATURE_HASH_BUCKETS
+    )
+    return (
+        tok.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -717,3 +717,120 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.select(F.explode(pairs).alias("p")).select(
         "p.col_a", "p.col_b", "p.corr"
     )
+
+
+#: Document-graph PageRank iterations (unrolled in the oracle).
+DOC_PR_ITERS = 2
+
+
+def _doc_centrality_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    # The edge list IS the registered winnowing-pair query — reuse its
+    # oracle verbatim as a CTE so the two stay in lockstep.
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    iters = []
+    for k in range(1, DOC_PR_ITERS + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             {1.0 - PR_DAMPING} / (SELECT nn FROM ns)
+             + {PR_DAMPING} * coalesce(s.c, 0) AS r
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst, sum(p.r * e.p) AS c
+        FROM ew e JOIN r{k - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = n.node
+    )""")
+    return f"""
+    WITH wpairs AS ({wpairs}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst, n_shared AS w FROM wpairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst, n_shared AS w FROM wpairs
+    ),
+    ew AS (
+      SELECT src, dst, w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
+      FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    ns AS (SELECT count(*) AS nn FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM ns) AS r FROM nodes),
+    {",".join(iters)}
+    SELECT node AS doc_id, round(r, 6) AS centrality
+    FROM r{DOC_PR_ITERS}
+    """
+
+
+@query("graph_doc_centrality", oracle=_doc_centrality_oracle())
+def graph_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality: damped PageRank over the winnowing-overlap
+    similarity graph (edges = the registered ``dedup_winnowing_pairs``
+    output, symmetrized, weighted by shared-fingerprint count) — a
+    data-selection signal: documents central to a duplication
+    neighborhood are templates/boilerplate hubs, peripheral ones are
+    distinctive. Isolated documents (no near-dup edges) are excluded —
+    centrality is defined on the graph.
+
+    Scale: this is the BIG-GRAPH twin of the event-type PageRank
+    (graph_pagerank_transitions): there the node set is tiny and the
+    rank table broadcasts; here nodes are document-cardinality, so
+    every iteration is a PARTITIONED equi-join of the rank table with
+    the pinned edge list (both hash-partitioned on the node key —
+    exchange reuse across iterations), a map-side-combinable
+    contribution aggregate, and a left join back to nodes. Edge
+    generation inherits winnowing's capped blocking, so the graph is
+    sparse by construction (no bucket can go quadratic). Iteration
+    count is fixed and small — the contraction-loop discipline of
+    connected_components applies unchanged if run to convergence."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    edges = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.col("n_shared").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("dst"),
+            F.col("n_shared").alias("w"),
+        )
+    )
+    ws = Window.partitionBy("src")
+    ew = pinned(
+        edges.select(
+            "src", "dst", (F.col("w") * 1.0 / F.sum("w").over(ws)).alias("p")
+        )
+    )
+    nodes = ew.select(F.col("src").alias("node")).distinct()
+    ns = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = nodes.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("r"), "nn"
+    )
+    for _ in range(DOC_PR_ITERS):
+        contrib = (
+            ew.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") * F.col("p")).alias("c"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - PR_DAMPING) / F.col("nn")
+                    + PR_DAMPING * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+                "nn",
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        stable_round(F.col("r"), 6).alias("centrality"),
+    )

@@ -115,6 +115,13 @@ HEADLINE = [
     "quality_expectations_check",
     "sample_kcenter_coreset",
     "dedup_names_levenshtein",
+    # final continuation batch: HLL set algebra, cohort LTV, model
+    # inference, held-out perplexity, and the document-graph PageRank
+    "sketch_hll_intersection",
+    "events_cohort_ltv",
+    "text_quality_classifier",
+    "text_eval_perplexity_heldout",
+    "graph_doc_centrality",
 ]
 
 

@@ -834,3 +834,84 @@ def graph_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         stable_round(F.col("r"), 6).alias("centrality"),
     )
+
+
+#: Seasonal-naive forecasting period: one week of 4 h buckets.
+FC_PERIOD_BUCKETS = 7 * 24 // 4
+
+
+@query(
+    "ts_forecast_seasonal_naive",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             (floor(epoch(ts) / {RESAMPLE_S}) * {RESAMPLE_S})::BIGINT
+               AS bucket_s,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT cur.event_type, cur.bucket_s, cur.v,
+             prev.v AS forecast
+      FROM b cur JOIN b prev
+        ON cur.event_type = prev.event_type
+       AND prev.bucket_s = cur.bucket_s - {FC_PERIOD_BUCKETS * RESAMPLE_S}
+    )
+    SELECT event_type,
+           count(*) AS n_forecasts,
+           round(avg(abs(v - forecast)), 4) AS mae,
+           round(avg(abs(v - forecast)) / avg(abs(v)), 4) AS wape
+    FROM j GROUP BY 1
+    """,
+)
+def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each 4 h bucket's
+    per-type revenue as the SAME bucket one week earlier, then score
+    MAE and WAPE per event type — the baseline every real forecasting
+    model must beat, and the data-quality canary for seasonality
+    drift.
+
+    Scale: one bucketing aggregate (map-side combinable, bucket-
+    cardinality output), then the forecast 'join to one week ago' is
+    an equi-join of the bucket table WITH ITSELF on an exact shifted
+    key — on bucket-cardinality frames, never on events; the error
+    aggregate is type-cardinality. The classic window-lag alternative
+    would also work, but the shifted equi-join stays correct when
+    buckets are missing (a lag would silently forecast from the
+    previous PRESENT bucket, not the seasonal one)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            (
+                F.floor(F.unix_timestamp("ts") / RESAMPLE_S) * RESAMPLE_S
+            ).cast("long").alias("bucket_s"),
+            "value",
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(F.sum("value").alias("v"))
+    )
+    cur, prev = b.alias("cur"), b.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.event_type") == F.col("prev.event_type"))
+        & (
+            F.col("prev.bucket_s")
+            == F.col("cur.bucket_s") - FC_PERIOD_BUCKETS * RESAMPLE_S
+        ),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.v").alias("v"),
+        F.col("prev.v").alias("forecast"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        stable_round(F.avg(F.abs(F.col("v") - F.col("forecast"))), 4).alias(
+            "mae"
+        ),
+        stable_round(
+            F.avg(F.abs(F.col("v") - F.col("forecast")))
+            / F.avg(F.abs(F.col("v"))),
+            4,
+        ).alias("wape"),
+    )

@@ -129,3 +129,39 @@ def test_kafka_availability_probe(spark):
     # environment truth: no connector jar in this container — the router
     # must detect that instead of failing at .start()
     assert kafka_available(spark) is False
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Corpus schema evolution: a later batch adds a column (and drops
+    nothing). mergeSchema reads the union schema with NULLs for the
+    old rows — the append-only evolution contract a long-lived corpus
+    directory needs (writers upgrade, readers keep working; partition
+    pruning and pushdown are unaffected because the physical files are
+    untouched)."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path / "evolving"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id bigint, text string"
+    ).write.parquet(str(base / "batch=1"))
+    spark.createDataFrame(
+        [(3, "c", "en")], "doc_id bigint, text string, lang string"
+    ).write.parquet(str(base / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(base / "batch=1"), str(base / "batch=2")
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+
+    # narrow reads over the evolved directory still prune columns: a
+    # projection that only needs the original columns must not fail on
+    # (or read) the new one
+    old_only = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(base / "batch=1"), str(base / "batch=2"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") >= 2)
+    )
+    assert old_only.count() == 2

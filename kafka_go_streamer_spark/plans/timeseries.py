@@ -915,3 +915,86 @@ def ts_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("wape"),
     )
+
+
+#: Churn horizon: a user inactive for this long before the corpus
+#: end is labeled churned. 12 h sits near the fixtures' 80th
+#: percentile of end-gap (production would use days against a longer
+#: horizon): both cohorts are populated at every SF, so the survival
+#: comparison is non-vacuous.
+CHURN_HORIZON_S = 12 * 3600
+
+
+@query(
+    "events_churn_survival",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT max(ts) AS tmax FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             min(ts) AS first_ts,
+             max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    lab AS (
+      SELECT user_id, n_events,
+             (date_diff('second', first_ts, last_ts)
+               / 86400.0) AS lifetime_days,
+             CASE WHEN date_diff('second', last_ts,
+                                 (SELECT tmax FROM bounds))
+                    > {CHURN_HORIZON_S}
+                  THEN 1 ELSE 0 END AS churned
+      FROM u
+    )
+    SELECT churned,
+           count(*) AS n_users,
+           round(avg(lifetime_days), 4) AS avg_lifetime_days,
+           round(avg(n_events), 2) AS avg_events
+    FROM lab GROUP BY 1
+    """,
+)
+def events_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn labeling + survival summary: a user is churned when their
+    last event is more than a week before the corpus horizon; the
+    report compares lifetime and activity between churned and retained
+    cohorts — the label-generation step in front of every churn model
+    (and the sanity check that churned users really do look different).
+
+    Scale: one user-keyed aggregate builds first/last/count per user
+    (map-side combinable), the corpus horizon rides as a broadcast
+    1-row frame, and the final survival summary is a 2-row aggregate —
+    the events table is scanned once and shuffled once, by user. The
+    whole-second difference arithmetic matches DuckDB's date_diff for
+    the fixtures' non-negative epochs (same precondition as
+    operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("tmax"))
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lab = u.crossJoin(F.broadcast(bounds)).select(
+        "n_events",
+        (
+            (
+                F.col("last_ts").cast("long")
+                - F.col("first_ts").cast("long")
+            )
+            / 86400.0
+        ).alias("lifetime_days"),
+        F.when(
+            (F.col("tmax").cast("long") - F.col("last_ts").cast("long"))
+            > CHURN_HORIZON_S,
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    return lab.groupBy("churned").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        stable_round(F.avg("lifetime_days"), 4).alias("avg_lifetime_days"),
+        stable_round(F.avg("n_events"), 2).alias("avg_events"),
+    )

@@ -998,3 +998,49 @@ def events_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.avg("lifetime_days"), 4).alias("avg_lifetime_days"),
         stable_round(F.avg("n_events"), 2).alias("avg_events"),
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, sum(value) AS s, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    hod AS (
+      SELECT event_type, extract(hour FROM ts) AS hour_of_day,
+             sum(value) AS hs, count(*) AS hn
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.hour_of_day, h.hn AS n_events,
+           round((h.hs / h.hn) / (st.s / st.n), 4) AS seasonal_index
+    FROM hod h JOIN st USING (event_type)
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: per event type and hour, the
+    ratio of that hour's mean value to the type's overall mean — the
+    multiplicative seasonal index a forecaster divides out before
+    modeling trend (and the input the seasonal-naive baseline
+    implicitly assumes is stable week to week).
+
+    Scale: two map-side-combinable aggregates over one scan shape
+    (type- and type×24-cardinality outputs); the overall stats frame
+    broadcasts into the hourly one. Nothing data-sized shuffles twice,
+    and the index arithmetic is a single division per output row
+    computed identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    hod = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.sum("value").alias("hs"), F.count(F.lit(1)).alias("hn"))
+    return hod.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        F.col("hn").alias("n_events"),
+        stable_round(
+            (F.col("hs") / F.col("hn")) / (F.col("s") / F.col("n")), 4
+        ).alias("seasonal_index"),
+    )

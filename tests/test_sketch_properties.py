@@ -128,3 +128,54 @@ def test_bloom_has_no_false_negatives_and_python_fp_set(spark):
     assert row["bloom_positive"] == len(positive)
     assert row["false_positives"] == len(positive - members)
     assert row["bits_set"] == len(bits)
+
+
+def test_kcenter_matches_python_greedy():
+    """The unrolled k-center query must replicate the classic greedy
+    (Gonzalez) selection computed in plain Python over the same
+    fixture — same centers, same selection distances."""
+    import math
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.session import get_spark
+
+    con = duckdb.connect()
+    vecs = {
+        vid: v
+        for vid, v in con.execute(
+            f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+        ).fetchall()
+    }
+    con.close()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    dist = {
+        vid: round(1 - cos(v, vecs[0]), 6) for vid, v in vecs.items()
+    }
+    picks = [(1, 0, 0.0)]
+    for rk in (2, 3):
+        sel = min(dist, key=lambda vid: (-dist[vid], vid))
+        picks.append((rk, sel, dist[sel]))
+        if rk < 3:
+            for vid, v in vecs.items():
+                dist[vid] = min(
+                    dist[vid], round(1 - cos(v, vecs[sel]), 6)
+                )
+
+    spark = get_spark()
+    got = sorted(
+        (r["rk"], r["vec_id"], r["sel_dist"])
+        for r in QUERIES["sample_kcenter_coreset"](spark, SF).collect()
+    )
+    assert [(rk, vid) for rk, vid, _ in got] == [
+        (rk, vid) for rk, vid, _ in picks
+    ]
+    for (_, _, a), (_, _, b) in zip(got, picks):
+        assert abs(a - b) < 1e-5
+    # selection distances are non-increasing (the coverage-radius curve)
+    assert got[1][2] >= got[2][2]

@@ -205,3 +205,50 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
         stable_round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+#: Parameter values for the parameterized-SQL demo — bound through
+#: Spark's named-parameter API, NOT string interpolation.
+PARAM_SEGMENT = "BUILDING"
+PARAM_MIN_BAL = 1000.0
+
+
+@query(
+    "sql_api_parameterized",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_balance
+    FROM customer
+    WHERE c_mktsegment = '{PARAM_SEGMENT}' AND c_acctbal > {PARAM_MIN_BAL}
+    GROUP BY 1
+    """,
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL through Spark's named-argument binding
+    (``spark.sql(query, args={...})``) — the injection-safe way a
+    service layer runs user-scoped queries: parameters are bound as
+    typed literals by the parser, never spliced into the query text.
+
+    Scale: binding happens at plan time, so the bound literals
+    constant-fold and push into the scan exactly like hand-written
+    ones (segment + balance both reach PushedFilters); plan caching
+    across parameter values is Catalyst's normal literal handling."""
+    from kafka_go_streamer_spark.plans.registry import stabilize_rounds
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        stabilize_rounds(
+            """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_balance
+        FROM v_customer
+        WHERE c_mktsegment = :segment AND c_acctbal > :min_bal
+        GROUP BY c_mktsegment
+        """
+        ),
+        args={"segment": PARAM_SEGMENT, "min_bal": PARAM_MIN_BAL},
+    )

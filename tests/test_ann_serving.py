@@ -153,3 +153,72 @@ def test_streaming_ingest_matches_batch_append(spark, sf_dir, tmp_path):
 
     assert snapshot(base_s) == snapshot(base_b)
     assert len(snapshot(base_s)) == emb.count()
+
+
+def test_ingest_then_serve_closed_loop(spark, sf_dir, tmp_path):
+    """The full online loop against ONE store: build offline, stream
+    new vectors in (ingest_ann_stream), then stream queries against
+    the same index (serve_ann_stream) — served answers must rank the
+    freshly ingested vectors, proving ingest->probe visibility without
+    any rebuild between."""
+    import shutil
+
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        build_ivf_index,
+        probe_ivf_index_many,
+    )
+    from kafka_go_streamer_spark.streaming.joins import (
+        ingest_ann_stream,
+        serve_ann_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 300), base, iters=1)
+
+    # ingest the remaining vectors as one micro-batch
+    vfeed = tmp_path / "vfeed"
+    vfeed.mkdir()
+    new = emb.filter(F.col("vec_id") >= 300)
+    new.coalesce(1).write.parquet(str(tmp_path / "vstage"))
+    shutil.copy(
+        next((tmp_path / "vstage").glob("*.parquet")), vfeed / "v1.parquet"
+    )
+    vstream = spark.readStream.schema(new.schema).parquet(str(vfeed))
+    qi = ingest_ann_stream(spark, base, vstream, str(tmp_path / "ickpt"))
+    try:
+        qi.processAllAvailable()
+    finally:
+        qi.stop()
+
+    # serve queries against the now-appended store
+    panel = _query_panel(spark, sf_dir, [0, 350])
+    qfeed = tmp_path / "qfeed"
+    qfeed.mkdir()
+    panel.coalesce(1).write.parquet(str(tmp_path / "qstage"))
+    shutil.copy(
+        next((tmp_path / "qstage").glob("*.parquet")), qfeed / "q1.parquet"
+    )
+    qstream = spark.readStream.schema(panel.schema).parquet(str(qfeed))
+    out = str(tmp_path / "served")
+    qs = serve_ann_stream(spark, base, qstream, out, str(tmp_path / "sckpt"))
+    try:
+        qs.processAllAvailable()
+    finally:
+        qs.stop()
+
+    served = spark.read.parquet(out)
+    got = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in served.collect()
+    }
+    want = {
+        (r["q_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in probe_ivf_index_many(spark, base, panel).collect()
+    }
+    assert got == want
+    # the appended half is actually served: querying an ingested
+    # vector's own embedding must surface ingested neighbors or itself
+    assert any(
+        vid >= 300 for (q, _rk), (vid, _s) in got.items() if q == 350
+    )

@@ -110,12 +110,19 @@ DEMOTED = (
 # driver verdict: forced to the front of the window so the verdict
 # can't go stale (rotation discipline — a green row must describe the
 # code as it exists now).
-#   ann_recall_multiprobe: round 7 aliased both sides of its self-join
-#   dedup_embedding_drop_rule: round 7 rebuilt it store-backed +
-#     rep-capped after the scale-up measured the r6 form at x18.7
+#   quality_expectations_check / sketch_bloom_filter_probe /
+#     stats_ab_welch_ttest: round 8 added the ::BIGINT casts that fix
+#     their r7 dtype-only hash failures (never-green, must lead)
+#   sketch_hll_intersection: round 8 rebuilt the pair-union registers
+#     (UNION ALL + max instead of the inner-collapsing full join)
+#   window_gap_islands: round 8 cast streak bounds DATE -> TIMESTAMP
+#     on both sides to remove the date-vs-datetime dtype drift
 ROTATE_FRONT = (
-    "ann_recall_multiprobe",
-    "dedup_embedding_drop_rule",
+    "quality_expectations_check",
+    "sketch_bloom_filter_probe",
+    "stats_ab_welch_ttest",
+    "sketch_hll_intersection",
+    "window_gap_islands",
 )
 
 

@@ -92,7 +92,10 @@ def ensure_ivf_index(
     read — the offline-train / online-probe split at the API level."""
     base = default_index_base(sf_dir)
     marker = os.path.join(base, "_fingerprint.json")
-    fp = _source_fingerprint(sf_dir)
+    # Fingerprint covers the BUILD PARAMETERS too, not just the source
+    # fixture — otherwise a later call with different iters/k silently
+    # reuses the index trained under the old parameters.
+    fp = {**_source_fingerprint(sf_dir), "iters": iters, "k": k}
     done = all(
         os.path.exists(os.path.join(p, "_SUCCESS"))
         for p in (centroids_path(base), vectors_path(base))
@@ -256,7 +259,9 @@ def probe_ivf_index(
     # zero-norm stored vectors would score NaN (which Spark sorts above
     # every double) — drop them before the cosine instead of letting a
     # degenerate vector outrank every real match
-    return (
+    from pyspark.sql import Window
+
+    cand = (
         vecs.join(F.broadcast(top_cells), "cell")
         .filter(vnorm > 0)
         .select(
@@ -264,6 +269,18 @@ def probe_ivf_index(
             "cell",
             stable_round(dot / (vnorm * F.lit(q_norm)), 6).alias("cos_sim"),
         )
+    )
+    # serve-side dedup by vec_id: the streaming ingest path is
+    # at-least-once, so a replayed micro-batch can leave the same
+    # vector in the store twice — keep each vec_id's best-scoring row
+    # so replays never surface duplicate ids in the top-k
+    dw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cell").asc()
+    )
+    return (
+        cand.withColumn("_dd", F.row_number().over(dw))
+        .filter(F.col("_dd") == 1)
+        .drop("_dd")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(topk)
     )
@@ -322,7 +339,9 @@ def probe_ivf_store(
     vecs = spark.read.parquet(vectors_path(base))
     if exclude_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_id)
-    return (
+    from pyspark.sql import Window
+
+    cand = (
         vecs.join(F.broadcast(top_cells), "cell")
         .crossJoin(F.broadcast(q_emb.select("qv")))
         .filter(vec_norm(F.col("embedding")) > 0)
@@ -333,6 +352,15 @@ def probe_ivf_store(
                 vec_cosine(F.col("embedding"), F.col("qv")), 6
             ).alias("cos_sim"),
         )
+    )
+    # same replay-defense dedup as probe_ivf_index (see comment there)
+    dw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cell").asc()
+    )
+    return (
+        cand.withColumn("_dd", F.row_number().over(dw))
+        .filter(F.col("_dd") == 1)
+        .drop("_dd")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(topk)
     )
@@ -407,6 +435,16 @@ def probe_ivf_index_many(
                 vec_cosine(F.col("embedding"), F.col("qv")), 6
             ).alias("cos_sim"),
         )
+    )
+    # replay-defense dedup by (q_id, vec_id) before ranking (see
+    # probe_ivf_index): at-least-once ingest can duplicate a vector
+    ddw = Window.partitionBy("q_id", "vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cell").asc()
+    )
+    cand = (
+        cand.withColumn("_dd", F.row_number().over(ddw))
+        .filter(F.col("_dd") == 1)
+        .drop("_dd")
     )
     kw = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()

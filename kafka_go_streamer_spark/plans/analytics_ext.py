@@ -693,7 +693,9 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY d)) DAY AS DATE) AS anchor
       FROM days
     )
-    SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+    SELECT user_id,
+           CAST(min(d) AS TIMESTAMP) AS streak_start,
+           CAST(max(d) AS TIMESTAMP) AS streak_end,
            count(*) AS streak_days
     FROM grp GROUP BY user_id, anchor
     HAVING count(*) >= 3
@@ -723,8 +725,13 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grp.groupBy("user_id", "anchor")
         .agg(
-            F.min("d").alias("streak_start"),
-            F.max("d").alias("streak_end"),
+            # TIMESTAMP (not DATE) on both sides: Spark dates arrive in
+            # pandas as datetime.date objects while DuckDB DATEs arrive
+            # as datetime64 — same values, different dtype class, which
+            # the type-strict harness (and a dtype-sensitive hash)
+            # would flag. Midnight timestamps are identical in both.
+            F.min("d").cast("timestamp").alias("streak_start"),
+            F.max("d").cast("timestamp").alias("streak_end"),
             F.count(F.lit(1)).alias("streak_days"),
         )
         .filter(F.col("streak_days") >= 3)
@@ -1002,27 +1009,28 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'events.user_id_not_null' AS expectation,
            count(*) AS n_checked,
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_violations
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations
     FROM events
     UNION ALL
     SELECT 'events.value_non_negative', count(*),
-           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+           sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
     FROM events
     UNION ALL
     SELECT 'orders.custkey_references_customer', count(*),
-           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'lineitem.orderkey_references_orders', count(*),
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'lineitem.quantity_in_1_50', count(*),
-           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT
     FROM lineitem
     UNION ALL
     SELECT 'documents.n_chars_matches_text', count(*),
-           sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+           sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
     FROM documents
     """,
 )

@@ -360,9 +360,10 @@ def _bloom_pos_spark(key, k: int):
     )
     SELECT
       count(*) AS n_probed,
-      sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS true_members,
-      sum(CASE WHEN hits = {BLOOM_K} THEN 1 ELSE 0 END) AS bloom_positive,
-      sum(CASE WHEN hits = {BLOOM_K} AND NOT is_member THEN 1 ELSE 0 END)
+      sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS true_members,
+      sum(CASE WHEN hits = {BLOOM_K} THEN 1 ELSE 0 END)::BIGINT
+        AS bloom_positive,
+      sum(CASE WHEN hits = {BLOOM_K} AND NOT is_member THEN 1 ELSE 0 END)::BIGINT
         AS false_positives,
       (SELECT count(*) FROM bits) AS bits_set
     FROM probe
@@ -458,13 +459,20 @@ def sketch_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
       FROM regs GROUP BY 1
     ),
+    tp AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM regs) a
+      JOIN (SELECT DISTINCT event_type FROM regs) b
+        ON a.event_type < b.event_type
+    ),
     pairs AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             coalesce(a.idx, b.idx) AS idx,
-             greatest(coalesce(a.reg, 0), coalesce(b.reg, 0)) AS reg
-      FROM regs a FULL JOIN regs b
-        ON a.idx = b.idx AND a.event_type < b.event_type
-      WHERE a.event_type IS NOT NULL AND b.event_type IS NOT NULL
+      SELECT type_a, type_b, idx, max(reg) AS reg FROM (
+        SELECT tp.type_a, tp.type_b, r.idx, r.reg
+        FROM tp JOIN regs r ON r.event_type = tp.type_a
+        UNION ALL
+        SELECT tp.type_a, tp.type_b, r.idx, r.reg
+        FROM tp JOIN regs r ON r.event_type = tp.type_b
+      ) GROUP BY 1, 2, 3
     ),
     uest AS (
       SELECT type_a, type_b,
@@ -498,9 +506,11 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-shuffling the two sides' raw members.
 
     Scale: one register build (the same constant-size shuffle as
-    sketch_hll_distinct), then ALL pairwise unions are computed by
-    joining the register table with itself on idx — type-pair ×
-    64-register work, independent of corpus size. The exact
+    sketch_hll_distinct), then ALL pairwise unions are computed as
+    max(reg) over the UNION ALL of both sides' registers per
+    (pair, idx) — type-pair × 64-register work, independent of corpus
+    size, and registers present in only ONE sketch are kept (an inner
+    register join would silently drop them and bias the union low). The exact
     intersection column is the verification twin (a user-level
     self-join that the sketch path exists to avoid). Raw estimates
     (no small-range correction) on all three terms so the algebra is
@@ -534,33 +544,31 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     est = estimate(regs, ["event_type"])
-    a = regs.select(
-        F.col("event_type").alias("type_a"),
-        F.col("idx").alias("idx_a"),
-        F.col("reg").alias("reg_a"),
+    # Union registers per type-pair: max(reg) over the UNION ALL of
+    # both sides' register lists. A full join filtered to both-not-null
+    # (the previous form) collapses to an inner join and DROPS any
+    # register present in only one sketch — biasing est(A∪B) low and
+    # the intersection high whenever a sketch has unfilled registers.
+    # The pair list is event-type-cardinality (tiny) and broadcasts;
+    # registers missing from BOTH sketches correctly fall to the
+    # (HLL_M - count) empty-register term inside estimate().
+    types = regs.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
     )
-    b = regs.select(
-        F.col("event_type").alias("type_b"),
-        F.col("idx").alias("idx_b"),
-        F.col("reg").alias("reg_b"),
+    side_a = F.broadcast(tp).join(
+        regs.withColumnRenamed("event_type", "type_a"), "type_a"
+    )
+    side_b = F.broadcast(tp).join(
+        regs.withColumnRenamed("event_type", "type_b"), "type_b"
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("idx_a") == F.col("idx_b"))
-            & (F.col("type_a") < F.col("type_b")),
-            "full",
-        )
-        .filter(F.col("type_a").isNotNull() & F.col("type_b").isNotNull())
-        .select(
-            "type_a",
-            "type_b",
-            F.coalesce(F.col("idx_a"), F.col("idx_b")).alias("idx"),
-            F.greatest(
-                F.coalesce(F.col("reg_a"), F.lit(0)),
-                F.coalesce(F.col("reg_b"), F.lit(0)),
-            ).alias("reg"),
-        )
+        side_a.select("type_a", "type_b", "idx", "reg")
+        .unionByName(side_b.select("type_a", "type_b", "idx", "reg"))
+        .groupBy("type_a", "type_b", "idx")
+        .agg(F.max("reg").alias("reg"))
     )
     uest = estimate(pairs, ["type_a", "type_b"]).withColumnRenamed("e", "eu")
     du = rr.select("event_type", "user_id").distinct()

@@ -283,8 +283,8 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH st AS (
       SELECT
-        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-        sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
         sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END) AS s_a,
         sum(CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END) AS s_b,
         sum(CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0 END) AS q_a,
@@ -957,7 +957,8 @@ CHURN_HORIZON_S = 12 * 3600
 )
 def events_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn labeling + survival summary: a user is churned when their
-    last event is more than a week before the corpus horizon; the
+    last event is more than CHURN_HORIZON_S (12 hours) before the
+    corpus horizon; the
     report compares lifetime and activity between churned and retained
     cohorts — the label-generation step in front of every churn model
     (and the sanity check that churned users really do look different).

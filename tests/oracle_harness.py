@@ -21,6 +21,47 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the type-strict comparison.
+
+    The driver's value hash is dtype-sensitive (0 vs 0.0 breaks it), so
+    the replica must be too: an un-cast DuckDB HUGEINT sum lands in
+    pandas as float64 while Spark returns int64 — values equal, hash
+    red. Classes are deliberately coarse (int widths unify; the driver
+    compares post-Arrow pandas frames where width differences do not
+    survive) but int/float/bool/datetime/date/str never cross-match.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import datetime as _dt
+
+        non_null = s.dropna()
+        if len(non_null) and all(
+            isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            for v in non_null
+        ):
+            return "date"
+        if len(non_null) and all(isinstance(v, _dt.datetime) for v in non_null):
+            return "datetime"
+        if len(non_null) and all(isinstance(v, bool) for v in non_null):
+            return "bool"
+        if len(non_null) and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in non_null
+        ):
+            return "int"
+        if len(non_null) and all(isinstance(v, float) for v in non_null):
+            return "float"
+        return "str"
+    return str(s.dtype)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -47,6 +88,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if sc != dc:
         problems.append(f"columns: spark={sc} duck={dc}")
         return problems
+    if problems:
+        return problems
+    # Type-strict gate BEFORE value normalization: the driver's hash is
+    # dtype-sensitive, so the replica must refuse int-vs-float (etc.)
+    # even when every value compares equal (0 == 0.0). Skipped for
+    # empty frames, where object-column classes are unknowable (an
+    # empty Arrow date column lands as a bare object column).
+    for c in sc if len(spark_pdf) and len(duck_pdf) else []:
+        ka, kb = _dtype_class(spark_pdf[c]), _dtype_class(duck_pdf[c])
+        if ka != kb:
+            problems.append(f"col {c!r} dtype class: spark={ka} duck={kb}")
     if problems:
         return problems
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)

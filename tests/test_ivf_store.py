@@ -307,3 +307,49 @@ def test_append_folds_new_vectors_into_stored_cells(spark, tmp_path):
         key=lambda t: (-t[2], t[0]),
     )[:5]
     assert got == want
+
+
+def test_replayed_append_never_serves_duplicate_ids(spark, tmp_path):
+    """At-least-once ingest defense: append the SAME batch twice (a
+    replayed micro-batch) and every probe path must still serve each
+    vec_id at most once, with the same result set as the single-append
+    store — the dedup lives in the serving path, not the writer."""
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        append_to_ivf_index,
+        probe_ivf_index_many,
+    )
+
+    base = str(tmp_path / "ivf")
+    emb = _load_emb(spark)
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    build_ivf_index(old, base)
+    append_to_ivf_index(spark, base, new)
+    qv = _qv(spark)
+    before = [
+        (r["vec_id"], r["cell"], r["cos_sim"])
+        for r in probe_ivf_index(
+            spark, base, qv, nprobe=2, topk=5, exclude_id=0
+        ).collect()
+    ]
+
+    append_to_ivf_index(spark, base, new)  # the replay
+    vecs = spark.read.parquet(vectors_path(base))
+    assert vecs.count() > emb.count()  # store really does hold dups
+
+    after = [
+        (r["vec_id"], r["cell"], r["cos_sim"])
+        for r in probe_ivf_index(
+            spark, base, qv, nprobe=2, topk=5, exclude_id=0
+        ).collect()
+    ]
+    assert after == before
+    ids = [v for v, _, _ in after]
+    assert len(ids) == len(set(ids))
+
+    q_df = spark.createDataFrame([(1, qv)], "q_id int, qv array<double>")
+    many = probe_ivf_index_many(spark, base, q_df, nprobe=2, topk=5).collect()
+    many_ids = [r["vec_id"] for r in many]
+    assert len(many_ids) == len(set(many_ids))
+    # the replayed duplicate of vec_id 0 is still excludable / servable
+    assert 0 in many_ids or len(many_ids) == 5

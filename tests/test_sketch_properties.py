@@ -130,6 +130,113 @@ def test_bloom_has_no_false_negatives_and_python_fp_set(spark):
     assert row["bits_set"] == len(bits)
 
 
+def _hll_regs(user_ids) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    for uid in user_ids:
+        h = int(_md5_hex(str(uid))[:15], 16)
+        idx, w = h % HLL_M, h >> 6
+        rho = (HLL_W + 1) - w.bit_length() if w else HLL_W + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def _hll_raw_est(regs: dict[int, int]) -> float:
+    s = sum(1 << (55 - r) for r in regs.values())
+    s += (HLL_M - len(regs)) * (1 << 55)
+    return HLL_NUMERATOR / s
+
+
+def _intersection_reference(by_type: dict[str, set]) -> dict:
+    """Pure-Python inclusion–exclusion over elementwise-max unions —
+    registers present in only ONE sketch must be kept (the relational
+    bug this guards against: an inner register join drops them)."""
+    regs = {t: _hll_regs(u) for t, u in by_type.items()}
+    out = {}
+    types = sorted(by_type)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            ra, rb = regs[ta], regs[tb]
+            union = {
+                k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+            }
+            out[(ta, tb)] = {
+                "hll": _hll_raw_est(ra) + _hll_raw_est(rb) - _hll_raw_est(union),
+                "exact": len(by_type[ta] & by_type[tb]),
+                "sparse": set(ra) != set(rb),
+            }
+    return out
+
+
+def test_hll_intersection_matches_python_reference(spark, events):
+    by_type: dict[str, set] = {}
+    for uid, et in events:
+        by_type.setdefault(et, set()).add(uid)
+    want = _intersection_reference(by_type)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["sketch_hll_intersection"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for pair, w in want.items():
+        assert abs(got[pair]["hll_intersection"] - w["hll"]) <= 0.1 + 1e-9, pair
+        assert got[pair]["exact_intersection"] == w["exact"], pair
+
+
+def test_hll_intersection_sparse_registers(spark, tmp_path):
+    """Synthetic fixture with DISJOINT and tiny user sets so sketches
+    have registers the other side lacks — the case the old
+    full-join-filtered-to-inner pair build silently dropped, biasing
+    est(A∪B) low and the intersection high. The pure-Python reference
+    keeps one-sided registers in the union; the query must agree."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    users = {
+        "alpha": set(range(1, 11)),
+        "beta": set(range(6, 16)),
+        "gamma": {1001, 2002, 3003},
+    }
+    rows = []
+    i = 0
+    for et in sorted(users):
+        for u in sorted(users[et]):
+            rows.append(
+                (
+                    i,
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                    u,
+                    et,
+                    1.0,
+                    "{}",
+                )
+            )
+            i += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+
+    want = _intersection_reference(users)
+    # the fixture must actually exercise the one-sided-register case,
+    # otherwise this test cannot discriminate the buggy pair build
+    assert all(w["sparse"] for w in want.values())
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["sketch_hll_intersection"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for pair, w in want.items():
+        assert abs(got[pair]["hll_intersection"] - w["hll"]) <= 0.1 + 1e-9, pair
+        assert got[pair]["exact_intersection"] == w["exact"], pair
+
+
 def test_kcenter_matches_python_greedy():
     """The unrolled k-center query must replicate the classic greedy
     (Gonzalez) selection computed in plain Python over the same

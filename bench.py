@@ -126,6 +126,26 @@ HEADLINE = [
     "text_quality_classifier",
     "text_eval_perplexity_heldout",
     "graph_doc_centrality",
+    # round-8 additions (appended, common prefix still comparable):
+    # the post-r7-scale-up queries the verdict asked to see measured
+    # ratios for — hashed features, the shifted-equi-join forecast,
+    # churn labeling, seasonal profiling, the one-window SCD-2, and
+    # the salt-fanout skew join
+    "text_feature_hashing",
+    "ts_forecast_seasonal_naive",
+    "events_churn_survival",
+    "ts_seasonal_profile",
+    "merge_scd2_history",
+    "join_salted_skew",
+    # round-8 new operators: histogram-sketch quantiles, robust MAD
+    # outliers, chi-square independence, cross-split leakage audit,
+    # the point-in-time SCD-2 probe, and strict-contiguity CEP
+    "sketch_quantile_bands",
+    "stats_mad_outliers",
+    "stats_chi2_independence",
+    "split_leakage_check",
+    "join_pit_scd2_state",
+    "events_pattern_funnel_strict",
 ]
 
 

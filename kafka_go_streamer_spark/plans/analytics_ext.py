@@ -1193,3 +1193,142 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@query(
+    "join_pit_scd2_state",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, value, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM events WHERE event_type IN ('signup', 'error')
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           d.state AS state_at_purchase,
+           round(d.value, 4) AS state_value
+    FROM events p
+    JOIN dim d ON p.user_id = d.user_id
+              AND p.ts >= d.valid_from AND p.ts < d.valid_to
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_pit_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join: enrich every purchase with the
+    user's state row valid AT the purchase timestamp, probing an SCD-2
+    interval dimension (here: the signup/error changelog turned into
+    [valid_from, valid_to) intervals, the ``merge_scd2_history``
+    shape). This is the feature-store PIT join that prevents label
+    leakage — the fact must never see a dimension row from its future.
+    The as-of joins express the same semantics by re-sorting the fact;
+    this form is what you run when the SCD-2 dimension is ALREADY
+    materialized: an equi-join on the entity key with the interval
+    containment as a residual filter.
+
+    Scale: the join key is user_id — a hash equi-join whose residual
+    interval predicate evaluates per matched pair, and pairs per user
+    are bounded by that user's state-change count (small by
+    construction in any changelog); nothing quadratic, no global
+    range join. Half-open intervals + (ts, event_id) lead ordering
+    make the interval set deterministic and non-overlapping, so each
+    purchase matches AT MOST one state row in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.filter(F.col("event_type").isin("signup", "error")).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_at_purchase"),
+        F.col("value").alias("v"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w), F.lit("9999-12-31 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        p.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("ts") < F.col("valid_to")),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "state_at_purchase",
+            stable_round(F.col("v"), 4).alias("state_value"),
+        )
+    )
+
+
+@query(
+    "events_pattern_funnel_strict",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+      SELECT user_id,
+             CASE WHEN t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'
+                  THEN 1 ELSE 0 END AS hit
+      FROM seq
+    )
+    SELECT sum(user_hits)::BIGINT AS n_occurrences,
+           sum(CASE WHEN user_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_users_matched,
+           count(*)::BIGINT AS n_users
+    FROM (SELECT user_id, sum(hit) AS user_hits FROM hits GROUP BY 1)
+    """,
+)
+def events_pattern_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-contiguity pattern matching (the MATCH_RECOGNIZE /
+    CEP shape): count occurrences of the exact consecutive sequence
+    view→click→purchase inside each user's event stream — no
+    intervening events allowed, unlike ``events_funnel_conversion``
+    whose stages may be arbitrarily far apart. Reported as total
+    occurrences, users matched, and total users.
+
+    Scale: ONE window shuffle on user_id (two lead() columns over the
+    same ordering — one sort, both offsets share the frame), then a
+    user-cardinality aggregate and a scalar rollup. The naive CEP
+    formulation is a 3-way self-join of the log on adjacency; the
+    lead() form touches each event once. Ordering ties broken by
+    event_id so both engines see identical sequences."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    hits = seq.select(
+        "user_id",
+        F.when(
+            (F.col("t0") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase"),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    per_user = hits.groupBy("user_id").agg(F.sum("hit").alias("user_hits"))
+    return per_user.agg(
+        F.sum("user_hits").cast("long").alias("n_occurrences"),
+        F.sum(F.when(F.col("user_hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_matched"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )

@@ -602,3 +602,169 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# ----------------------------------------------------- quantile bands
+
+#: Equi-width histogram geometry for the quantile sketch: 128 bands
+#: over [min, max]. Like the other sketches, the summary is CONSTANT
+#: SIZE — per-partition partial histograms combine associatively
+#: map-side and only 128 counters cross the wire.
+QB_BINS = 128
+#: Quantiles the probe reports (median, tail, extreme tail).
+QB_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "sketch_quantile_bands",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+             count(*)::BIGINT AS n
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT least(floor((l_extendedprice - st.lo)
+                         / ((st.hi - st.lo) / {QB_BINS}))::BIGINT,
+                   {QB_BINS - 1}) AS bin,
+             count(*)::BIGINT AS cnt
+      FROM lineitem, st GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+             (sum(cnt) OVER (ORDER BY bin) - cnt)::BIGINT AS cum_before
+      FROM hist
+    ),
+    q AS (
+      SELECT unnest(ARRAY[{", ".join(f"{q}::DOUBLE" for q in QB_QUANTILES)}])
+        AS q
+    ),
+    est AS (
+      SELECT q.q,
+             st.lo + ((st.hi - st.lo) / {QB_BINS})
+               * (c.bin + (q.q * st.n - c.cum_before) / c.cnt) AS est
+      FROM q CROSS JOIN st CROSS JOIN cum c
+      WHERE c.cum >= q.q * st.n AND c.cum_before < q.q * st.n
+    ),
+    exact AS (
+      {" UNION ALL ".join(
+        f"SELECT {q}::DOUBLE AS q, percentile_cont({q}) WITHIN GROUP "
+        "(ORDER BY l_extendedprice) AS exact FROM lineitem"
+        for q in QB_QUANTILES
+      )}
+    )
+    SELECT e.q,
+           round(e.est, 4) AS est,
+           round(x.exact, 4) AS exact,
+           round(abs(e.est - x.exact), 4) AS abs_err
+    FROM est e JOIN exact x ON x.q = e.q
+    """,
+)
+def sketch_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation: fold l_extendedprice into
+    a 128-band equi-width histogram (one constant-size, map-side-
+    combinable summary — the same mergeability contract as the HLL/CMS
+    sketches), then answer P50/P90/P99 by cumulative interpolation
+    inside the covering band. The exact ``percentile_cont`` twin and
+    absolute error ride along, so the output IS the sketch-accuracy
+    report (production forms: t-digest/KLL; the equi-width band sketch
+    pins the estimate algebra cross-engine with no float histogram
+    boundaries to disagree on — band edges derive from one min/max).
+
+    Scale: pass 1 is a scalar min/max/count; pass 2 bins every row
+    against the broadcast stats frame into 128 counters (map-side
+    combine → one 128-row shuffle); quantile selection and
+    interpolation run on the 128-row frame. The exact twin costs one
+    sort-based percentile aggregate and exists only for the accuracy
+    column — a 100 TB deployment ships just the histogram passes.
+    """
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    # the 1-row stats frame is consumed twice (bin assignment + the
+    # quantile targets); pin it so each consumer doesn't re-derive the
+    # min/max scan through lineage — pass 1 runs once
+    st = pinned(
+        li.agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / QB_BINS
+    hist = (
+        li.crossJoin(F.broadcast(st))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width)
+                .cast("long"),
+                F.lit(QB_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias(
+            "cum_before"
+        ),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in QB_QUANTILES])
+    ).alias("q")
+    q_df = st.sparkSession.range(1).select(qs).crossJoin(F.broadcast(st))
+    target = F.col("q") * F.col("n")
+    est = (
+        q_df.join(
+            F.broadcast(cum),
+            (F.col("cum") >= target) & (F.col("cum_before") < target),
+        )
+        .select(
+            "q",
+            (
+                F.col("lo")
+                + width
+                * (
+                    F.col("bin")
+                    + (target - F.col("cum_before")) / F.col("cnt")
+                )
+            ).alias("est"),
+        )
+    )
+    # exact percentiles in ONE aggregate (constant fractions — both
+    # engines require foldable percentile arguments), then unpivoted
+    # to (q, exact) rows
+    wide = li.agg(
+        *[
+            F.percentile("l_extendedprice", F.lit(float(q))).alias(f"_p{i}")
+            for i, q in enumerate(QB_QUANTILES)
+        ]
+    )
+    exact = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(f"_p{i}").alias("exact"),
+                    )
+                    for i, q in enumerate(QB_QUANTILES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    return est.join(F.broadcast(exact), "q").select(
+        "q",
+        stable_round(F.col("est"), 4).alias("est"),
+        stable_round(F.col("exact"), 4).alias("exact"),
+        stable_round(F.abs(F.col("est") - F.col("exact")), 4).alias(
+            "abs_err"
+        ),
+    )

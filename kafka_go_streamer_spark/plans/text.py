@@ -1218,3 +1218,78 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+@query(
+    "split_leakage_check",
+    oracle="""
+    WITH labeled AS (
+      SELECT md5(text) AS fp,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'e'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    per_fp AS (
+      SELECT fp,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+               AS n_train,
+             sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END)::BIGINT
+               AS n_eval
+      FROM labeled GROUP BY 1
+    )
+    SELECT sum(n_train)::BIGINT AS n_train_docs,
+           sum(n_eval)::BIGINT AS n_eval_docs,
+           sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared_fingerprints,
+           sum(n_train * n_eval)::BIGINT AS n_cross_pairs,
+           sum(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END)::BIGINT
+             AS n_eval_docs_contaminated
+    FROM per_fp
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LEAKAGE audit: after the deterministic hash split
+    (same nibble rule as ``sample_split_train_eval``, eval = val+test
+    sixteenths), count exact-duplicate text fingerprints that appear on
+    BOTH sides — shared fingerprints, train×eval duplicate pairs, and
+    how many eval documents are contaminated by a train twin. A split
+    can be perfectly hash-stable and still leak every duplicated
+    document; this is the audit that catches it (the near-dup
+    complement is ``text_decontaminate``, which gates on shared
+    shingles instead of whole-text equality).
+
+    Scale: ONE shuffle on the text fingerprint; the cross-pair count
+    is n_train·n_eval computed per group from two conditional counts —
+    no pair is ever materialized, so a fingerprint duplicated a million
+    times costs one row, not 10^12 pairs. The final scalar aggregate
+    rides the same pass."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    labeled = d.select(
+        F.md5(F.col("text")).alias("fp"),
+        F.when(nib < "e", "train").otherwise("eval").alias("split"),
+    )
+    per_fp = labeled.groupBy("fp").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+    )
+    return per_fp.agg(
+        F.sum("n_train").cast("long").alias("n_train_docs"),
+        F.sum("n_eval").cast("long").alias("n_eval_docs"),
+        F.sum(
+            F.when((F.col("n_train") > 0) & (F.col("n_eval") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared_fingerprints"),
+        F.sum(F.col("n_train") * F.col("n_eval"))
+        .cast("long")
+        .alias("n_cross_pairs"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_eval")).otherwise(0))
+        .cast("long")
+        .alias("n_eval_docs_contaminated"),
+    )

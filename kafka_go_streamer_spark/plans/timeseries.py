@@ -1045,3 +1045,195 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hs") / F.col("hn")) / (F.col("s") / F.col("n")), 4
         ).alias("seasonal_index"),
     )
+
+
+#: Iglewicz–Hoaglin modified z-score: |0.6745 (x − med) / MAD| above
+#: this flags an outlier (the robust twin of the 3-sigma rule).
+MAD_THRESHOLD = 3.5
+
+
+@query(
+    "stats_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+               AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(m.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           sum(CASE WHEN abs(round(0.6745 * (e.value - m.med) / d.mad, 3))
+                      > {MAD_THRESHOLD}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY 1, m.med, d.mad
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counting with the MEDIAN/MAD (modified z-score)
+    rule: per event type, the median, the median absolute deviation,
+    and how many events exceed |0.6745·(x−med)/MAD| > 3.5 — the
+    Iglewicz–Hoaglin test that survives the heavy tails and anomalies
+    that inflate a mean/σ z-score (``events_zscore_anomaly`` is the
+    classical twin; a single extreme point can mask itself there by
+    inflating σ, but cannot move a median).
+
+    Scale: two passes over the fact, each ONE shuffle on event_type —
+    exact percentiles per group are a sort-based aggregate whose output
+    is group-cardinality; the tiny med/MAD frames broadcast back into
+    the scan for the counting pass, which is a conditional aggregate
+    (map-side combinable). No window over the raw data, no pair work.
+    The z-ratio is stable-rounded at 3 before the threshold compare so
+    both engines flag identical boundary points."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    rz = F.abs(
+        stable_round(
+            0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 3
+        )
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(rz > MAD_THRESHOLD, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            stable_round(F.col("med"), 4).alias("med"),
+            stable_round(F.col("mad"), 4).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*)::BIGINT AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT l.lang, s.source, coalesce(o.o, 0) AS o
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s
+      LEFT JOIN obs o USING (lang, source)
+    ),
+    m AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS row_tot,
+             sum(o) OVER (PARTITION BY source) AS col_tot,
+             sum(o) OVER () AS n
+      FROM grid
+    )
+    SELECT max(n)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+             AS dof,
+           round(sum(pow(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 4) AS chi2,
+           round(sqrt(sum(pow(o - row_tot * col_tot / n, 2)
+                          / (row_tot * col_tot / n))
+                      / (max(n) * least(count(DISTINCT lang) - 1,
+                                        count(DISTINCT source) - 1))),
+                 4) AS cramers_v
+    FROM m
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source (is the lang mix the same across crawls?) plus Cramér's V
+    effect size — the contingency-table check a corpus curator runs
+    before assuming per-source language balance. Zero cells are kept
+    in the grid (they still contribute their expected count to χ²).
+
+    Scale: ONE aggregate over the corpus produces the lang×source
+    contingency table (≤ |langs|·|sources| rows — constants); every
+    margin, expected count, and the final statistic is computed on
+    that tiny frame with windows over dozens of rows. The 100 TB cost
+    is exactly one map-side-combinable count shuffle."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = load_table(spark, sf_dir, "documents")
+    # margins derive from the contingency frame, NOT a corpus re-scan;
+    # pin the tiny frame so its three consumers (grid + both distinct
+    # lists) don't each re-derive the documents scan through lineage —
+    # the corpus is read exactly once
+    obs = pinned(
+        d.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("o")
+        )
+    )
+    langs = obs.select("lang").distinct()
+    sources = obs.select("source").distinct()
+    grid = (
+        langs.crossJoin(F.broadcast(sources))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            "lang", "source", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    m = grid.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi2 = F.sum(F.pow(F.col("o") - e, F.lit(2)) / e)
+    return m.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+        F.count_distinct(F.col("source")).cast("long").alias("n_sources"),
+        (
+            (F.count_distinct(F.col("lang")) - 1)
+            * (F.count_distinct(F.col("source")) - 1)
+        ).alias("dof"),
+        stable_round(chi2, 4).alias("chi2"),
+        stable_round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n")
+                    * F.least(
+                        F.count_distinct(F.col("lang")) - 1,
+                        F.count_distinct(F.col("source")) - 1,
+                    )
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

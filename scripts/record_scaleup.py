@@ -14,9 +14,22 @@ import json
 import sys
 
 
+def _load_bench(path: str) -> dict:
+    """Accept either the legacy single-object file or the current
+    two-line bench.py output (detail line + short headline line):
+    merge every JSON line into one dict."""
+    merged: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                merged.update(json.loads(line))
+    return merged
+
+
 def main() -> None:
-    small = json.load(open(sys.argv[1]))
-    big = json.load(open(sys.argv[2]))
+    small = _load_bench(sys.argv[1])
+    big = _load_bench(sys.argv[2])
     out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALEUP.json"
     data_factor = big["sf"] / small["sf"]
     per_query = {

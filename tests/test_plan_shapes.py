@@ -507,3 +507,68 @@ def test_quality_classifier_is_narrow_projection(spark, sf_dir):
     plan = physical_plan(QUERIES["text_quality_classifier"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_outliers_stats_broadcast_back(spark, sf_dir):
+    """Both robust-stats frames (type-cardinality med and MAD) must
+    broadcast back onto the event scan — the flagging pass never
+    shuffles events by type, mirroring the zscore discipline."""
+    plan = physical_plan(QUERIES["stats_mad_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi2_single_corpus_scan(spark, sf_dir):
+    """The chi-square test reads the corpus EXACTLY once: margins and
+    the zero-cell grid derive from the tiny contingency frame, never
+    from a documents re-scan."""
+    plan = physical_plan(QUERIES["stats_chi2_independence"](spark, sf_dir))
+    # the single corpus scan happens AT PIN TIME (contingency frame is
+    # materialized); the statistic's plan reads only the pinned frame
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_bands_no_sort_merge(spark, sf_dir):
+    """The quantile sketch is three column-pruned scans (stats, bin,
+    exact-twin) with all small-frame joins broadcast — no SortMergeJoin
+    anywhere, and no global sort of the data (the only ordering runs
+    on the 128-row histogram)."""
+    df = QUERIES["sketch_quantile_bands"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    # pass 1 (min/max/count) is pinned; the plan re-reads parquet only
+    # for the binning pass and the exact twin
+    assert plan.count("Scan parquet") == 2
+    # every scan is pruned to the single priced column
+    import re as _re
+
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1).split(",")[0].startswith("l_extendedprice")
+
+
+def test_split_leakage_single_scan_no_join(spark, sf_dir):
+    """Leakage accounting is ONE scan + ONE fingerprint aggregate —
+    cross pairs come from per-group conditional counts, so no join and
+    no pair materialization exist anywhere in the plan."""
+    plan = physical_plan(QUERIES["split_leakage_check"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_pit_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The point-in-time join must key on user_id with the interval
+    containment as a residual — never a cartesian/nested-loop pairing
+    of facts against the whole interval dimension."""
+    plan = physical_plan(QUERIES["join_pit_scd2_state"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pattern_funnel_one_window_shuffle(spark, sf_dir):
+    """Strict-contiguity CEP must be lead() windows over ONE scan —
+    the naive 3-way adjacency self-join never appears."""
+    plan = physical_plan(QUERIES["events_pattern_funnel_strict"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

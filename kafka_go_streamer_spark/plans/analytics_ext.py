@@ -1332,3 +1332,87 @@ def events_pattern_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_users_matched"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    rfm AS (
+      SELECT e.user_id,
+             date_diff('second', max(e.ts), max(hz.h)) AS recency_s,
+             count(*)::BIGINT AS frequency,
+             sum(e.value) AS monetary
+      FROM events e CROSS JOIN horizon hz
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1
+    ),
+    tiled AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_s ASC, user_id) AS r_tile,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_tile,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_tile,
+             monetary
+      FROM rfm
+    )
+    SELECT r_tile, f_tile, m_tile,
+           count(*)::BIGINT AS n_users,
+           round(sum(monetary), 2) AS segment_revenue
+    FROM tiled GROUP BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (seconds before
+    the corpus horizon), frequency, and monetary value, each cut into
+    quintiles (1 = best), then rolled up to segment populations and
+    revenue — the classic customer-value grid, and the same
+    quantile-bucketing shape a curriculum builder uses to phase
+    training data by difficulty score.
+
+    Scale: one user-keyed aggregate collapses the corpus to
+    USER-cardinality rows; the three ntile windows run over that
+    collapsed frame (global orderings over users, the standard RFM
+    cost — at larger-than-memory user counts the production swap is
+    approx-quantile cuts, which the curriculum twin
+    ``sample_curriculum_phases_quantile`` already demonstrates);
+    the final aggregate is ≤125 segment rows. Every ntile ordering is
+    made TOTAL with a user_id tie-break, so both engines assign
+    identical buckets at quantile boundaries."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    # the 1-row horizon is pinned so the RFM pass doesn't re-derive
+    # the events scan through lineage (pass 1 = horizon, pass 2 = RFM)
+    horizon = pinned(ev.agg(F.max("ts").alias("h")))
+    rfm = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.max("ts"))
+            ).alias("recency_s"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    tiled = rfm.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_s").asc(), F.col("user_id")))
+        .alias("r_tile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_tile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_tile"),
+        "monetary",
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        stable_round(F.sum("monetary"), 2).alias("segment_revenue"),
+    )

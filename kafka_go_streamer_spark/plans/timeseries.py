@@ -1237,3 +1237,133 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "stats_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT value,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+      SELECT sum(ca) OVER (ORDER BY value) AS cum_a,
+             sum(cb) OVER (ORDER BY value) AS cum_b,
+             sum(ca) OVER () AS n_a,
+             sum(cb) OVER () AS n_b
+      FROM v
+    )
+    SELECT max(n_a)::BIGINT AS n_a,
+           max(n_b)::BIGINT AS n_b,
+           round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6)
+             AS ks_d,
+           round(1.358 * sqrt((max(n_a) + max(n_b))::DOUBLE
+                              / (max(n_a) * max(n_b))), 6) AS crit_95
+    FROM c
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the A/B
+    cohorts' purchase-value distributions: D = max |F_A − F_B| over
+    the pooled empirical CDFs, with the 95% critical value
+    1.358·√((n_a+n_b)/(n_a·n_b)) alongside — the distribution-shape
+    drift test that catches what a mean-only t-test (its twin
+    ``stats_ab_welch_ttest``) cannot, and the standard gate for "did
+    this feature's distribution move between corpus snapshots".
+
+    Scale: one conditional aggregate collapses the corpus to
+    VALUE-cardinality (cnt_a, cnt_b) rows; the ECDF cumsum is a window
+    over that collapsed frame. A 100 TB deployment with unbounded
+    distinct values swaps the exact frame for the 128-band histogram
+    of ``sketch_quantile_bands`` (KS on binned ECDFs bounds D within
+    one band mass); the exact form here doubles as that variant's
+    verification twin. Ties collapse into one row by construction, so
+    both engines see identical step functions."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = v.select(
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wt).alias("n_a"),
+        F.sum("cb").over(wt).alias("n_b"),
+    )
+    return c.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        stable_round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        stable_round(
+            1.358
+            * F.sqrt(
+                (F.max("n_a") + F.max("n_b")).cast("double")
+                / (F.max("n_a") * F.max("n_b"))
+            ),
+            6,
+        ).alias("crit_95"),
+    )
+
+
+@query(
+    "stats_gini_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS i
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(2.0 * sum(i * value) / (count(*) * sum(value))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY 1
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type — how
+    concentrated the mass is in few events (0 = uniform, →1 = one
+    event carries everything), via the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending values. The same
+    statistic a data curator runs on per-domain token counts to see
+    whether a corpus is dominated by a handful of sources.
+
+    Scale: ONE window shuffle on event_type (the rank), then a
+    same-keyed aggregate that reuses the partitioning — no second
+    exchange, no join. Ranking ties (equal values) are order-ambiguous
+    but the statistic is tie-invariant: within a tied block x is
+    constant, so Σ(i·x) = x·Σ(i) regardless of which engine breaks the
+    tie how."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    r = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return r.groupBy("event_type").agg(
+        n.cast("long").alias("n_events"),
+        stable_round(
+            2.0 * F.sum(F.col("i") * F.col("value")) / (n * F.sum("value"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -572,3 +572,31 @@ def test_pattern_funnel_one_window_shuffle(spark, sf_dir):
     plan = physical_plan(QUERIES["events_pattern_funnel_strict"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_ks_drift_collapses_before_window(spark, sf_dir):
+    """The KS statistic reads the corpus once and collapses it to
+    value-cardinality rows BEFORE the ECDF window — no join, and the
+    window runs on the collapsed frame only."""
+    plan = physical_plan(QUERIES["stats_ks_drift"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_gini_single_exchange(spark, sf_dir):
+    """Gini's rank window and the per-type aggregate share ONE hash
+    partitioning on event_type — no re-exchange between them, no
+    join."""
+    plan = physical_plan(QUERIES["stats_gini_concentration"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rfm_single_corpus_scan(spark, sf_dir):
+    """RFM reads purchases once: the horizon is pinned (pass 1) and
+    the per-user aggregate consumes the broadcast, never re-deriving
+    the events scan; ntile windows run on the user-cardinality frame."""
+    plan = physical_plan(QUERIES["events_rfm_segments"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan

@@ -960,3 +960,158 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: MMR reranking knobs: relevance weight, candidate panel width, and
+#: number of unrolled selection rounds (finite CTE chain in the oracle,
+#: Python-driven loop on the Spark side).
+MMR_LAMBDA = 0.7
+MMR_PANEL = 10
+MMR_K = 3
+
+
+@query(
+    "retrieval_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    panel AS (
+      SELECT e.vec_id, e.embedding,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id ASC LIMIT {MMR_PANEL}
+    ),
+    s1 AS (
+      SELECT vec_id, embedding, rel FROM panel
+      ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    m1 AS (
+      SELECT p.vec_id, p.embedding, p.rel,
+             round({cosine_sql('p.embedding', 's1.embedding')}, 6) AS ms
+      FROM panel p CROSS JOIN s1 WHERE p.vec_id <> s1.vec_id
+    ),
+    s2 AS (
+      SELECT vec_id, embedding, rel, ms,
+             {MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * ms AS score
+      FROM m1 ORDER BY score DESC, vec_id ASC LIMIT 1
+    ),
+    m2 AS (
+      SELECT m.vec_id, m.embedding, m.rel,
+             greatest(m.ms,
+                      round({cosine_sql('m.embedding', 's2.embedding')}, 6))
+               AS ms
+      FROM m1 m CROSS JOIN s2 WHERE m.vec_id <> s2.vec_id
+    ),
+    s3 AS (
+      SELECT vec_id, rel, ms,
+             {MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * ms AS score
+      FROM m2 ORDER BY score DESC, vec_id ASC LIMIT 1
+    )
+    SELECT 1 AS rk, vec_id, rel, round(rel, 6) AS mmr_score FROM s1
+    UNION ALL SELECT 2, vec_id, rel, round(score, 6) FROM s2
+    UNION ALL SELECT 3, vec_id, rel, round(score, 6) FROM s3
+    """,
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance reranking: take the cosine top-10
+    panel for the query vector, then greedily select 3 results that
+    balance relevance against redundancy — score = λ·rel − (1−λ)·max
+    similarity to anything already selected (λ=0.7). The standard
+    diversity rerank in front of RAG context assembly and hard-negative
+    panels, where the raw top-k is often near-duplicate spam
+    (``retrieval_hybrid_rrf`` fuses rankers; this de-duplicates the
+    fused list's semantics).
+
+    Scale: the corpus is touched ONCE (brute-force panel selection via
+    TakeOrderedAndProject — the IVF store probe is the drop-in at real
+    scale); every greedy round is panel-sized work (10 rows) with the
+    pick carried as a 1-row broadcast inside the plan — no collect, no
+    pairwise corpus stage. Relevance and pair similarities are rounded
+    BEFORE scoring so both engines resolve ties identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    panel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_PANEL)
+    )
+    s1 = panel.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(1)
+    picks = [
+        s1.select(
+            F.lit(1).alias("rk"),
+            "vec_id",
+            "rel",
+            stable_round(F.col("rel"), 6).alias("mmr_score"),
+        )
+    ]
+    remaining = (
+        panel.crossJoin(
+            F.broadcast(
+                s1.select(
+                    F.col("vec_id").alias("s_id"),
+                    F.col("embedding").alias("s_emb"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("s_id"))
+        .select(
+            "vec_id",
+            "embedding",
+            "rel",
+            stable_round(
+                cosine(F.col("embedding"), F.col("s_emb")), 6
+            ).alias("ms"),
+        )
+    )
+    for rk in range(2, MMR_K + 1):
+        score = MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("ms")
+        sel = (
+            remaining.withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        picks.append(
+            sel.select(
+                F.lit(rk).alias("rk"),
+                "vec_id",
+                "rel",
+                stable_round(F.col("score"), 6).alias("mmr_score"),
+            )
+        )
+        if rk < MMR_K:
+            remaining = (
+                remaining.crossJoin(
+                    F.broadcast(
+                        sel.select(
+                            F.col("vec_id").alias("s_id"),
+                            F.col("embedding").alias("s_emb"),
+                        )
+                    )
+                )
+                .filter(F.col("vec_id") != F.col("s_id"))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    "rel",
+                    F.greatest(
+                        F.col("ms"),
+                        stable_round(
+                            cosine(F.col("embedding"), F.col("s_emb")), 6
+                        ),
+                    ).alias("ms"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

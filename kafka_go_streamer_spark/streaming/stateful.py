@@ -154,3 +154,42 @@ def hll_registers_stream(events: DataFrame) -> DataFrame:
         F.expr(_hll_rho_sql("(h >> 6)")).alias("rho"),
     )
     return rr.groupBy("event_type", "idx").agg(F.max("rho").alias("reg"))
+
+
+def histogram_bands_stream(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    value_col: str = "value",
+    bins: int | None = None,
+) -> DataFrame:
+    """Streaming equi-width histogram: maintain the per-band count
+    table over an unbounded stream — the streaming twin of the batch
+    ``sketch_quantile_bands`` build (plans/sketches.py), sharing its
+    binning arithmetic. Band edges come from an OFFLINE min/max pass
+    (passed in as ``lo``/``hi``), the same offline-train / online-fold
+    split the IVF store uses for its quantizer; out-of-range stream
+    values clamp into the edge bands rather than being dropped, so the
+    total count stays exact.
+
+    count() is associative and commutative, so after any stream prefix
+    the state equals the batch histogram over the same rows, and any
+    quantile is read off the bands at any moment with the batch
+    query's interpolation arithmetic (tests/test_streaming.py proves
+    both). State is at most ``bins`` rows regardless of volume — runs
+    in complete mode forever with no watermark eviction."""
+    from kafka_go_streamer_spark.plans.sketches import QB_BINS
+
+    b = bins or QB_BINS
+    width = (hi - lo) / b
+    raw_bin = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast(
+        "long"
+    )
+    bin_col = F.greatest(
+        F.least(raw_bin, F.lit(b - 1)), F.lit(0)
+    )
+    return (
+        events.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

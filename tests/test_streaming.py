@@ -285,3 +285,101 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
     assert mid != got
     # and registers only ever grow batch-over-batch
     assert all(mid[k] <= got[k] for k in mid)
+
+
+def test_streaming_histogram_matches_batch_and_serves_quantiles(
+    spark, sf_dir, tmp_path
+):
+    """The streaming band-count table after two micro-batches must
+    equal the batch histogram over the same rows (count mergeability
+    across TIME), and the quantile read off the streamed bands must
+    equal the batch sketch_quantile_bands estimates."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.plans.sketches import QB_BINS, QB_QUANTILES
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import (
+        histogram_bands_stream,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    lo, hi, n = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"), F.count("*")
+    ).collect()[0]
+    cut = li.agg(F.expr("percentile(l_orderkey, 0.5)")).collect()[0][0]
+    src_dir = tmp_path / "hist_src"
+    li.filter(F.col("l_orderkey") <= cut).coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    li.filter(F.col("l_orderkey") > cut).coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    feed = tmp_path / "hist_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    q = (
+        histogram_bands_stream(
+            stream, float(lo), float(hi), value_col="l_extendedprice"
+        )
+        .writeStream.format("memory")
+        .queryName("hist_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        streamed = {
+            r["bin"]: r["cnt"]
+            for r in spark.sql("SELECT * FROM hist_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    width = (float(hi) - float(lo)) / QB_BINS
+    batch = {
+        r["bin"]: r["cnt"]
+        for r in li.select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - float(lo)) / width)
+                .cast("long"),
+                F.lit(QB_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+    assert sum(streamed.values()) == n
+
+    # quantiles read off the STREAMED bands == the batch sketch query
+    cum, cum_map = 0, {}
+    for b in sorted(streamed):
+        before = cum
+        cum += streamed[b]
+        cum_map[b] = (before, cum)
+    want = {
+        round(r["q"], 2): r["est"]
+        for r in QUERIES["sketch_quantile_bands"](spark, sf_dir).collect()
+    }
+    for qq in QB_QUANTILES:
+        t = qq * n
+        b = next(
+            b for b in sorted(streamed) if cum_map[b][1] >= t > cum_map[b][0]
+        )
+        est = float(lo) + width * (b + (t - cum_map[b][0]) / streamed[b])
+        assert abs(est - want[round(qq, 2)]) <= 1e-4 + 1e-9

@@ -490,11 +490,11 @@ def sketch_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u.type_a, u.type_b,
            round(ea.e + eb.e - u.eu, 1) AS hll_intersection,
-           x.exact_intersection
+           coalesce(x.exact_intersection, 0)::BIGINT AS exact_intersection
     FROM uest u
     JOIN est ea ON ea.event_type = u.type_a
     JOIN est eb ON eb.event_type = u.type_b
-    JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+    LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
     """,
 )
 def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,14 +592,19 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         uest.join(F.broadcast(ea), "type_a")
         .join(F.broadcast(eb), "type_b")
-        .join(exact, ["type_a", "type_b"])
+        # LEFT join + coalesce: a type pair with ZERO exact overlap has
+        # no row in the exact-twin frame and must still be reported
+        # (exact_intersection = 0), not silently dropped
+        .join(exact, ["type_a", "type_b"], "left")
         .select(
             "type_a",
             "type_b",
             stable_round(
                 F.col("e_a") + F.col("e_b") - F.col("eu"), 1
             ).alias("hll_intersection"),
-            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
         )
     )
 

@@ -170,47 +170,52 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket_s")
         .agg(F.avg("value").alias("v"))
     )
-    span = obs.groupBy("user_id").agg(
-        F.min("bucket_s").alias("b0"), F.max("bucket_s").alias("b1")
-    )
-    spine = span.select(
-        "user_id",
-        F.explode(
-            F.sequence("b0", "b1", F.lit(RESAMPLE_S).cast("long"))
-        ).alias("bucket_s"),
-    )
-    g = spine.join(obs, ["user_id", "bucket_s"], "left")
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_s")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    ob = F.when(F.col("v").isNotNull(), F.col("bucket_s"))
-    f = g.select(
+    # Lead-pair form (round 8): ONE window shuffle builds each
+    # observation's (next_bucket, next_value) pair, then every gap
+    # bucket is generated AND interpolated in-row by exploding the
+    # half-open range [bucket, next_bucket) with pv/pb = the row's own
+    # observation. Replaces the r7 spine + left-join + two gap-fill
+    # windows (the scale-up's worst ratio, ×7.97 at ×10 data): no join,
+    # no carry-forward windows, and the interpolation arithmetic is
+    # the identical expression tree the oracle's fill form computes,
+    # so values hash-match unchanged.
+    w = Window.partitionBy("user_id").orderBy("bucket_s")
+    g = obs.select(
         "user_id",
         "bucket_s",
         "v",
-        F.last("v", ignorenulls=True).over(wp).alias("pv"),
-        F.last(ob, ignorenulls=True).over(wp).alias("pb"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(ob, ignorenulls=True).over(wn).alias("nb"),
+        F.lead("bucket_s").over(w).alias("nb"),
+        F.lead("v").over(w).alias("nv"),
     )
-    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
-        F.col("pv")
-        + (F.col("nv") - F.col("pv"))
-        * (F.col("bucket_s") - F.col("pb"))
-        / (F.col("nb") - F.col("pb"))
-    )
-    return f.select(
+    rows = g.select(
         "user_id",
         "bucket_s",
+        "v",
+        "nb",
+        "nv",
+        F.explode(
+            F.sequence(
+                F.col("bucket_s"),
+                F.coalesce(
+                    F.col("nb") - RESAMPLE_S, F.col("bucket_s")
+                ),
+                F.lit(RESAMPLE_S).cast("long"),
+            )
+        ).alias("b"),
+    )
+    interp = F.when(F.col("b") == F.col("bucket_s"), F.col("v")).otherwise(
+        F.col("v")
+        + (F.col("nv") - F.col("v"))
+        * (F.col("b") - F.col("bucket_s"))
+        / (F.col("nb") - F.col("bucket_s"))
+    )
+    return rows.select(
+        "user_id",
+        F.col("b").alias("bucket_s"),
         stable_round(interp, 4).alias("v_interp"),
-        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("is_observed"),
+        F.when(F.col("b") == F.col("bucket_s"), 1)
+        .otherwise(0)
+        .alias("is_observed"),
     )
 
 

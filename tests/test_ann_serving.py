@@ -16,6 +16,9 @@ from kafka_go_streamer_spark.operators.ivf_store import (
 from kafka_go_streamer_spark.sources.tables import load_table
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def index_base(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")

@@ -22,6 +22,9 @@ from kafka_go_streamer_spark.streaming import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def _routed_values(spark, output_dir):
     df = spark.read.parquet(output_dir)
     return {r["value"]: r["topic"] for r in df.collect()}, df.count()

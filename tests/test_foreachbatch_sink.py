@@ -6,6 +6,8 @@ can't express."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -13,6 +15,9 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.sources.files import stream_message_lines
 from kafka_go_streamer_spark.streaming.router import route_microbatch
 from tests.test_routing import GOLDEN_OPENSTACK, SPLITER_OPENSTACK
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_foreachbatch_per_topic_parquet(spark, tmp_path):

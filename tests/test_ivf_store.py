@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
@@ -26,6 +28,9 @@ from kafka_go_streamer_spark.operators.kmeans import (
 from kafka_go_streamer_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+pytestmark = pytest.mark.slow
 
 
 def _load_emb(spark):

@@ -4,6 +4,8 @@ goroutine pairs (reference main.go:315-337), on file sources."""
 
 from __future__ import annotations
 
+import pytest
+
 from kafka_go_streamer_spark.config import Extractor, Split, Spliter
 from kafka_go_streamer_spark.streaming import start_file_stream_router
 
@@ -17,6 +19,9 @@ SPLITER_B = Spliter(
     actions={"matched": "b-match"},
     splits=[Split(Extractor("beta"))],
 )
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_two_spliters_run_concurrently(spark, tmp_path):

@@ -10,6 +10,9 @@ from kafka_go_streamer_spark.plans import ORACLES, QUERIES
 from tests.oracle_harness import compare, duck_connection
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duck_connection(sf_dir)

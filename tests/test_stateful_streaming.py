@@ -4,9 +4,14 @@ demonstrably carries across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 import time
 
 from kafka_go_streamer_spark.streaming.stateful import running_totals_per_user
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_running_totals_carry_state_across_batches(spark, tmp_path):

@@ -18,6 +18,9 @@ from kafka_go_streamer_spark.streaming.joins import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def events_stream_dir(spark, sf_dir, tmp_path):
     d = tmp_path / "events_src"

@@ -13,6 +13,9 @@ from tests.test_routing import GOLDEN_OPENSTACK, SPLITER_OPENSTACK
 from kafka_go_streamer_spark.streaming import start_file_stream_router
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def input_dir(tmp_path):
     d = tmp_path / "stream_in"

@@ -20,6 +20,9 @@ from kafka_go_streamer_spark.streaming.neardup import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.timeout(300)
 @pytest.mark.parametrize("n_batches", [1, 2])
 def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path, n_batches):

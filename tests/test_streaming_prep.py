@@ -15,6 +15,9 @@ from kafka_go_streamer_spark.plans.text import prep_survivors
 from kafka_go_streamer_spark.sources.tables import load_table
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.timeout(300)
 def test_streaming_prep_matches_batch(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")

@@ -98,3 +98,37 @@ def kafka_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def xml_available(spark: SparkSession) -> bool:
+    """True when the XML file source is registered (built into Spark
+    core since 4.0; this gate exists for older runtimes)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "xml", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML batch reader (Spark 4 built-in source): ``row_tag`` names
+    the repeated element that maps to one row. Schema inference walks
+    the documents twice — pass an explicit schema in production, the
+    same discipline as the CSV/JSON readers here."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str, root_tag: str) -> None:
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)

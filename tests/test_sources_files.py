@@ -165,3 +165,27 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         .filter(F.col("doc_id") >= 2)
     )
     assert old_only.count() == 2
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """Spark 4 built-in XML source: region round-trips through an XML
+    file with values and row structure intact."""
+    import pytest
+
+    from kafka_go_streamer_spark.sources.files import (
+        read_xml,
+        write_xml,
+        xml_available,
+    )
+    from kafka_go_streamer_spark.sources.tables import load_table
+
+    if not xml_available(spark):
+        pytest.skip("xml source not registered on this runtime")
+    region = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_xml")
+    write_xml(region, path, row_tag="region", root_tag="regions")
+    back = read_xml(spark, path, row_tag="region", schema=region.schema)
+    assert sorted(
+        (r["r_regionkey"], r["r_name"]) for r in back.collect()
+    ) == sorted((r["r_regionkey"], r["r_name"]) for r in region.collect())
+    assert back.count() == region.count()

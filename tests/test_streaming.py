@@ -386,3 +386,52 @@ def test_streaming_histogram_matches_batch_and_serves_quantiles(
         )
         est = float(lo) + width * (b + (t - cum_map[b][0]) / streamed[b])
         assert abs(est - want[round(qq, 2)]) <= 1e-4 + 1e-9
+
+
+def test_state_store_reader_exposes_aggregation_state(
+    spark, sf_dir, tmp_path
+):
+    """Spark 4 state data source: after a checkpointed streaming
+    aggregation runs, `spark.read.format("statestore")` over the
+    checkpoint must expose the operator's keyed state — the ops
+    surface for debugging a live pipeline's state without stopping it
+    (reference has no state at all; this pins the Spark-native
+    replacement's observability)."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tmp_path / "st_src"
+    ev.coalesce(1).write.parquet(str(src))
+    ckpt = str(tmp_path / "st_ckpt")
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("state_reader_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct carries the operator's aggregate BUFFER fields
+    # (here: the count buffer), not the output aliases
+    got = {
+        r["key"]["user_id"]: r["value"]["count"] for r in state.collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -193,3 +193,70 @@ def histogram_bands_stream(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can run here: its
+    Python driver worker speaks protobuf to the JVM state server, so
+    the ``google.protobuf`` package must be importable (this container
+    ships without it — the operator is environment-gated exactly like
+    the Kafka broker path)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) on the ``transformWithState``
+    API (Spark 4) — the successor of ``applyInPandasWithState`` used
+    by :func:`running_totals_per_user`: state lives in NAMED typed
+    handles (here one ValueState) instead of a single tuple, and the
+    processor object carries init/close lifecycle plus timer support.
+    Kept as a twin of the legacy-API operator so the suite proves both
+    stateful surfaces produce identical state evolution. Requires the
+    RocksDB state store provider AND a protobuf-capable Python
+    environment (gate on :func:`tws_available`).
+
+    Scale: identical physics to the legacy form — state hash-partitioned
+    by user_id, each micro-batch touches only its keys, Arrow-batched
+    pandas on the Python side."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

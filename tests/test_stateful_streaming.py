@@ -134,3 +134,89 @@ def test_streaming_upsert_matches_batch_merge(spark, sf_dir, tmp_path):
         if s_op == "insert" and uid in batch1_keys and b_op == "carry":
             expected_op = "carry"  # no post-cutoff change for this key
         assert expected_op == b_op, (uid, s_op, b_op)
+
+
+def test_transform_with_state_matches_legacy_and_batch(
+    spark, sf_dir, tmp_path
+):
+    """The transformWithState processor must evolve per-key state
+    exactly like the legacy applyInPandasWithState operator AND match
+    the batch aggregate after the full feed — both stateful APIs, one
+    contract."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip(
+            "transformWithState needs google.protobuf (absent here)"
+        )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cut = ev.agg(F.expr("percentile(user_id, 0.5)")).collect()[0][0]
+    src_dir = tmp_path / "tws_src"
+    ev.filter(F.col("user_id") <= cut).coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    ev.filter(F.col("user_id") > cut).coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    feed = tmp_path / "tws_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    q = (
+        running_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_smoke")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_smoke").collect()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # memory sink in update mode appends every emission; keep the max-n
+    # (latest) row per key before comparing
+    latest: dict = {}
+    for r in rows:
+        uid = r["user_id"]
+        if uid not in latest or r["n_events"] > latest[uid][0]:
+            latest[uid] = (r["n_events"], round(r["total_value"], 6))
+    assert latest == want

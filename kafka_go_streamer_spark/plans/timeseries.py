@@ -1372,3 +1372,213 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "events_did_uplift",
+    oracle="""
+    WITH span AS (
+      SELECT (epoch(min(ts))::BIGINT + epoch(max(ts))::BIGINT) // 2 AS cut
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT
+        sum(CASE WHEN user_id % 2 = 0 AND epoch(ts) >= cut
+                 THEN value END) AS s_tp,
+        sum(CASE WHEN user_id % 2 = 0 AND epoch(ts) >= cut
+                 THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+        sum(CASE WHEN user_id % 2 = 0 AND epoch(ts) < cut
+                 THEN value END) AS s_t0,
+        sum(CASE WHEN user_id % 2 = 0 AND epoch(ts) < cut
+                 THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+        sum(CASE WHEN user_id % 2 = 1 AND epoch(ts) >= cut
+                 THEN value END) AS s_cp,
+        sum(CASE WHEN user_id % 2 = 1 AND epoch(ts) >= cut
+                 THEN 1 ELSE 0 END)::BIGINT AS n_cp,
+        sum(CASE WHEN user_id % 2 = 1 AND epoch(ts) < cut
+                 THEN value END) AS s_c0,
+        sum(CASE WHEN user_id % 2 = 1 AND epoch(ts) < cut
+                 THEN 1 ELSE 0 END)::BIGINT AS n_c0
+      FROM events CROSS JOIN span WHERE event_type = 'purchase'
+    )
+    SELECT n_tp, n_t0, n_cp, n_c0,
+           round(s_tp / n_tp, 4) AS mean_treat_post,
+           round(s_t0 / n_t0, 4) AS mean_treat_pre,
+           round(s_cp / n_cp, 4) AS mean_ctrl_post,
+           round(s_c0 / n_c0, 4) AS mean_ctrl_pre,
+           round((s_tp / n_tp - s_t0 / n_t0)
+                 - (s_cp / n_cp - s_c0 / n_c0), 4) AS did_estimate
+    FROM cells
+    """,
+)
+def events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift estimate: purchase-value means
+    for treatment/control (the welch cohorts) before and after the
+    corpus midpoint, and the DiD estimator
+    (ΔTreat − ΔControl) — the workhorse quasi-experimental readout
+    when assignment isn't randomized per-event.
+
+    Scale: the period cut is a 1-row min/max aggregate that broadcasts;
+    the four cell sums are ONE conditional aggregate over one scan
+    (map-side combinable) — no shuffle by cohort, no join of pre
+    against post. The estimator arithmetic runs on a single row,
+    identically ordered in both engines."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    epoch = F.unix_timestamp("ts")
+    span = pinned(
+        ev.agg(
+            F.floor(
+                (F.min(epoch).cast("long") + F.max(epoch).cast("long")) / 2
+            ).alias("cut")
+        )
+    )
+    e = ev.crossJoin(F.broadcast(span))
+    treat = F.col("user_id") % 2 == 0
+    post = epoch >= F.col("cut")
+    cells = e.agg(
+        F.sum(F.when(treat & post, F.col("value"))).alias("s_tp"),
+        F.sum(F.when(treat & post, 1).otherwise(0)).cast("long").alias("n_tp"),
+        F.sum(F.when(treat & ~post, F.col("value"))).alias("s_t0"),
+        F.sum(F.when(treat & ~post, 1).otherwise(0)).cast("long").alias("n_t0"),
+        F.sum(F.when(~treat & post, F.col("value"))).alias("s_cp"),
+        F.sum(F.when(~treat & post, 1).otherwise(0)).cast("long").alias("n_cp"),
+        F.sum(F.when(~treat & ~post, F.col("value"))).alias("s_c0"),
+        F.sum(F.when(~treat & ~post, 1).otherwise(0)).cast("long").alias("n_c0"),
+    )
+    m = lambda s, n: F.col(s) / F.col(n)  # noqa: E731
+    return cells.select(
+        "n_tp",
+        "n_t0",
+        "n_cp",
+        "n_c0",
+        stable_round(m("s_tp", "n_tp"), 4).alias("mean_treat_post"),
+        stable_round(m("s_t0", "n_t0"), 4).alias("mean_treat_pre"),
+        stable_round(m("s_cp", "n_cp"), 4).alias("mean_ctrl_post"),
+        stable_round(m("s_c0", "n_c0"), 4).alias("mean_ctrl_pre"),
+        stable_round(
+            (m("s_tp", "n_tp") - m("s_t0", "n_t0"))
+            - (m("s_cp", "n_cp") - m("s_c0", "n_c0")),
+            4,
+        ).alias("did_estimate"),
+    )
+
+
+#: Bootstrap geometry: replicate count and the Poisson(1) inverse-CDF
+#: thresholds (P(X<=k), k=0..7) used to derive each row's replicate
+#: weight from a uniform hash — the same double literals are embedded
+#: in the Spark expressions and the DuckDB oracle, so the weights are
+#: bit-identical across engines.
+BOOT_B = 32
+import math as _math  # noqa: E402
+
+BOOT_CDF = [
+    sum(_math.exp(-1.0) / _math.factorial(i) for i in range(k + 1))
+    for k in range(8)
+]
+
+
+def _boot_w_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {BOOT_CDF[k]!r} THEN {k}" for k in range(len(BOOT_CDF))
+    )
+    return f"(CASE {arms} ELSE {len(BOOT_CDF)} END)"
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {BOOT_B})) AS b),
+    w AS (
+      SELECT r.b, e.value,
+             {_boot_w_sql(
+               "(('0x' || substr(md5(e.event_id::VARCHAR || '_' || "
+               "r.b::VARCHAR), 1, 8))::BIGINT / 4294967296.0)"
+             )} AS w
+      FROM events e CROSS JOIN reps r
+      WHERE e.event_type = 'purchase'
+    ),
+    means AS (
+      SELECT b, sum(w * value) / sum(w) AS m FROM w GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_replicates,
+           round(avg(m), 4) AS boot_mean,
+           round(sqrt((sum(m * m) - sum(m) * sum(m) / count(*))
+                      / (count(*) - 1)), 6) AS boot_se,
+           round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 4)
+             AS ci_lo,
+           round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 4)
+             AS ci_hi
+    FROM means
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap: BOOT_B (32) resampled means of
+    the purchase value, each replicate weighting every row by a
+    DETERMINISTIC hash-derived Poisson(1) draw (the classic
+    multinomial→Poisson approximation that makes the bootstrap
+    embarrassingly parallel — no per-replicate shuffling of row
+    indices), reported as bootstrap mean, standard error, and the
+    2.5/97.5 percentile interval.
+
+    Scale: the corpus is scanned once and fanned out ×B in-row (an
+    explode against a constant replicate list); per-replicate weighted
+    sums partial-aggregate map-side, so the shuffle carries B rows of
+    state per partition — replicates never see each other until the
+    B-row means frame. Weights come from md5(event_id, b) against
+    embedded Poisson CDF literals, so both engines draw the identical
+    resample."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    fan = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.when(u < BOOT_CDF[0], 0)
+    for k in range(1, len(BOOT_CDF)):
+        w = w.when(u < BOOT_CDF[k], k)
+    w = w.otherwise(len(BOOT_CDF))
+    means = (
+        fan.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m")
+        )
+    )
+    n = F.count(F.lit(1))
+    return means.agg(
+        n.cast("long").alias("n_replicates"),
+        stable_round(F.avg("m"), 4).alias("boot_mean"),
+        stable_round(
+            F.sqrt(
+                (F.sum(F.col("m") * F.col("m")) - F.sum("m") * F.sum("m") / n)
+                / (n - F.lit(1))
+            ),
+            6,
+        ).alias("boot_se"),
+        stable_round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        stable_round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )

@@ -600,3 +600,24 @@ def test_rfm_single_corpus_scan(spark, sf_dir):
     plan = physical_plan(QUERIES["events_rfm_segments"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_did_one_conditional_pass(spark, sf_dir):
+    """DiD is one conditional aggregate over one scan: the period cut
+    is pinned (pass 1) and broadcast; no cohort shuffle, no pre/post
+    join."""
+    plan = physical_plan(QUERIES["events_did_uplift"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the pinned cut
+
+
+def test_bootstrap_partial_aggregates_per_replicate(spark, sf_dir):
+    """The Poisson bootstrap fans out in-row (Generate/explode, no
+    join) and partial-aggregates per replicate map-side — the shuffle
+    carries B rows of state per partition, not the fanned corpus."""
+    plan = physical_plan(QUERIES["stats_bootstrap_ci"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+    assert "partial_" in plan

@@ -146,6 +146,12 @@ HEADLINE = [
     "split_leakage_check",
     "join_pit_scd2_state",
     "events_pattern_funnel_strict",
+    "stats_ks_drift",
+    "stats_gini_concentration",
+    "events_rfm_segments",
+    "retrieval_mmr_rerank",
+    "events_did_uplift",
+    "stats_bootstrap_ci",
 ]
 
 

@@ -1582,3 +1582,103 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
         stable_round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
     )
+
+
+def _triangle_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    return f"""
+    WITH wpairs AS ({wpairs}),
+    e AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM wpairs
+    ),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY 1
+    ),
+    wed AS (
+      SELECT sum(d * (d - 1) / 2) AS n_wedges,
+             count(*)::BIGINT AS n_nodes
+      FROM deg
+    ),
+    ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+    SELECT t.n_triangles, ec.n_edges, w.n_nodes,
+           round(CASE WHEN w.n_wedges > 0
+                      THEN 3.0 * t.n_triangles / w.n_wedges
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM tri t CROSS JOIN wed w CROSS JOIN ec
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    winnowing-overlap document graph (same edge source as
+    ``graph_doc_centrality``): how CLIQUEY the near-duplication
+    structure is — template families close into triangles, chains of
+    pairwise-similar revisions don't, and the coefficient
+    3·triangles/wedges separates the two corpus pathologies.
+
+    Scale: the classic node-ordered triangle join — edges oriented
+    a<b so each triangle is generated exactly once, one equi-join on
+    the shared endpoint then one equi-join closing the wedge; edge
+    lists inherit winnowing's capped blocking (sparse by
+    construction), and the edge frame is pinned so the three join
+    arms read the materialized blocks instead of re-deriving the
+    shingle pipeline. Production adds degree-descending orientation
+    for skewed graphs; the wedge count is a degree-table aggregate,
+    never a wedge materialization."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    e = pinned(
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).distinct()
+    )
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select("a", F.col("b").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    ec = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(ec))
+        .select(
+            "n_triangles",
+            "n_edges",
+            "n_nodes",
+            stable_round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -152,6 +152,10 @@ HEADLINE = [
     "retrieval_mmr_rerank",
     "events_did_uplift",
     "stats_bootstrap_ci",
+    "graph_triangle_count",
+    "text_char_entropy",
+    "text_pmi_cooccurrence",
+    "quality_embedding_checks",
 ]
 
 

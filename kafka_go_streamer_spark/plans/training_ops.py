@@ -1078,3 +1078,225 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("es_key"), 6).alias("es_key"),
         F.row_number().over(w).alias("rk"),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH tg AS (
+      SELECT lang, substr(text, i, 3) AS g
+      FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    c AS (
+      SELECT lang, g, count(*)::BIGINT AS c FROM tg GROUP BY 1, 2
+    )
+    SELECT lang,
+           sum(c)::BIGINT AS n_trigrams,
+           count(*)::BIGINT AS distinct_trigrams,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+             AS entropy_bits
+    FROM c GROUP BY 1
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per language — the
+    distributional-complexity signal curators use to flag
+    low-diversity corpora (boilerplate-heavy crawls score low,
+    natural prose high) and to sanity-check per-language balance
+    before tokenizer training.
+
+    Scale: trigrams generate positionally IN-ROW (a codegen'd
+    transform over character offsets — no self-join of shifted text),
+    the (lang, gram) count is map-side combinable, and the entropy is
+    computed on the gram-vocabulary frame via the numerically stable
+    form H = log2(n) − Σc·log2(c)/n — the identical expression tree
+    in both engines, no per-row probability division."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = (
+        d.filter(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), "
+                    "i -> substring(text, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    c = tg.groupBy("lang", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return c.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_trigrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_trigrams"),
+        stable_round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            4,
+        ).alias("entropy_bits"),
+    )
+
+
+#: Minimum bigram count for a PMI association to be reported (rare
+#: pairs have unboundedly noisy PMI).
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH w AS (
+      SELECT {X.words_sql('text')} AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM bg),
+    ab AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1, 2),
+    la AS (SELECT a, count(*)::BIGINT AS c_a FROM bg GROUP BY 1),
+    rb AS (SELECT b, count(*)::BIGINT AS c_b FROM bg GROUP BY 1)
+    SELECT ab.a AS word_a, ab.b AS word_b, ab.c_ab,
+           round(log2(n.n * ab.c_ab * 1.0 / (la.c_a * rb.c_b)), 4) AS pmi
+    FROM ab
+    JOIN la USING (a) JOIN rb USING (b) CROSS JOIN n
+    WHERE ab.c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, word_a ASC, word_b ASC
+    LIMIT 20
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-bigram POINTWISE MUTUAL INFORMATION associations
+    (left/right margins, count floor PMI_MIN_COUNT) — the collocation
+    statistic
+    behind phrase induction and the SGNS/word2vec objective; high-PMI
+    pairs are the multi-word expressions a tokenizer should not split.
+
+    Scale: bigrams generate positionally in-row; the pair table and
+    both margin tables are vocabulary-cardinality aggregates off ONE
+    exploded pass (map-side combinable); margins join back on the
+    vocab-sized frames and the top-20 compiles to
+    TakeOrderedAndProject. The corpus is never self-joined."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(X.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> struct(ws[i] AS a, ws[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    bg = pinned(bg)
+    n = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ab = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    la = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+    rb = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_b"))
+    return (
+        ab.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("word_a"),
+            F.col("b").alias("word_b"),
+            "c_ab",
+            stable_round(
+                F.log2(
+                    F.col("n") * F.col("c_ab") * 1.0
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(
+            F.col("pmi").desc(), F.col("word_a").asc(), F.col("word_b").asc()
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "quality_embedding_checks",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6) AS nrm,
+             (len(list_filter(embedding,
+                              x -> isnan(x) OR isinf(x))) > 0) AS bad
+      FROM embeddings
+    ),
+    d AS (SELECT max(dim) AS want_dim FROM v)
+    SELECT count(*)::BIGINT AS n_vecs,
+           max(d.want_dim)::BIGINT AS dim,
+           sum(CASE WHEN v.dim <> d.want_dim THEN 1 ELSE 0 END)::BIGINT
+             AS n_dim_mismatch,
+           sum(CASE WHEN v.nrm = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_zero_norm,
+           sum(CASE WHEN v.bad THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+           round(avg(v.nrm), 4) AS norm_mean,
+           round(min(v.nrm), 6) AS norm_min,
+           round(max(v.nrm), 6) AS norm_max
+    FROM v CROSS JOIN d
+    """,
+)
+def quality_embedding_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene gate: vector count, modal dimension,
+    dimension mismatches, zero-norm vectors, non-finite components,
+    and the norm distribution summary — the checks an ANN pipeline
+    asserts before building an index (a single NaN silently poisons
+    every cosine it touches; zero norms outrank everything after
+    division).
+
+    Scale: ONE scan; per-vector dim/norm/finite flags are codegen'd
+    array expressions, the expected dimension is a 1-row aggregate
+    broadcast back, and the report is a scalar conditional aggregate.
+    Mirrors quality_expectations_check's fused-gate shape on the
+    vector modality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.size("embedding").alias("dim"),
+        stable_round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+            6,
+        ).alias("nrm"),
+        F.expr(
+            "exists(embedding, x -> isnan(x) "
+            "OR abs(x) = CAST('Infinity' AS DOUBLE))"
+        ).alias("bad"),
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned as _pin
+
+    v = _pin(v)
+    d = v.agg(F.max("dim").alias("want_dim"))
+    return v.crossJoin(F.broadcast(d)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max("want_dim").cast("long").alias("dim"),
+        F.sum(F.when(F.col("dim") != F.col("want_dim"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dim_mismatch"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        stable_round(F.avg("nrm"), 4).alias("norm_mean"),
+        stable_round(F.min("nrm"), 6).alias("norm_min"),
+        stable_round(F.max("nrm"), 6).alias("norm_max"),
+    )

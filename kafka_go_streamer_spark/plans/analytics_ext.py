@@ -1416,3 +1416,185 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         stable_round(F.sum("monetary"), 2).alias("segment_revenue"),
     )
+
+
+#: Total sample budget for the Neyman-allocation query.
+NEYMAN_TOTAL = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT o_orderpriority AS stratum,
+             count(*)::BIGINT AS n_pop,
+             sum(o_totalprice) AS s,
+             sum(o_totalprice * o_totalprice) AS q
+      FROM orders GROUP BY 1
+    ),
+    sd AS (
+      SELECT stratum, n_pop,
+             sqrt((q - s * s / n_pop) / (n_pop - 1)) AS sd
+      FROM st
+    ),
+    alloc AS (
+      SELECT stratum, n_pop, sd,
+             floor({NEYMAN_TOTAL} * (n_pop * sd)
+                   / (SELECT sum(n_pop * sd) FROM sd) + 0.5)::BIGINT
+               AS alloc_n
+      FROM sd
+    ),
+    ranked AS (
+      SELECT o.o_orderpriority AS stratum, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY o.o_orderpriority
+               ORDER BY md5(o.o_orderkey::VARCHAR), o.o_orderkey
+             ) AS rk
+      FROM orders o
+    )
+    SELECT a.stratum, a.n_pop,
+           round(a.sd, 4) AS sd,
+           a.alloc_n,
+           count(r.o_totalprice)::BIGINT AS n_selected,
+           round(avg(r.o_totalprice), 4) AS sample_mean
+    FROM alloc a
+    JOIN ranked r ON r.stratum = a.stratum AND r.rk <= a.alloc_n
+    GROUP BY a.stratum, a.n_pop, a.sd, a.alloc_n
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMAL (Neyman) stratified sampling: a fixed total budget is
+    allocated across strata proportionally to N_h·σ_h — high-variance
+    strata get more rows than proportional allocation would give,
+    minimizing the variance of the stratified mean estimator. The
+    allocation, the deterministic hash-ranked selection, and the
+    per-stratum sample means are all reported (the upgrade over the
+    proportional `sample_stratified_hash`).
+
+    Scale: pass 1 is a stratum-cardinality sum/sumsq aggregate whose
+    tiny allocation frame broadcasts; selection is ONE window shuffle
+    on the stratum (hash-rank row_number bounded by the broadcast
+    allocation) — reproducible on any cluster size because rank order
+    is a pure function of the key."""
+    o = load_table(spark, sf_dir, "orders")
+    st = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("q"),
+    )
+    sd = st.select(
+        "stratum",
+        "n_pop",
+        F.sqrt(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n_pop"))
+            / (F.col("n_pop") - 1)
+        ).alias("sd"),
+    )
+    tot = sd.agg(F.sum(F.col("n_pop") * F.col("sd")).alias("t"))
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_pop",
+        "sd",
+        F.floor(
+            NEYMAN_TOTAL * (F.col("n_pop") * F.col("sd")) / F.col("t") + 0.5
+        )
+        .cast("long")
+        .alias("alloc_n"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("rk") <= F.col("alloc_n"))
+        .groupBy("stratum", "n_pop", "sd", "alloc_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            stable_round(F.avg("o_totalprice"), 4).alias("sample_mean"),
+        )
+        .select(
+            "stratum",
+            "n_pop",
+            stable_round(F.col("sd"), 4).alias("sd"),
+            "alloc_n",
+            "n_selected",
+            "sample_mean",
+        )
+    )
+
+
+#: Concurrency bucket width (5 minutes) for the peak-activity query.
+PEAK_BUCKET_S = 300
+
+
+@query(
+    "events_peak_active_users",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+             (floor(epoch(ts) / {PEAK_BUCKET_S}) * {PEAK_BUCKET_S})::BIGINT
+               AS bucket_s,
+             count(DISTINCT user_id)::BIGINT AS active_users
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day_ts, bucket_s, active_users,
+             row_number() OVER (
+               PARTITION BY day_ts
+               ORDER BY active_users DESC, bucket_s ASC
+             ) AS rk
+      FROM b
+    )
+    SELECT day_ts, bucket_s AS peak_bucket_s,
+           active_users AS peak_active_users
+    FROM r WHERE rk = 1
+    """,
+)
+def events_peak_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: the 5-minute bucket with the most
+    DISTINCT active users — the capacity-planning readout (and the
+    day-partitioned form of a sweep-line concurrency count: buckets
+    make it an aggregate instead of a global boundary sort).
+
+    Scale: one (day, bucket, user) distinct-aggregate — map-side
+    combinable after the distinct shuffle on composite keys bounded by
+    time×activity, never raw-event cardinality downstream; the per-day
+    argmax is a window over bucket-cardinality rows partitioned by
+    day. Ties (equal peak in two buckets) resolve to the earliest
+    bucket in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            F.col("ts").cast("date").cast("timestamp").alias("day_ts"),
+            (
+                F.floor(F.unix_timestamp("ts") / PEAK_BUCKET_S)
+                * PEAK_BUCKET_S
+            )
+            .cast("long")
+            .alias("bucket_s"),
+            "user_id",
+        )
+        .groupBy("day_ts", "bucket_s")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+    w = Window.partitionBy("day_ts").orderBy(
+        F.col("active_users").desc(), F.col("bucket_s").asc()
+    )
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "day_ts",
+            F.col("bucket_s").alias("peak_bucket_s"),
+            F.col("active_users").alias("peak_active_users"),
+        )
+    )

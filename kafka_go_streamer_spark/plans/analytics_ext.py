@@ -1598,3 +1598,78 @@ def events_peak_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users").alias("peak_active_users"),
         )
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT date_diff('second', first_view, first_purchase) AS delta_s
+      FROM u
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY delta_s), 1)
+             AS p25_s,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY delta_s), 1)
+             AS p50_s,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY delta_s), 1)
+             AS p75_s,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY delta_s), 1)
+             AS p90_s
+    FROM d
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from each user's FIRST
+    view to their FIRST subsequent purchase, summarized as quartiles
+    and the p90 tail — the product-analytics latency readout, and the
+    same shape as a label-delay profile in a training pipeline
+    (how stale may a feature snapshot be before labels leak).
+
+    Scale: conditional min-aggregates collapse the corpus to
+    user-cardinality rows in ONE shuffle (no view×purchase self-join);
+    the percentile aggregate runs over converted-user deltas only.
+    Deltas are whole-second integers, so the percentile interpolation
+    is exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    d = u.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_view")
+        ).alias("delta_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        *[
+            stable_round(
+                F.percentile("delta_s", F.lit(q)), 1
+            ).alias(name)
+            for q, name in [
+                (0.25, "p25_s"),
+                (0.5, "p50_s"),
+                (0.75, "p75_s"),
+                (0.9, "p90_s"),
+            ]
+        ],
+    )

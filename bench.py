@@ -156,6 +156,9 @@ HEADLINE = [
     "text_char_entropy",
     "text_pmi_cooccurrence",
     "quality_embedding_checks",
+    "sample_neyman_allocation",
+    "events_peak_active_users",
+    "events_time_to_convert",
 ]
 
 

@@ -252,3 +252,95 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         args={"segment": PARAM_SEGMENT, "min_bal": PARAM_MIN_BAL},
     )
+
+
+#: BFS depth bound for the recursive-CTE reachability query (the
+#: recursion terminates by depth, so UNION ALL semantics suffice in
+#: both engines).
+RCTE_DEPTH = 2
+RCTE_SEEDS = 3
+
+
+def _rcte_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    return f"""
+    WITH RECURSIVE wp AS ({wpairs}),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM wp
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM wp
+    ),
+    seeds AS (
+      SELECT a AS seed FROM e GROUP BY a ORDER BY a LIMIT {RCTE_SEEDS}
+    ),
+    reach(seed, doc, d) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION ALL
+      SELECT r.seed, e.b, r.d + 1
+      FROM reach r JOIN e ON e.a = r.doc
+      WHERE r.d < {RCTE_DEPTH}
+    ),
+    m AS (SELECT seed, doc, min(d) AS d FROM reach GROUP BY 1, 2)
+    SELECT seed,
+           sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_dist1,
+           sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dist2
+    FROM m GROUP BY 1
+    """
+
+
+@query("sql_api_recursive_cte", oracle=_rcte_oracle())
+def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): depth-bounded BFS
+    over the winnowing near-dup graph — for the three smallest
+    documents that have any near-dup edge, how many documents sit at
+    graph distance 1 and (newly) at distance 2. The SQL-standard
+    iteration surface that complements the DataFrame-driven loops
+    (``dedup_connected_components``'s contraction, PageRank's unrolled
+    refinement): same fixpoint semantics, declared in one statement.
+
+    Scale: each recursion step is one equi-join of the frontier
+    against the (capped, winnowing-blocked) edge list — exactly the
+    partitioned rank⋈edges shape of the big-graph PageRank, planned by
+    the engine's recursion operator instead of a Python loop; the
+    depth bound caps work, and min(d) GROUP BY collapses revisits so
+    UNION ALL recursion terminates without needing distinct-union
+    semantics in either engine. Edge generation reuses the registered
+    winnowing-pair query (Spark side: the DataFrame as a temp view;
+    oracle: the same SQL as a CTE)."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    # pin the edge source: the recursion references the view in the
+    # seed CTE and every step, and an unpinned temp view re-derives
+    # the whole winnowing pipeline per reference
+    pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir)).createOrReplaceTempView(
+        "v_wpairs"
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE e AS (
+          SELECT id_a AS a, id_b AS b FROM v_wpairs
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM v_wpairs
+        ),
+        seeds AS (
+          SELECT a AS seed FROM e GROUP BY a ORDER BY a LIMIT {RCTE_SEEDS}
+        ),
+        reach(seed, doc, d) AS (
+          SELECT seed, seed, 0 FROM seeds
+          UNION ALL
+          SELECT r.seed, e.b, r.d + 1
+          FROM reach r JOIN e ON e.a = r.doc
+          WHERE r.d < {RCTE_DEPTH}
+        ),
+        m AS (SELECT seed, doc, min(d) AS d FROM reach GROUP BY 1, 2)
+        SELECT seed,
+               CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dist1,
+               CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dist2
+        FROM m GROUP BY seed
+        """
+    )

@@ -260,3 +260,40 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cms_grid_stream(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch: maintain the 4×256 counter grid
+    over an unbounded event stream — the streaming twin of the batch
+    ``sketch_countmin_heavy_users`` build (plans/sketches.py), sharing
+    its bucket-hash expressions verbatim.
+
+    Sum is associative and commutative, so the grid is EXACTLY
+    mergeable across micro-batches: after any stream prefix the state
+    equals the batch grid over the same rows, and any key's frequency
+    estimate (min over the key's D cells) reads off the live grid with
+    the batch probe arithmetic. State is bounded at D×W rows forever —
+    complete/update mode with no watermark eviction, like the HLL and
+    histogram register streams."""
+    from kafka_go_streamer_spark.plans.sketches import (
+        CMS_D,
+        _cms_bucket_spark,
+    )
+
+    key = F.col("user_id").cast("string")
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(key, d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -435,3 +435,77 @@ def test_state_store_reader_exposes_aggregation_state(
         .collect()
     }
     assert got == want
+
+
+def test_streaming_cms_grid_matches_batch_and_estimates(
+    spark, sf_dir, tmp_path
+):
+    """The streaming CMS grid after two micro-batches must equal the
+    batch grid over the same rows, and key estimates read off the
+    streamed grid must match the batch query's estimates (min over the
+    key's D cells, >= truth)."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.plans.sketches import CMS_D, CMS_W
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import cms_grid_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cut = ev.agg(F.expr("percentile(user_id, 0.5)")).collect()[0][0]
+    src_dir = tmp_path / "cms_src"
+    ev.filter(F.col("user_id") <= cut).coalesce(1).write.parquet(
+        str(src_dir / "b1")
+    )
+    ev.filter(F.col("user_id") > cut).coalesce(1).write.parquet(
+        str(src_dir / "b2")
+    )
+    feed = tmp_path / "cms_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    q = (
+        cms_grid_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        streamed = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM cms_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_grid_stream(ev).collect()
+    }
+    assert streamed == batch
+
+    # estimates off the STREAMED grid == the batch query's estimates
+    def buckets(uid):
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        return [
+            (d, int(hx[8 * d : 8 * d + 8], 16) % CMS_W)
+            for d in range(CMS_D)
+        ]
+
+    for r in QUERIES["sketch_countmin_heavy_users"](spark, sf_dir).collect():
+        est = min(streamed[cell] for cell in buckets(r["user_id"]))
+        assert est == r["cms_estimate"]
+        assert est >= r["true_count"]

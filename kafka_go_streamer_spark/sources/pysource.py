@@ -19,7 +19,12 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -47,6 +52,27 @@ def _rng(seed: int, doc_id: int) -> int:
     return ((seed ^ (doc_id * 0x9E3779B97F4A7C15)) * _LCG_A + _LCG_C) & _MASK
 
 
+def _gen_row(seed: int, doc_id: int) -> tuple:
+    """One deterministic synthetic row — shared by the batch reader and
+    the stream reader so a streamed prefix equals the batch read of the
+    same id range byte-for-byte."""
+    s = _rng(seed, doc_id)
+    n_words = 20 + (s >> 8) % 180
+    words = []
+    w = s
+    for _ in range(n_words):
+        w = (w * _LCG_A + _LCG_C) & _MASK
+        words.append(_WORDS[(w >> 16) % len(_WORDS)])
+    text = " ".join(words)
+    return (
+        doc_id,
+        text,
+        _LANGS[(s >> 24) % len(_LANGS)],
+        _SOURCES[(s >> 32) % len(_SOURCES)],
+        len(text),
+    )
+
+
 class _Range(InputPartition):
     def __init__(self, start: int, end: int, seed: int):
         self.start, self.end, self.seed = start, end, seed
@@ -67,21 +93,7 @@ class _SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition):
         for doc_id in range(partition.start, partition.end):
-            s = _rng(partition.seed, doc_id)
-            n_words = 20 + (s >> 8) % 180
-            words = []
-            w = s
-            for _ in range(n_words):
-                w = (w * _LCG_A + _LCG_C) & _MASK
-                words.append(_WORDS[(w >> 16) % len(_WORDS)])
-            text = " ".join(words)
-            yield (
-                doc_id,
-                text,
-                _LANGS[(s >> 24) % len(_LANGS)],
-                _SOURCES[(s >> 32) % len(_SOURCES)],
-                len(text),
-            )
+            yield _gen_row(partition.seed, doc_id)
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -104,3 +116,40 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticDocsStreamReader(self.options)
+
+
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source (Spark 4
+    ``SimpleDataSourceStreamReader``): each micro-batch emits the next
+    ``batch_rows`` ids until ``n`` is exhausted, offsets are the plain
+    next-id cursor, and ``readBetweenOffsets`` replays any committed
+    range deterministically (exactly-once on recovery follows from row
+    = f(seed, doc_id) — the same property the batch reader has across
+    partitions, here across offsets)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch = max(int(options.get("batch_rows", 100)), 1)
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        s = int(start["next"])
+        e = min(s + self.batch, self.n)
+        return (
+            iter([_gen_row(self.seed, i) for i in range(s, e)]),
+            {"next": e},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                _gen_row(self.seed, i)
+                for i in range(int(start["next"]), int(end["next"]))
+            ]
+        )

@@ -52,3 +52,62 @@ def test_source_composes_with_corpus_operators(spark):
         .count()
     )
     assert groups.count() > 0
+
+
+def test_python_stream_source_matches_batch(spark, tmp_path):
+    """The Python data source's STREAMING face: reading the synthetic
+    source as a stream (4 micro-batches of 250) must produce exactly
+    the batch read of the same options — same ids, same text, same
+    derived columns — proving offset-cursor determinism and the
+    readBetweenOffsets replay contract."""
+    from kafka_go_streamer_spark.sources.pysource import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", 1000)
+        .option("batch_rows", 250)
+        .option("seed", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysrc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    import time
+
+    try:
+        # the unbounded source keeps emitting empty batches once
+        # exhausted; poll until the row count stabilizes at n
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) c FROM pysrc_stream").collect()[0][
+                "c"
+            ]
+            if n >= 1000:
+                break
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in spark.sql("SELECT * FROM pysrc_stream").collect()
+    }
+    batch = (
+        spark.read.format("synthetic_docs")
+        .option("n", 1000)
+        .option("partitions", 4)
+        .option("seed", 7)
+        .load()
+    )
+    want = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in batch.collect()
+    }
+    assert got == want

@@ -1673,3 +1673,123 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, max(value) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT e.user_id, e.ts, e.event_id,
+             pb.ts AS bt, pb.pv AS bv,
+             pf.ts AS ft, pf.pv AS fv
+      FROM (SELECT user_id, ts, event_id FROM events) e
+      ASOF LEFT JOIN p pb
+        ON e.user_id = pb.user_id AND e.ts >= pb.ts
+      ASOF LEFT JOIN p pf
+        ON e.user_id = pf.user_id AND e.ts <= pf.ts
+    )
+    SELECT user_id, ts, event_id,
+           CASE
+             WHEN bt IS NULL AND ft IS NULL THEN 'none'
+             WHEN ft IS NULL THEN 'backward'
+             WHEN bt IS NULL THEN 'forward'
+             WHEN date_diff('second', bt, ts)
+                  <= date_diff('second', ts, ft) THEN 'backward'
+             ELSE 'forward'
+           END AS direction,
+           CASE
+             WHEN bt IS NULL AND ft IS NULL THEN NULL
+             WHEN ft IS NULL THEN bt
+             WHEN bt IS NULL THEN ft
+             WHEN date_diff('second', bt, ts)
+                  <= date_diff('second', ts, ft) THEN bt
+             ELSE ft
+           END AS matched_time,
+           round(CASE
+             WHEN bt IS NULL AND ft IS NULL THEN NULL
+             WHEN ft IS NULL THEN bv
+             WHEN bt IS NULL THEN fv
+             WHEN date_diff('second', bt, ts)
+                  <= date_diff('second', ts, ft) THEN bv
+             ELSE fv
+           END, 2) AS purchase_value_nearest
+    FROM j
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (``pd.merge_asof(direction=
+    'nearest')``): every event matched to the temporally CLOSEST
+    purchase — past or future — with ties going backward. Completes
+    the as-of family (backward: ``join_asof_last_purchase``;
+    backward+tolerance: ``join_asof_tolerance``): 'nearest' is the
+    sensor-fusion/label-alignment variant where a slightly-future
+    reading beats a stale past one.
+
+    Scale: nearest = the better of one BACKWARD and one FORWARD pass,
+    each the union + carry window of operators/asof.py (the forward
+    pass runs the same operator over negated epoch seconds — carry-
+    forward in negated time IS carry-backward in real time). Two
+    window shuffles on user_id total, no self-join, and the per-row
+    arbitration is a whole-second integer comparison identical in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    back = asof_join(left, right, on="ts", by="user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("matched_time").alias("bt"),
+        F.col("pv_asof").alias("bv"),
+    )
+    # forward pass: negate epoch seconds on both sides so the backward
+    # operator's carry-forward picks the nearest FOLLOWING purchase
+    lneg = left.select(
+        "user_id",
+        "event_id",
+        (-F.unix_timestamp("ts")).alias("nts"),
+        F.col("ts").alias("orig_ts"),
+    )
+    rneg = right.select(
+        "user_id",
+        (-F.unix_timestamp("ts")).alias("nts"),
+        F.col("ts").alias("p_ts"),
+        "pv",
+    )
+    fwd = asof_join(
+        lneg, rneg, on="nts", by="user_id", value_cols=["p_ts", "pv"]
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("p_ts_asof").alias("ft"),
+        F.col("pv_asof").alias("fv"),
+    )
+    j = back.join(fwd, ["user_id", "event_id"])
+    bd = F.unix_timestamp("ts") - F.unix_timestamp("bt")
+    fd = F.unix_timestamp("ft") - F.unix_timestamp("ts")
+    take_back = F.col("bt").isNotNull() & (
+        F.col("ft").isNull() | (bd <= fd)
+    )
+    return j.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("bt").isNull() & F.col("ft").isNull(), "none")
+        .when(take_back, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(take_back, F.col("bt"))
+        .otherwise(F.col("ft"))
+        .alias("matched_time"),
+        stable_round(
+            F.when(take_back, F.col("bv")).otherwise(F.col("fv")), 2
+        ).alias("purchase_value_nearest"),
+    )

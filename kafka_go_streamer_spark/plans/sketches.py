@@ -773,3 +773,142 @@ def sketch_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+@query(
+    "sketch_hll_hourly_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             extract(hour FROM ts)::INTEGER AS hour_of_day,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             user_id
+      FROM events
+    ),
+    rr AS (
+      SELECT event_type, hour_of_day, h % {HLL_M} AS idx,
+             {_hll_rho_sql('(h >> 6)')} AS rho, user_id
+      FROM h
+    ),
+    hourly AS (
+      SELECT event_type, hour_of_day, idx, max(rho) AS reg
+      FROM rr GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, idx, max(reg) AS reg
+      FROM hourly GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT event_type, idx, max(rho) AS reg
+      FROM rr GROUP BY 1, 2
+    ),
+    est_m AS (
+      SELECT event_type,
+             {HLL_NUMERATOR!r} / (sum({_hll_weight_sql('reg')})
+               + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
+      FROM merged GROUP BY 1
+    ),
+    est_d AS (
+      SELECT event_type,
+             {HLL_NUMERATOR!r} / (sum({_hll_weight_sql('reg')})
+               + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)) AS e
+      FROM direct GROUP BY 1
+    ),
+    hours AS (
+      SELECT event_type, count(DISTINCT hour_of_day)::BIGINT AS n_hours
+      FROM hourly GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM rr GROUP BY 1
+    )
+    SELECT m.event_type, hrs.n_hours,
+           round(m.e, 1) AS est_merged,
+           round(d.e, 1) AS est_direct,
+           round(abs(m.e - d.e), 6) AS merge_error,
+           x.exact_distinct
+    FROM est_m m
+    JOIN est_d d USING (event_type)
+    JOIN hours hrs USING (event_type)
+    JOIN exact x USING (event_type)
+    """,
+)
+def sketch_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY contract, demonstrated as a rollup: per-type
+    HLL registers are built at (type, hour) grain, then rolled up to
+    type by elementwise register max — and the merged estimate equals
+    the direct whole-corpus estimate EXACTLY (merge_error = 0 on every
+    row). This is the hypertable/continuous-aggregate pattern: keep
+    fine-grained sketches, answer any coarser distinct-count by
+    merging registers — never by re-scanning raw data.
+
+    Scale: the hourly register table is types × 24 × 64 rows (still
+    constant-size, map-side combinable); the rollup is an aggregate
+    over THAT table — the raw corpus is scanned once for the hourly
+    build and once for the verification twin (direct + exact), which
+    a production deployment would drop."""
+    ev = load_table(spark, sf_dir, "events")
+    rr = ev.select(
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias("h"),
+        "user_id",
+    ).select(
+        "event_type",
+        "hour_of_day",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.expr(_hll_rho_sql("(h >> 6)")).alias("rho"),
+        "user_id",
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    rr = pinned(rr)
+    hourly = rr.groupBy("event_type", "hour_of_day", "idx").agg(
+        F.max("rho").alias("reg")
+    )
+    merged = hourly.groupBy("event_type", "idx").agg(
+        F.max("reg").alias("reg")
+    )
+    direct = rr.groupBy("event_type", "idx").agg(F.max("rho").alias("reg"))
+
+    def est(df):
+        return df.groupBy("event_type").agg(
+            (
+                F.lit(HLL_NUMERATOR)
+                / (
+                    F.sum(F.expr(_hll_weight_sql("reg")))
+                    + (HLL_M - F.count(F.lit(1)))
+                    * F.lit(2**55).cast("long")
+                )
+            ).alias("e")
+        )
+
+    est_m = est(merged)
+    est_d = est(direct).withColumnRenamed("e", "ed")
+    hours = hourly.groupBy("event_type").agg(
+        F.count_distinct("hour_of_day").cast("long").alias("n_hours")
+    )
+    exact = rr.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est_m.join(est_d, "event_type")
+        .join(F.broadcast(hours), "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            stable_round(F.col("e"), 1).alias("est_merged"),
+            stable_round(F.col("ed"), 1).alias("est_direct"),
+            stable_round(F.abs(F.col("e") - F.col("ed")), 6).alias(
+                "merge_error"
+            ),
+            "exact_distinct",
+        )
+    )

@@ -692,3 +692,116 @@ def dedup_names_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_b"),
         )
     )
+
+
+#: Containment floor for the winnowing containment report.
+CONTAIN_MIN = 0.6
+
+
+@query(
+    "dedup_winnow_containment",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE []::VARCHAR[] END AS gh
+      FROM w0
+    ),
+    wi AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) >= 4 THEN
+               list_transform(range(1, len(gh) - 2),
+                              j -> list_aggregate(gh[j:j+3], 'min'))
+             ELSE []::VARCHAR[] END AS wins
+      FROM g
+    ),
+    fp0 AS (SELECT DISTINCT doc_id, unnest(list_distinct(wins)) AS f FROM wi),
+    fp AS (
+      SELECT doc_id, f FROM (
+        SELECT *, count(*) OVER (PARTITION BY f) AS _bucket_n FROM fp0
+      ) WHERE _bucket_n <= {MAX_BUCKET}
+    ),
+    cnt AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fp GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT p.id_a, p.id_b, p.n_shared,
+           ca.nf AS nf_a, cb.nf AS nf_b,
+           round(p.n_shared * 1.0 / least(ca.nf, cb.nf), 4) AS containment,
+           CASE WHEN ca.nf <= cb.nf THEN p.id_a ELSE p.id_b END
+             AS contained_doc
+    FROM pairs p
+    JOIN cnt ca ON ca.doc_id = p.id_a
+    JOIN cnt cb ON cb.doc_id = p.id_b
+    WHERE round(p.n_shared * 1.0 / least(ca.nf, cb.nf), 4)
+          >= {CONTAIN_MIN}
+    """,
+)
+def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — CONTAINMENT, not Jaccard: the
+    share of the smaller document's winnowing fingerprints that the
+    pair shares. Jaccard misses a short document wholly embedded in a
+    long one (the union dilutes it); containment is exactly the MOSS
+    measure for that case, and the dedup rule that catches
+    quote-amplified or template-wrapped copies.
+
+    Scale: identical blocking to ``dedup_winnowing_pairs`` (capped
+    fingerprint equi-join — never all-pairs); the per-doc fingerprint
+    counts are a doc-cardinality aggregate joined back onto the pair
+    list, and the division/threshold run per candidate pair only.
+    Counts are taken AFTER the hot-fingerprint cap so numerator and
+    denominator live in the same universe."""
+    from kafka_go_streamer_spark.functions.text import winnow_fingerprint_rows
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = pinned(
+        cap_bucket(
+            winnow_fingerprint_rows(d).withColumnRenamed("fingerprint", "f"),
+            "f",
+        )
+    )
+    cnt = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nf"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    ca = cnt.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("nf_a"))
+    cb = cnt.select(F.col("doc_id").alias("id_b"), F.col("nf").alias("nf_b"))
+    contain = stable_round(
+        F.col("n_shared") * 1.0 / F.least(F.col("nf_a"), F.col("nf_b")), 4
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "nf_a",
+            "nf_b",
+            contain.alias("containment"),
+            F.when(F.col("nf_a") <= F.col("nf_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= CONTAIN_MIN)
+    )

@@ -344,3 +344,63 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m GROUP BY seed
         """
     )
+
+
+@query(
+    "window_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS ym,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT ym, revenue,
+           lag(revenue) OVER (ORDER BY ym) AS prev_revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY ym))
+                 / lag(revenue) OVER (ORDER BY ym), 2) AS pct_change
+    FROM m
+    """,
+)
+def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the monthly rollup with
+    lag()-based percent change — the BI staple, and the same
+    prior-period comparison shape a data pipeline uses for corpus
+    snapshot drift ("tokens ingested vs last month").
+
+    Scale: the corpus collapses to MONTH-cardinality rows in one
+    broadcast-join + aggregate pass; the unpartitioned lag window runs
+    over dozens of month rows (trivially single-task — the window
+    input is the rollup, never the fact table). Growth is computed on
+    the ROUNDED monthly revenue so both engines difference identical
+    decimals."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    m = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")), 
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("ym")
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "ym",
+        "revenue",
+        prev.alias("prev_revenue"),
+        stable_round(100.0 * (F.col("revenue") - prev) / prev, 2).alias(
+            "pct_change"
+        ),
+    )

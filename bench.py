@@ -159,6 +159,10 @@ HEADLINE = [
     "sample_neyman_allocation",
     "events_peak_active_users",
     "events_time_to_convert",
+    "sketch_hll_hourly_rollup",
+    "join_asof_nearest",
+    "dedup_winnow_containment",
+    "window_mom_growth",
 ]
 
 

@@ -898,9 +898,9 @@ def sketch_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("exact_distinct")
     )
     return (
-        est_m.join(est_d, "event_type")
+        est_m.join(F.broadcast(est_d), "event_type")
         .join(F.broadcast(hours), "event_type")
-        .join(exact, "event_type")
+        .join(F.broadcast(exact), "event_type")
         .select(
             "event_type",
             "n_hours",

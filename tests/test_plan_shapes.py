@@ -621,3 +621,37 @@ def test_bootstrap_partial_aggregates_per_replicate(spark, sf_dir):
     assert "Join" not in plan
     assert "Generate explode" in plan
     assert "partial_" in plan
+
+
+def test_hll_rollup_register_sized_merge(spark, sf_dir):
+    """The hourly→type rollup aggregates the REGISTER table, never the
+    corpus: no SortMergeJoin anywhere, and the raw scan count is the
+    pinned build plus the verification twin only."""
+    plan = physical_plan(QUERIES["sketch_hll_hourly_rollup"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_two_window_passes_no_self_join(spark, sf_dir):
+    """Nearest = backward pass + forward pass (negated time), each the
+    union+carry window — the plan must contain NO event×purchase
+    range join and no cartesian."""
+    plan = physical_plan(QUERIES["join_asof_nearest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_blocked_equi_join(spark, sf_dir):
+    """Containment inherits the capped winnowing blocking: candidate
+    generation is an equi-join on the fingerprint, never all-pairs."""
+    plan = physical_plan(QUERIES["dedup_winnow_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mom_growth_window_over_rollup_only(spark, sf_dir):
+    """The lag window runs over the month-cardinality rollup — the
+    fact table is aggregated before any window, and the orders side
+    broadcasts."""
+    plan = physical_plan(QUERIES["window_mom_growth"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -743,14 +743,18 @@ def sketch_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est"),
         )
     )
-    # exact percentiles in ONE aggregate (constant fractions — both
-    # engines require foldable percentile arguments), then unpivoted
-    # to (q, exact) rows
-    wide = li.agg(
-        *[
-            F.percentile("l_extendedprice", F.lit(float(q))).alias(f"_p{i}")
-            for i, q in enumerate(QB_QUANTILES)
-        ]
+    # exact percentiles via ONE array-percentile aggregate (three
+    # separate percentile() calls each build their own full value
+    # histogram — 3× the work; the array form shares one buffer),
+    # unpivoted to (q, exact) rows. fan_out parallelizes the partial
+    # update phase (the fixture ships as one row group → one task).
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    wide = fan_out(li).agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(float(q)) for q in QB_QUANTILES]),
+        ).alias("ps")
     )
     exact = wide.select(
         F.explode(
@@ -758,7 +762,7 @@ def sketch_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(float(q)).alias("q"),
-                        F.col(f"_p{i}").alias("exact"),
+                        F.col("ps").getItem(i).alias("exact"),
                     )
                     for i, q in enumerate(QB_QUANTILES)
                 ]

@@ -163,6 +163,7 @@ HEADLINE = [
     "join_asof_nearest",
     "dedup_winnow_containment",
     "window_mom_growth",
+    "pipeline_incremental_ingest",
 ]
 
 

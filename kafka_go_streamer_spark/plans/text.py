@@ -1293,3 +1293,126 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_eval_docs_contaminated"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({X.words_sql('text')}) AS word FROM documents
+    ),
+    vocab AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY 1),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word ASC) AS r
+      FROM vocab
+    ),
+    pts AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked),
+    s AS (
+      SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n AS vocab_size,
+           round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_exponent,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS log_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: OLS
+    slope of log(frequency) on log(rank) — the exponent a healthy
+    natural-language corpus keeps near 1, and the one boilerplate or
+    deduplication failures visibly bend (a flat head = mass
+    concentrated in few tokens; compare ``stats_gini_concentration``
+    on the same axis).
+
+    Scale: one map-side-combinable vocabulary count; the rank window
+    and the five OLS sums run over the VOCAB-cardinality frame (the
+    rank ordering is a vocab sort, never a corpus sort). The slope
+    arithmetic is the shared sum-of-products expression tree, so both
+    engines compute identical doubles before the stabilized round."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(X.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    r = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    pts = vocab.select(
+        F.log(F.row_number().over(r).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        n.cast("long").alias("vocab_size"),
+        stable_round(-slope, 4).alias("zipf_exponent"),
+        stable_round(
+            (F.sum("y") - slope * F.sum("x")) / n, 4
+        ).alias("log_intercept"),
+    )
+
+
+@query(
+    "text_good_turing_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({X.words_sql('text')}) AS word FROM documents
+    ),
+    vocab AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY 1),
+    s AS (
+      SELECT sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS vocab_size,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis
+      FROM vocab
+    )
+    SELECT n_tokens, vocab_size, n_hapax, n_dis,
+           round(n_hapax * 1.0 / n_tokens, 6) AS p_unseen,
+           round(1.0 - n_hapax * 1.0 / n_tokens, 6) AS coverage
+    FROM s
+    """,
+)
+def text_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing coverage estimate: the probability mass a language
+    model should reserve for UNSEEN words is n₁/N (hapax count over
+    token count) — the turn-the-crank answer to "how complete is this
+    corpus's vocabulary", and the quantity Laplace/Katz smoothing
+    budgets against (the held-out perplexity query's smoothing choice
+    made measurable).
+
+    Scale: one vocabulary count (map-side combinable) and one scalar
+    conditional aggregate over the vocab-cardinality frame — the
+    frequency-of-frequencies table never materializes beyond the two
+    counts the estimate needs."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(X.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = vocab.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dis"),
+    )
+    p_unseen = F.col("n_hapax") * 1.0 / F.col("n_tokens")
+    return s.select(
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        "n_dis",
+        stable_round(p_unseen, 6).alias("p_unseen"),
+        stable_round(1.0 - p_unseen, 6).alias("coverage"),
+    )

@@ -1682,3 +1682,97 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT value,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, cb, (ca + cb) AS t,
+             sum(ca + cb) OVER (ORDER BY value)
+               - (ca + cb) AS cum_before
+      FROM v
+    ),
+    s AS (
+      SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+             sum(ca * (cum_before + (t + 1) / 2.0)) AS rank_sum_a,
+             sum(t * t * t - t) AS tie_term
+      FROM r
+    )
+    SELECT n_a, n_b,
+           round(rank_sum_a - n_a * (n_a + 1) / 2.0, 2) AS u_stat,
+           round((rank_sum_a - n_a * (n_a + 1) / 2.0
+                  - n_a * n_b / 2.0)
+                 / sqrt((n_a * n_b / 12.0)
+                        * ((n_a + n_b + 1.0)
+                           - tie_term / ((n_a + n_b)
+                                         * (n_a + n_b - 1.0)))),
+                 4) AS z_score
+    FROM s
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the A/B cohorts'
+    purchase values, with AVERAGE ranks for ties and the tie-corrected
+    normal approximation — the nonparametric complement to the Welch
+    t-test (``stats_ab_welch_ttest`` compares means and assumes
+    rough normality; U compares whole distributions through ranks and
+    survives the heavy tails purchase values actually have; the KS
+    twin ``stats_ks_drift`` tests shape the same collapsed way).
+
+    Scale: the corpus collapses to VALUE-cardinality (cnt_a, cnt_b)
+    rows in one conditional aggregate; average ranks come from ONE
+    cumulative window over that collapsed frame (ties collapse into a
+    single row by construction, so both engines see identical rank
+    blocks), and the statistic is a scalar aggregate — the corpus is
+    never globally sorted row-by-row."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    r = v.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(wc)
+            - (F.col("ca") + F.col("cb"))
+        ).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.col("cum_before") + (F.col("t") + 1) / 2.0)
+        ).alias("rank_sum_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    u = F.col("rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    n = F.col("n_a") + F.col("n_b")
+    var = (F.col("n_a") * F.col("n_b") / 12.0) * (
+        (n + 1.0) - F.col("tie_term") / (n * (n - 1.0))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        stable_round(u, 2).alias("u_stat"),
+        stable_round(
+            (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var), 4
+        ).alias("z_score"),
+    )

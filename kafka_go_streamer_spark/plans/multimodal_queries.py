@@ -239,3 +239,47 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = synthetic_image_blobs(docs, "doc_id", "text")
     return byte_histogram(blobs, "key", "blob", bins=16)
+
+
+@query(
+    "multimodal_dedup_blobs",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS fp, count(*)::BIGINT AS n
+      FROM documents GROUP BY 1
+    )
+    SELECT sum(n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_unique_blobs,
+           sum(n - 1)::BIGINT AS n_dup_docs,
+           max(n)::BIGINT AS largest_group
+    FROM g
+    """,
+)
+def multimodal_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT dedup on the BINARY modality: synthesize the image
+    container for every document (the mapInPandas decode-path
+    generator), hash the raw BLOB bytes, and report duplicate-group
+    statistics. The oracle predicts the identical numbers from the
+    TEXT fingerprints alone — blob synthesis is injective in the text
+    (the content body IS the text bytes; format/dimensions derive from
+    its sha256) — so this is a genuine cross-modality consistency
+    check: the Arrow-batched binary pipeline must reproduce the group
+    structure an independent engine derives without ever seeing a
+    blob.
+
+    Scale: the synthesis/hash pass is Arrow-batched Python over one
+    scan (exactly the real image-dedup shape: bytes → digest inside
+    the batch, only the 16-byte digest shuffles); the group count is
+    map-side combinable and the report is a scalar aggregate over the
+    digest-cardinality frame."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = synthetic_image_blobs(d, "doc_id", "text")
+    groups = blobs.groupBy(F.md5(F.col("blob")).alias("fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_blobs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_dup_docs"),
+        F.max("n").cast("long").alias("largest_group"),
+    )

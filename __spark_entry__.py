@@ -106,27 +106,34 @@ DEMOTED = (
     "text_chunking",
 )
 
-# Queries whose CODE changed this round despite already holding a green
-# driver verdict: forced to the front of the window so the verdict
-# can't go stale (rotation discipline — a green row must describe the
-# code as it exists now).
-#   quality_expectations_check / sketch_bloom_filter_probe /
-#     stats_ab_welch_ttest: round 8 added the ::BIGINT casts that fix
-#     their r7 dtype-only hash failures (never-green, must lead)
-#   sketch_hll_intersection: round 8 rebuilt the pair-union registers
-#     (UNION ALL + max instead of the inner-collapsing full join)
-#   window_gap_islands: round 8 cast streak bounds DATE -> TIMESTAMP
-#     on both sides to remove the date-vs-datetime dtype drift
-#   ts_resample_interpolate: round 8 replaced the spine+join+fill-window
-#     form with a lead-pair in-row explode (same values, ×7.97 → ×1.64
-#     at ×10 data)
+# Queries whose CODE changed since their newest green driver verdict:
+# forced to the front of the window so the verdict can't go stale.
+# No longer hand-curated: tests/test_rotation_staleness.py derives the
+# must-refront set mechanically (ast fingerprint of each query's
+# decorator+body at its green round's record commit vs now) and FAILS
+# if any stale name is missing from this tuple.  Round-9 set:
+#   stats_mad_outliers: nullif guard on MAD=0 groups (ADVICE r8)
+#   window_mom_growth: dropped the fact-sized broadcast hint (ADVICE r8)
+#   sql_api_recursive_cte / graph_doc_centrality / graph_triangle_count:
+#     oracle now registered as a lazy callable (ADVICE r8 import-order
+#     fix; resolved SQL unchanged)
+#   the rest: historic span drift the hand-curated list missed —
+#     surfaced by the new mechanical audit, re-fronted to refresh.
 ROTATE_FRONT = (
-    "quality_expectations_check",
-    "sketch_bloom_filter_probe",
-    "stats_ab_welch_ttest",
-    "sketch_hll_intersection",
-    "window_gap_islands",
-    "ts_resample_interpolate",
+    "stats_mad_outliers",
+    "window_mom_growth",
+    "sql_api_recursive_cte",
+    "graph_doc_centrality",
+    "graph_triangle_count",
+    "agg_grouping_sets",
+    "window_range_frame_1h",
+    "sim_lsh_bucket_pairs",
+    "sim_neardup_ivf_cells",
+    "sim_topk_multi_query",
+    "pack_sequences_greedy",
+    "sample_temperature_mixture",
+    "pipeline_pretraining_full",
+    "retrieval_hybrid_rrf",
 )
 
 

@@ -7,7 +7,15 @@ tail-capture always lands on:
     {"metric": "headline_queries_detail", "unit": "sec",
      "queries": {"name": sec, ...}, "sf": <float>}
     {"metric": "headline_queries_total_sec", "value": <total sec>,
-     "unit": "sec", "n": <count>, "sf": <float>}
+     "unit": "sec", "n": <count>, "sf": <float>,
+     "calibration_query": <name>, "calibration_sec": [4 samples],
+     "calibration_median_sec": <float>}
+
+The calibration samples time one FIXED canonical query at the start,
+between passes, and at the end: uniform inflation of the calibration
+median vs prior rounds = machine contention during the bench window
+(divide the totals by the ratio before comparing); flat calibration
+with one slow query = a real plan regression.
 
 Results are materialized through the noop sink (full execution, no
 driver-side collect cost)."""
@@ -24,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_go_streamer_spark.plans import QUERIES
 from kafka_go_streamer_spark.session import get_spark, sf_dir, warm_python_workers
+
+#: Fixed machine-state probe (never changes round over round): timed
+#: before/between/after the headline passes so a reader can tell
+#: external contention (uniform calibration inflation) from a plan
+#: regression (calibration flat, one query slow).
+CALIBRATION_QUERY = "agg_pricing_summary"
 
 #: Headline set: one representative per operator family, weighted toward
 #: the scale-sensitive ones (joins, windows, LSH, similarity).
@@ -177,6 +191,25 @@ def main() -> None:
     warm_python_workers(spark)
     spark.read.parquet(f"{target}/region.parquet").count()
 
+    # Calibration probe: ONE canonical constant query timed before the
+    # first pass, between passes, and after the last — four samples of
+    # the same plan spread across the whole bench window. The probe's
+    # plan never changes round over round, so its times attribute
+    # machine state: if this round's calibration median is ~2x a prior
+    # round's, the box was contended for the whole window and every
+    # per-query number should be normalized by the calibration ratio
+    # before cross-round comparison (the r8 driver record was uniformly
+    # ~x2 a same-machine builder run for exactly this reason — see
+    # COVERAGE.md "Bench calibration").
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        QUERIES[CALIBRATION_QUERY](spark, target).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    calibration: list[float] = [_calibrate()]
+
     # min over 3 INTERLEAVED full passes: this box is shared with the
     # driver harness, and external CPU bursts last seconds — back-to-back
     # repeats of one query share the same burst, while passes separated
@@ -190,6 +223,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
+        calibration.append(_calibrate())
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -208,6 +242,14 @@ def main() -> None:
             }
         )
     )
+    calib_sorted = sorted(calibration)
+    mid = len(calib_sorted) // 2
+    calib_median = round(
+        (calib_sorted[mid - 1] + calib_sorted[mid]) / 2
+        if len(calib_sorted) % 2 == 0
+        else calib_sorted[mid],
+        3,
+    )
     print(
         json.dumps(
             {
@@ -216,6 +258,9 @@ def main() -> None:
                 "unit": "sec",
                 "n": len(timings),
                 "sf": sf,
+                "calibration_query": CALIBRATION_QUERY,
+                "calibration_sec": calibration,
+                "calibration_median_sec": calib_median,
             }
         )
     )

@@ -17,7 +17,38 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+
+
+class _OracleRegistry(dict):
+    """Oracle registry; a value registered as a zero-arg callable is
+    resolved (and ``stabilize_rounds``-rewritten) lazily at first
+    access. Oracles built out of ANOTHER query's oracle (the recursive
+    CTE and triangle-count twins reuse the winnowing-pairs SQL) register
+    the builder function instead of calling it at decoration time, so
+    there is no import-order dependency on the other module having
+    registered first."""
+
+    def _resolve(self, name: str) -> str:
+        v = dict.__getitem__(self, name)
+        if callable(v):
+            v = stabilize_rounds(v())
+            dict.__setitem__(self, name, v)
+        return v
+
+    def __getitem__(self, name: str) -> str:
+        return self._resolve(name)
+
+    def get(self, name, default=None):
+        return self._resolve(name) if name in self else default
+
+    def items(self):
+        return [(k, self._resolve(k)) for k in dict.keys(self)]
+
+    def values(self):
+        return [self._resolve(k) for k in dict.keys(self)]
+
+
+ORACLES: dict[str, str] = _OracleRegistry()
 
 
 def stabilize_rounds(sql: str) -> str:
@@ -65,15 +96,21 @@ def stabilize_rounds(sql: str) -> str:
     return "".join(out)
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[], str] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle=None`` marks a genuinely
-    non-SQL-expressible op (driver records a weaker rows-only check)."""
+    non-SQL-expressible op (driver records a weaker rows-only check).
+    ``oracle`` may be a zero-arg callable, resolved lazily at first
+    access (for oracles composed from other queries' oracles)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
-        if oracle is not None:
+        if callable(oracle):
+            dict.__setitem__(ORACLES, name, oracle)
+        elif oracle is not None:
             ORACLES[name] = stabilize_rounds(oracle)
         return fn
 

@@ -290,7 +290,7 @@ def _rcte_oracle() -> str:
     """
 
 
-@query("sql_api_recursive_cte", oracle=_rcte_oracle())
+@query("sql_api_recursive_cte", oracle=_rcte_oracle)
 def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 ``WITH RECURSIVE``): depth-bounded BFS
     over the winnowing near-dup graph — for the three smallest
@@ -379,8 +379,12 @@ def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
+    # orders is FACT-sized: no broadcast hint — AQE picks the join
+    # strategy (sort-merge on the orderkey at real scale, broadcast on
+    # tiny fixtures), same policy as pipeline_incremental_ingest's
+    # corpus-sized side.
     m = (
-        li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")), 
+        li.join(o.select("o_orderkey", "o_orderdate"),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy(
             F.date_format(

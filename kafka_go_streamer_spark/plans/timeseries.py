@@ -768,7 +768,7 @@ def _doc_centrality_oracle() -> str:
     """
 
 
-@query("graph_doc_centrality", oracle=_doc_centrality_oracle())
+@query("graph_doc_centrality", oracle=_doc_centrality_oracle)
 def graph_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document centrality: damped PageRank over the winnowing-overlap
     similarity graph (edges = the registered ``dedup_winnowing_pairs``
@@ -1076,7 +1076,8 @@ MAD_THRESHOLD = 3.5
            count(*) AS n_events,
            round(m.med, 4) AS med,
            round(d.mad, 4) AS mad,
-           sum(CASE WHEN abs(round(0.6745 * (e.value - m.med) / d.mad, 3))
+           sum(CASE WHEN abs(round(0.6745 * (e.value - m.med)
+                                   / nullif(d.mad, 0), 3))
                       > {MAD_THRESHOLD}
                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers
     FROM events e
@@ -1114,9 +1115,15 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad")
         )
     )
+    # nullif guard on MAD: a group where >50% of values are identical
+    # has mad=0; the ratio must be NULL (→ not an outlier) on BOTH
+    # engines, never each engine's own division-by-zero/Inf semantics.
     rz = F.abs(
         stable_round(
-            0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 3
+            0.6745
+            * (F.col("value") - F.col("med"))
+            / F.nullif(F.col("mad"), F.lit(0.0)),
+            3,
         )
     )
     return (
@@ -1619,7 +1626,7 @@ def _triangle_oracle() -> str:
     """
 
 
-@query("graph_triangle_count", oracle=_triangle_oracle())
+@query("graph_triangle_count", oracle=_triangle_oracle)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
     winnowing-overlap document graph (same edge source as

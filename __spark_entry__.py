@@ -120,6 +120,7 @@ DEMOTED = (
 #   the rest: historic span drift the hand-curated list missed —
 #     surfaced by the new mechanical audit, re-fronted to refresh.
 ROTATE_FRONT = (
+    "text_char_entropy",
     "stats_mad_outliers",
     "window_mom_growth",
     "sql_api_recursive_cte",

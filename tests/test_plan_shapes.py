@@ -650,8 +650,41 @@ def test_containment_blocked_equi_join(spark, sf_dir):
 
 def test_mom_growth_window_over_rollup_only(spark, sf_dir):
     """The lag window runs over the month-cardinality rollup — the
-    fact table is aggregated before any window, and the orders side
-    broadcasts."""
+    fact table is aggregated before any window. The orders join
+    carries NO broadcast hint (ADVICE r8: orders is fact-sized at the
+    100 TB design point; AQE picks broadcast on tiny fixtures and
+    sort-merge at scale), so the assertion is the window's position,
+    not the join strategy."""
     plan = physical_plan(QUERIES["window_mom_growth"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # the one Window node must sit ABOVE the final aggregate (month
+    # cardinality), i.e. no Window directly over a parquet scan
+    assert plan.count("Window") >= 1
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:] or "SortAggregate" in plan[win:]
+
+
+def test_doc_centrality_iterations_reuse_edge_exchange(spark, sf_dir):
+    """The PageRank loop's docstring claims the pinned edge list is
+    shuffled ONCE and later iterations reuse it (VERDICT r8 task 5:
+    assert it). After execution, the finalized adaptive plan must
+    materialize at most one edge-side Exchange — every further
+    iteration's edge input must be a ReusedExchange (AQE stage reuse),
+    never a fresh shuffle of the same pinned frame."""
+    df = QUERIES["graph_doc_centrality"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # restrict to the final-plan section (toString appends the initial
+    # plan after it, which double-counts exchanges)
+    final = plan.split("Initial Plan")[0]
+    edge_exchanges = [
+        ln
+        for ln in final.splitlines()
+        if re.search(r"Exchange hashpartitioning\(src#", ln)
+        and "ReusedExchange" not in ln
+    ]
+    assert len(edge_exchanges) <= 1, edge_exchanges
+    from kafka_go_streamer_spark.plans.timeseries import DOC_PR_ITERS
+
+    assert DOC_PR_ITERS >= 2  # the invariant is vacuous with 1 iter
+    assert final.count("ReusedExchange") >= 1

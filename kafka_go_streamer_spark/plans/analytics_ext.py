@@ -1793,3 +1793,130 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(take_back, F.col("bv")).otherwise(F.col("fv")), 2
         ).alias("purchase_value_nearest"),
     )
+
+
+#: Power-iteration count for the stationary-distribution estimate.
+MARKOV_ITERS = 3
+
+
+def _markov_stationary_oracle() -> str:
+    steps = []
+    prev = "pi0"
+    for k in range(1, MARKOV_ITERS + 1):
+        steps.append(f"""
+    pi{k}_raw AS (
+      SELECT t.to_type AS event_type, sum(p.pi * t.p) AS pi
+      FROM {prev} p JOIN t ON t.from_type = p.event_type
+      GROUP BY 1
+    ),
+    pi{k} AS (
+      SELECT event_type,
+             round(pi / (SELECT sum(pi) FROM pi{k}_raw), 6) AS pi
+      FROM pi{k}_raw
+    )""")
+        prev = f"pi{k}"
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             round(count(*) * 1.0 / sum(count(*)) OVER (
+               PARTITION BY event_type), 6) AS p
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT from_type AS event_type FROM t),
+    pi0 AS (
+      SELECT event_type,
+             1.0 / (SELECT count(*) FROM states) AS pi
+      FROM states
+    ),{",".join(steps)}
+    SELECT cur.event_type, cur.pi,
+           round(abs(cur.pi - prev.pi), 6) AS delta
+    FROM pi{MARKOV_ITERS} cur
+    JOIN pi{MARKOV_ITERS - 1} prev USING (event_type)
+    """
+
+
+@query("events_markov_stationary", oracle=_markov_stationary_oracle)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain: three
+    power iterations π ← πP from uniform over the (rounded) transition
+    matrix of ``events_transition_matrix``, renormalized and rounded
+    each step, with the per-state |Δ| between the last two iterations
+    as the convergence report — "where does user behavior settle" as a
+    query, the long-run complement of the one-step matrix.
+
+    Scale: ONE window shuffle on user_id builds the transition pairs
+    (shared shape with the matrix query); every iteration is a join of
+    two STATE-cardinality frames (5 rows here; thousands at worst for
+    real event taxonomies) — the fact table is touched exactly once no
+    matter the iteration count. Rounding the matrix AND each iterate
+    to 6 decimals makes the fixed-point arithmetic engine-exact, the
+    same discipline as the PageRank twins."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    wn = Window.partitionBy("from_type")
+    t = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "from_type",
+            "to_type",
+            stable_round(
+                F.col("n") * 1.0 / F.sum("n").over(wn), 6
+            ).alias("p"),
+        )
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    t = pinned(t)  # consumed once per iteration: never re-window events
+    states = t.select(F.col("from_type").alias("event_type")).distinct()
+    ns = states.count()
+    pi = states.select(
+        "event_type", F.lit(1.0 / ns).alias("pi")
+    )
+    prev = pi
+    for _ in range(MARKOV_ITERS):
+        prev = pi
+        raw = (
+            pi.join(
+                F.broadcast(t), pi["event_type"] == t["from_type"]
+            )
+            .groupBy(F.col("to_type").alias("event_type"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+        z = raw.agg(F.sum("pi").alias("z"))
+        pi = raw.crossJoin(F.broadcast(z)).select(
+            "event_type",
+            stable_round(F.col("pi") / F.col("z"), 6).alias("pi"),
+        )
+    return (
+        pi.join(
+            prev.select(
+                "event_type", F.col("pi").alias("pi_prev")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "pi",
+            stable_round(
+                F.abs(F.col("pi") - F.col("pi_prev")), 6
+            ).alias("delta"),
+        )
+    )

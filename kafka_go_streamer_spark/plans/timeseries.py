@@ -1783,3 +1783,626 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var), 4
         ).alias("z_score"),
     )
+
+
+# ----------------------------------------------------- round 9: stats
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(value) AS s, sum(value * value) AS ss
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::BIGINT AS nn, sum(s) AS gs,
+                 count(*)::BIGINT AS k FROM g),
+    c AS (
+      SELECT t.k, t.nn,
+             sum(g.n * pow(g.s / g.n - t.gs / t.nn, 2)) AS ssb,
+             sum(g.ss - g.s * g.s / g.n) AS ssw
+      FROM g CROSS JOIN t GROUP BY 1, 2
+    )
+    SELECT k AS k_groups, nn AS n_total,
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM c
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across event types on ``value``
+    (between-group over within-group variance) plus the eta-squared
+    effect size — the k-group generalization of the Welch pair test:
+    "does event type explain any of the value variance at all" is the
+    screening question before per-pair testing.
+
+    Scale: one map-side-combinable pass collapses the fact to k
+    (n, Σx, Σx²) triples; every downstream term — grand mean, SSB,
+    SSW — is arithmetic on that k-row frame. The decomposition
+    SSW = Σ(Σx² − (Σx)²/n) avoids a second centered pass, and both
+    engines share the identical expression tree before the stabilized
+    rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    c = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "nn")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.col("s") / F.col("n") - F.col("gs") / F.col("nn"), 2
+                )
+            ).alias("ssb"),
+            F.sum(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+            ).alias("ssw"),
+        )
+    )
+    return c.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        stable_round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        stable_round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_squared"),
+    )
+
+
+#: Benjamini-Hochberg false-discovery-rate level.
+BH_ALPHA = 0.05
+
+
+@query(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY value) AS cum_a,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY value) AS cum_b,
+             sum(ca) OVER (PARTITION BY event_type) AS n_a,
+             sum(cb) OVER (PARTITION BY event_type) AS n_b
+      FROM v
+    ),
+    d AS (
+      SELECT event_type, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+             round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6)
+               AS ks_d
+      FROM c GROUP BY 1
+    ),
+    p AS (
+      SELECT event_type, n_a, n_b, ks_d,
+             round(least(1.0,
+               2.0 * exp(-2.0 * ks_d * ks_d * n_a * n_b / (n_a + n_b))),
+               6) AS p_value
+      FROM d
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY p_value, event_type) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    k AS (
+      SELECT coalesce(max(CASE WHEN p_value <= rk * {BH_ALPHA} / m
+                               THEN rk END), 0) AS kstar
+      FROM r
+    )
+    SELECT r.event_type, r.ks_d, r.p_value, r.rk::BIGINT AS rk,
+           r.rk <= k.kstar AS reject
+    FROM r CROSS JOIN k
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control: per event type, a two-sample KS test
+    between the A/B user cohorts' value distributions, the asymptotic
+    Kolmogorov p-value p = min(1, 2·exp(−2d²·n_a·n_b/(n_a+n_b))), and
+    the Benjamini–Hochberg step-up at α=0.05 — reject every hypothesis
+    ranked at or below the largest k with p_(k) ≤ k·α/m. Running one
+    drift test per feature across thousands of features is exactly the
+    setting BH exists for; a per-test α would flag ~5% of clean
+    features every snapshot.
+
+    Scale: the per-type ECDFs ride the same value-cardinality collapse
+    as ``stats_ks_drift`` (one conditional aggregate, windows over the
+    collapsed frame); the BH step-up runs entirely on the m-row
+    (feature-count) frame. The reject decision compares the ROUNDED
+    p-value on both engines, so the boundary cannot flip on float
+    dust."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    c = v.select(
+        "event_type",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wt).alias("n_a"),
+        F.sum("cb").over(wt).alias("n_b"),
+    )
+    d = c.groupBy("event_type").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        stable_round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+    p = d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "ks_d",
+        stable_round(
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    -2.0
+                    * F.col("ks_d")
+                    * F.col("ks_d")
+                    * F.col("n_a")
+                    * F.col("n_b")
+                    / (F.col("n_a") + F.col("n_b"))
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    wr = Window.orderBy("p_value", "event_type")
+    r = p.select(
+        "event_type",
+        "ks_d",
+        "p_value",
+        F.row_number().over(wr).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kstar = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("rk") * BH_ALPHA / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return (
+        r.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "ks_d",
+            "p_value",
+            "rk",
+            (F.col("rk") <= F.col("kstar")).alias("reject"),
+        )
+    )
+
+
+#: CUSUM drift threshold in (hourly-frame) standard deviations.
+CUSUM_C = 3.0
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, round(avg(x), 6) AS mu,
+             round(stddev_samp(x), 6) AS sd,
+             count(*)::BIGINT AS nh
+      FROM h GROUP BY 1
+    ),
+    cs AS (
+      SELECT h.event_type, h.hour_idx, st.nh, st.sd,
+             sum(h.x - st.mu)
+               OVER (PARTITION BY h.event_type ORDER BY h.hour_idx)
+               AS cusum
+      FROM h JOIN st USING (event_type)
+    ),
+    mx AS (
+      SELECT event_type, nh, sd,
+             max(abs(cusum)) AS s_max
+      FROM cs GROUP BY 1, 2, 3
+    ),
+    cp AS (
+      SELECT cs.event_type,
+             min(cs.hour_idx) AS cp_hour_idx
+      FROM cs JOIN mx ON mx.event_type = cs.event_type
+                      AND abs(cs.cusum) = mx.s_max
+      GROUP BY 1
+    )
+    SELECT m.event_type, m.nh AS n_hours,
+           round(m.s_max, 4) AS max_cusum,
+           c.cp_hour_idx,
+           m.s_max > {CUSUM_C} * m.sd * sqrt(m.nh) AS drifted
+    FROM mx m JOIN cp c USING (event_type)
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan per event type: cumulative sum of the
+    hourly-mean deviations from the series mean, its maximum
+    excursion, the earliest hour attaining it (the change-point
+    candidate), and a drift flag at C·σ·√H — the classic
+    sequential-drift detector a feature-pipeline monitor runs on every
+    metric between corpus snapshots (Page's test in its offline
+    max-excursion form).
+
+    Scale: the fact collapses to the (type, hour) rollup in one
+    map-side-combinable pass; every window and join below runs on that
+    HOUR-cardinality frame. Both the hourly means and the per-series
+    mean are rounded to 6 decimals BEFORE the cumulative sum, so both
+    engines accumulate the identical sequence of doubles in the
+    identical (hour) order — the cusum is bit-reproducible, and the
+    argmax/threshold comparisons cannot flip on accumulation-order
+    dust."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias(
+            "hour_idx"
+        ),
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    st = h.groupBy("event_type").agg(
+        stable_round(F.avg("x"), 6).alias("mu"),
+        stable_round(F.stddev_samp("x"), 6).alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("nh"),
+    )
+    wcs = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = h.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hour_idx",
+        "nh",
+        "sd",
+        F.sum(F.col("x") - F.col("mu")).over(wcs).alias("cusum"),
+    )
+    mx = cs.groupBy("event_type", "nh", "sd").agg(
+        F.max(F.abs(F.col("cusum"))).alias("s_max")
+    )
+    cp = (
+        cs.join(
+            F.broadcast(mx.select("event_type", "s_max")), "event_type"
+        )
+        .filter(F.abs(F.col("cusum")) == F.col("s_max"))
+        .groupBy("event_type")
+        .agg(F.min("hour_idx").alias("cp_hour_idx"))
+    )
+    return mx.join(F.broadcast(cp), "event_type").select(
+        "event_type",
+        F.col("nh").alias("n_hours"),
+        stable_round(F.col("s_max"), 4).alias("max_cusum"),
+        "cp_hour_idx",
+        (
+            F.col("s_max") > CUSUM_C * F.col("sd") * F.sqrt(F.col("nh"))
+        ).alias("drifted"),
+    )
+
+
+#: EWMA decay: weight (1-EWMA_ALPHA)^lag, truncated at EWMA_WINDOW
+#: hourly lags (the truncation makes the smoother a bounded equi-join
+#: instead of an unbounded sequential fold).
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 24
+
+
+@query(
+    "ts_ewma_smoothing",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lag_join AS (
+      SELECT cur.event_type, cur.hour_idx,
+             sum(pow(1.0 - {EWMA_ALPHA}, cur.hour_idx - prev.hour_idx)
+                 * prev.x) AS wx,
+             sum(pow(1.0 - {EWMA_ALPHA}, cur.hour_idx - prev.hour_idx))
+               AS wsum,
+             count(*)::BIGINT AS n_lags
+      FROM h cur
+      JOIN h prev
+        ON prev.event_type = cur.event_type
+       AND prev.hour_idx BETWEEN cur.hour_idx - {EWMA_WINDOW - 1}
+                             AND cur.hour_idx
+      GROUP BY 1, 2
+    )
+    SELECT event_type, hour_idx, n_lags,
+           round(wx / wsum, 4) AS ewma
+    FROM lag_join
+    """,
+)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of the hourly
+    value series per event type: weight (1−α)^lag over the last 24
+    hourly buckets, normalized by the realized weight mass (so series
+    heads and gap hours are unbiased) — the smoother dashboards and
+    anomaly baselines actually ship, in the truncated form that is
+    expressible as a BOUNDED join instead of an order-dependent
+    recursive fold.
+
+    Scale: the fact collapses to the hourly rollup first; the lag
+    structure is an EQUI-join of that rollup with itself on
+    (event_type, offset) — at most 24 matches per row, generated by
+    offset explosion on the Spark side so the join never range-scans.
+    Hourly means are pre-rounded so both engines weight identical
+    inputs; gaps in the hour sequence shrink n_lags rather than
+    shifting weights, because the weight is a function of the HOUR
+    DISTANCE, not the row distance."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias(
+            "hour_idx"
+        ),
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    # offset explosion -> equi-join on (event_type, hour_idx - off):
+    # Catalyst plans a hash join; the BETWEEN form would be a range
+    # join (nested-loop at scale)
+    offs = h.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(EWMA_WINDOW - 1))
+        ).alias("off"),
+        F.col("hour_idx").alias("prev_idx"),
+    ).select(
+        "event_type",
+        "x",
+        "off",
+        (F.col("prev_idx") + F.col("off")).alias("hour_idx"),
+    )
+    cur = h.select("event_type", "hour_idx")
+    return (
+        cur.join(offs, ["event_type", "hour_idx"])
+        .groupBy("event_type", "hour_idx")
+        .agg(
+            F.sum(
+                F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("off")) * F.col("x")
+            ).alias("wx"),
+            F.sum(F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("off"))).alias(
+                "wsum"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lags"),
+        )
+        .select(
+            "event_type",
+            "hour_idx",
+            "n_lags",
+            stable_round(F.col("wx") / F.col("wsum"), 4).alias("ewma"),
+        )
+    )
+
+
+# ----------------------------------------------------- round 9: graphs
+#: k-core threshold and bounded peeling rounds (production runs the
+#: same loop to a fixpoint; bounded rounds keep the oracle unrollable
+#: and the per-round report is the deterministic contract either way).
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    parts = [f"""
+    e0 AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM wpairs
+    )"""]
+    rows = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+    d{r} AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b AS node FROM e{r - 1}
+      ) GROUP BY 1
+    ),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
+    e{r} AS (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN k{r} ka ON ka.node = e.a
+      JOIN k{r} kb ON kb.node = e.b
+    )""")
+        rows.append(
+            f"SELECT {r} AS round, (SELECT count(*) FROM k{r})::BIGINT"
+            f" AS nodes_kept, (SELECT count(*) FROM e{r})::BIGINT"
+            " AS edges_kept"
+        )
+    return (
+        f"WITH wpairs AS ({wpairs}),"
+        + ",".join(parts)
+        + " "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query("graph_kcore_decomposition", oracle=_kcore_oracle)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the winnowing-overlap document graph:
+    each round drops nodes of degree < k and their incident edges,
+    reporting (nodes_kept, edges_kept) per round — the standard
+    dense-substructure extractor; what survives peeling is the
+    boilerplate/template CORE of a near-dup graph, the part worth
+    deduplicating first (the per-round report doubles as a
+    convergence trace: equal consecutive rows = fixpoint reached).
+
+    Scale: the edge list inherits winnowing's capped blocking (sparse
+    by construction); each round is a degree aggregate plus two
+    semi-joins against the kept-node set — all equi-joins on the node
+    key, re-using the edge partitioning, with the per-round edge frame
+    pinned so round r+1 never recomputes round r's lineage. Bounded
+    rounds here; production peels to fixpoint with the same
+    contraction discipline as connected_components."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"),
+        F.greatest("id_a", "id_b").alias("b"),
+    ).distinct()
+    reports = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        kept = pinned(deg.filter(F.col("deg") >= KCORE_K).select("node"))
+        e = pinned(
+            e.join(kept.withColumnRenamed("node", "a"), "a").join(
+                kept.withColumnRenamed("node", "b"), "b"
+            ).select("a", "b")
+        )
+        reports.append(
+            kept.agg(F.count(F.lit(1)).cast("long").alias("nodes_kept"))
+            .crossJoin(
+                e.agg(F.count(F.lit(1)).cast("long").alias("edges_kept"))
+            )
+            .select(
+                F.lit(r).alias("round"), "nodes_kept", "edges_kept"
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionAll(rep)
+    return out
+
+
+#: Synchronous min-label propagation rounds.
+LPA_ROUNDS = 2
+#: Communities reported (largest first).
+LPA_TOP = 10
+
+
+def _lpa_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    parts = [f"""
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM wpairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM wpairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f"""
+    l{r} AS (
+      SELECT l.node, least(l.lbl, min(nl.lbl)) AS lbl
+      FROM l{r - 1} l
+      JOIN e ON e.src = l.node
+      JOIN l{r - 1} nl ON nl.node = e.dst
+      GROUP BY l.node, l.lbl
+    )""")
+    return (
+        f"WITH wpairs AS ({wpairs}),"
+        + ",".join(parts)
+        + f"""
+    SELECT lbl AS community, count(*)::BIGINT AS size
+    FROM l{LPA_ROUNDS}
+    GROUP BY 1 ORDER BY size DESC, community ASC LIMIT {LPA_TOP}
+    """
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the winnowing near-dup
+    graph (two rounds): every node starts as its own label and adopts
+    the minimum label in its closed neighborhood each round; the top
+    communities by size fall out — the cheap community detector that
+    groups template FAMILIES (not just connected pairs) after a
+    bounded number of shuffles, where full connected-components runs
+    its contraction to convergence.
+
+    Scale: each round is one equi-join of the label frame with the
+    pinned symmetric edge list plus a min-aggregate — label frames are
+    node-cardinality, edges capped-sparse; rounds reuse the edge
+    partitioning. Bounded rounds = bounded shuffles: LPA is the
+    operator of choice when one pass of "good enough" clustering must
+    fit a fixed stage budget at 100 TB."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    e = pinned(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+    )
+    lbl = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        lbl = (
+            lbl.join(e, lbl["node"] == e["src"])
+            .join(
+                lbl.select(
+                    F.col("node").alias("nb"), F.col("lbl").alias("nlbl")
+                ),
+                F.col("dst") == F.col("nb"),
+            )
+            .groupBy("node", "lbl")
+            .agg(F.least(F.first("lbl"), F.min("nlbl")).alias("new_lbl"))
+            .select("node", F.col("new_lbl").alias("lbl"))
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(LPA_TOP)
+    )

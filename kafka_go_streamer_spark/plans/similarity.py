@@ -1115,3 +1115,260 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# -------------------------------------------------- round 9: retrieval
+#: NDCG evaluation geometry: the first NDCG_QUERIES vectors are the
+#: query set, relevance truth is label equality, cutoff NDCG_K.
+NDCG_QUERIES = 5
+NDCG_K = 10
+
+
+@query(
+    "retrieval_ndcg_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < {NDCG_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, label,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC
+             ) AS rk
+      FROM scored
+    ),
+    nrel AS (
+      SELECT qid,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+               AS n_rel
+      FROM ranked GROUP BY 1
+    ),
+    dcg AS (
+      SELECT qid,
+             sum(CASE WHEN label = qlabel
+                      THEN 1.0 / log2(rk + 1) ELSE 0 END) AS dcg
+      FROM ranked WHERE rk <= {NDCG_K} GROUP BY 1
+    ),
+    idcg AS (
+      SELECT qid,
+             ({" + ".join(
+                 f"CASE WHEN n_rel >= {i} THEN 1.0 / log2({i + 1}.0)"
+                 " ELSE 0 END"
+                 for i in range(1, NDCG_K + 1)
+             )}) AS idcg,
+             n_rel
+      FROM nrel
+    )
+    SELECT d.qid AS query_id, i.n_rel,
+           round(d.dcg, 6) AS dcg_at_k,
+           round(d.dcg / i.idcg, 6) AS ndcg_at_k
+    FROM dcg d JOIN idcg i USING (qid)
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@10 of the brute-force cosine
+    ranking for the first five query vectors, with label equality as
+    the relevance oracle — the metric that certifies a retrieval
+    change (new index, new quantization, new rerank) did not hurt
+    ordering quality, run as a query over the same tables the index
+    was built from.
+
+    Scale: queries broadcast (a k-row panel); scoring is one linear
+    scan of the corpus per panel (codegen'd cosine); the rank window
+    partitions by query id, so its shuffle carries (panel × corpus)
+    rows — the documented eval-set cap, identical to the hard-negative
+    miner's discipline. Ranks order by the ROUNDED similarity with a
+    vec_id tiebreak, so both engines rank identically; the ideal DCG
+    unrolls to a branch chain on n_rel (no second ranking pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            stable_round(
+                cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        "qlabel",
+        "label",
+        F.row_number().over(wr).alias("rk"),
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    nrel = ranked.groupBy("qid").agg(
+        F.sum(rel).cast("long").alias("n_rel")
+    )
+    dcg = (
+        ranked.filter(F.col("rk") <= NDCG_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("qlabel"),
+                    1.0 / F.log2(F.col("rk") + 1),
+                ).otherwise(0.0)
+            ).alias("dcg")
+        )
+    )
+    idcg_expr = sum(
+        F.when(
+            F.col("n_rel") >= i, 1.0 / F.log2(F.lit(float(i + 1)))
+        ).otherwise(0.0)
+        for i in range(1, NDCG_K + 1)
+    )
+    return (
+        dcg.join(F.broadcast(nrel), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel",
+            stable_round(F.col("dcg"), 6).alias("dcg_at_k"),
+            stable_round(F.col("dcg") / idcg_expr, 6).alias("ndcg_at_k"),
+        )
+    )
+
+
+#: Power-iteration count for the top-principal-component estimate.
+PC_ITERS = 2
+
+
+def _pc_oracle() -> str:
+    steps = []
+    prev_v = "v0"
+    for k in range(1, PC_ITERS + 1):
+        steps.append(f"""
+    t{k} AS (
+      SELECT c.vec_id, round(sum(c.cval * v.v), 6) AS t
+      FROM centered c JOIN {prev_v} v USING (dim)
+      GROUP BY 1
+    ),
+    w{k} AS (
+      SELECT c.dim, sum(c.cval * t.t) AS w
+      FROM centered c JOIN t{k} t USING (vec_id)
+      GROUP BY 1
+    ),
+    n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+    v{k} AS (
+      SELECT w.dim, round(w.w / n.nrm, 6) AS v
+      FROM w{k} w CROSS JOIN n{k} n
+    )""")
+        prev_v = f"v{k}"
+    return f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1))::BIGINT AS dim,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT dim, round(avg(val), 6) AS mu FROM ex GROUP BY 1
+    ),
+    centered AS (
+      SELECT ex.vec_id, ex.dim, ex.val - mu.mu AS cval
+      FROM ex JOIN mu USING (dim)
+    ),
+    nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM ex),
+    v0 AS (SELECT DISTINCT dim, 0.125 AS v FROM ex),{",".join(steps)}
+    SELECT dim, v AS loading,
+           round((SELECT nrm FROM n{PC_ITERS})
+                 / ((SELECT n FROM nn) - 1), 4) AS lambda_est
+    FROM v{PC_ITERS}
+    ORDER BY abs(v) DESC, dim ASC
+    LIMIT 5
+    """
+
+
+@query("embedding_top_pc_power_iter", oracle=_pc_oracle)
+def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by MATRIX-FREE
+    power iteration: two rounds of v ← Xᵀ(Xv)/‖·‖ over the centered
+    vectors, reporting the five largest-|loading| dimensions and the
+    eigenvalue estimate — the dominant-direction diagnostic behind
+    anisotropy checks ("all my embeddings point one way"), whitening
+    decisions, and the ABTT/common-direction-removal preprocessing
+    step, computed without ever materializing the d×d covariance.
+
+    Scale: the d×d Gram matrix NEVER forms — each iteration is two
+    aggregates over the exploded (vec, dim, value) frame: a broadcast
+    join with the d-row direction then a vec-keyed partial-sum, then a
+    dim-keyed partial-sum (both map-side combinable; the only real
+    shuffle keys are vec_id and dim). The per-vector projection t and
+    the normalized direction are ROUNDED to 6 each round, so both
+    engines feed identical doubles into the next iteration and the
+    fixed point cannot drift apart. The exploded frame is pinned —
+    built once, reused by both iterations and the mean pass."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    mu = ex.groupBy("dim").agg(stable_round(F.avg("val"), 6).alias("mu"))
+    centered = pinned(
+        ex.join(F.broadcast(mu), "dim").select(
+            "vec_id", "dim", (F.col("val") - F.col("mu")).alias("cval")
+        )
+    )
+    nn = ex.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    v = centered.select("dim").distinct().select(
+        "dim", F.lit(0.125).alias("v")
+    )
+    nrm_last = None
+    for _ in range(PC_ITERS):
+        t = (
+            centered.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                stable_round(F.sum(F.col("cval") * F.col("v")), 6).alias(
+                    "t"
+                )
+            )
+        )
+        w = (
+            centered.join(t, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("cval") * F.col("t")).alias("w"))
+        )
+        nrm_last = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm_last)).select(
+            "dim", stable_round(F.col("w") / F.col("nrm"), 6).alias("v")
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm_last))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim",
+            F.col("v").alias("loading"),
+            stable_round(
+                F.col("nrm") / (F.col("n") - 1), 4
+            ).alias("lambda_est"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), F.col("dim").asc())
+        .limit(5)
+    )

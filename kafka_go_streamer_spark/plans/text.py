@@ -1416,3 +1416,398 @@ def text_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(p_unseen, 6).alias("p_unseen"),
         stable_round(1.0 - p_unseen, 6).alias("coverage"),
     )
+
+
+# ------------------------------------------------------- round 9: text
+#: RAKE stopword set (the fixture vocabulary's function words) and
+#: report size.
+RAKE_STOPWORDS = ("a", "the")
+RAKE_TOP = 15
+
+
+def _rake_replaces_sql(expr: str) -> str:
+    # two passes per stopword: replace() is leftmost-non-overlapping,
+    # so ' a a a ' needs a second sweep for the middles
+    out = expr
+    for _ in range(2):
+        for sw in RAKE_STOPWORDS:
+            out = f"replace({out}, ' {sw} ', ' | ')"
+    return out
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH ph0 AS (
+      SELECT unnest(string_split(
+               {_rake_replaces_sql("concat(' ', lower(text), ' ')")},
+               '|')) AS raw
+      FROM documents
+    ),
+    ph AS (
+      SELECT string_split_regex(trim(raw), '\\s+') AS ws
+      FROM ph0 WHERE trim(raw) <> ''
+    ),
+    occ AS (
+      SELECT unnest(ws) AS word, len(ws)::BIGINT AS n_words FROM ph
+    ),
+    wstats AS (
+      SELECT word, count(*)::BIGINT AS freq,
+             sum(n_words)::BIGINT AS degree
+      FROM occ GROUP BY 1
+    ),
+    dph AS (
+      SELECT DISTINCT array_to_string(ws, ' ') AS phrase,
+             len(ws)::BIGINT AS n_words, ws
+      FROM ph
+    ),
+    scored AS (
+      SELECT d.phrase, d.n_words,
+             round(sum(w.degree * 1.0 / w.freq), 4) AS score
+      FROM dph d, unnest(d.ws) AS t(word)
+      JOIN wstats w USING (word)
+      GROUP BY 1, 2
+    )
+    SELECT phrase, n_words, score
+    FROM scored
+    ORDER BY score DESC, phrase ASC
+    LIMIT {RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.'s Rapid Automatic Keyword
+    Extraction): candidate phrases are maximal stopword-free runs,
+    each word scores degree/frequency (degree = Σ length of containing
+    phrases), and a phrase scores the sum of its word scores — the
+    classic unsupervised keyphrase extractor a corpus curator runs to
+    label document clusters. Stopword splitting uses literal
+    ``replace`` sweeps (never regex alternation), so both engines cut
+    identical phrase boundaries including the overlapping-stopword
+    case.
+
+    Scale: phrase generation is in-row string surgery (codegen'd);
+    word stats are one map-side-combinable aggregate over the
+    exploded occurrences (vocab-cardinality result); phrase scoring
+    joins the DISTINCT phrase set — boilerplate-heavy corpora collapse
+    hard here — against the broadcast-size word-stats frame. The
+    top-k is a TakeOrdered, never a global sort materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    for _ in range(2):
+        for sw in RAKE_STOPWORDS:
+            s = F.replace(s, F.lit(f" {sw} "), F.lit(" | "))
+    ph = (
+        d.select(F.explode(F.split(s, r"\|")).alias("raw"))
+        .select(F.trim("raw").alias("raw"))
+        .filter(F.col("raw") != "")
+        .select(F.split("raw", r"\s+").alias("ws"))
+    )
+    occ = ph.select(
+        F.explode("ws").alias("word"),
+        F.size("ws").cast("long").alias("n_words"),
+    )
+    wstats = occ.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("degree"),
+    )
+    dph = ph.select(
+        F.concat_ws(" ", "ws").alias("phrase"),
+        F.size("ws").cast("long").alias("n_words"),
+        "ws",
+    ).dropDuplicates(["phrase"])
+    scored = (
+        dph.select("phrase", "n_words", F.explode("ws").alias("word"))
+        .join(F.broadcast(wstats), "word")
+        .groupBy("phrase", "n_words")
+        .agg(
+            stable_round(
+                F.sum(F.col("degree") * 1.0 / F.col("freq")), 4
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    ).limit(RAKE_TOP)
+
+
+@query(
+    "text_readability_fk",
+    oracle="""
+    WITH w AS (
+      SELECT lang, doc_id, unnest(string_split_regex(lower(trim(text)),
+             '\\s+')) AS word
+      FROM documents
+    ),
+    syl AS (
+      SELECT lang, doc_id, word,
+             greatest(1, len(regexp_extract_all(word, '[aeiouy]+')))
+               AS syllables
+      FROM w WHERE word <> ''
+    ),
+    agg AS (
+      SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_words,
+             sum(syllables)::BIGINT AS n_syllables
+      FROM syl GROUP BY 1
+    )
+    SELECT lang, n_docs, n_words,
+           round(n_words * 1.0 / n_docs, 4) AS words_per_sentence,
+           round(n_syllables * 1.0 / n_words, 4) AS syllables_per_word,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_docs)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 2)
+             AS flesch_reading_ease
+    FROM agg
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: words-per-sentence and
+    vowel-group syllables-per-word folded through the classic
+    206.835 − 1.015·wps − 84.6·spw formula (one sentence per document
+    in this corpus — the sentence-splitting hook slots into the same
+    aggregate) — the readability gate curricula and kid-safety filters
+    put in front of training mixes.
+
+    Scale: one exploded-word pass with an in-row regex syllable count
+    (codegen, no UDF), collapsing straight to a per-language
+    sufficient-statistics row; every formula term is arithmetic on
+    that k-row frame, identical expression tree both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang", "doc_id", F.explode(X.words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    syl = w.select(
+        "lang",
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(word, '[aeiouy]+', 0)")),
+        ).alias("syllables"),
+    )
+    agg = syl.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("syllables").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words") * 1.0 / F.col("n_docs")
+    spw = F.col("n_syllables") * 1.0 / F.col("n_words")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        stable_round(wps, 4).alias("words_per_sentence"),
+        stable_round(spw, 4).alias("syllables_per_word"),
+        stable_round(
+            206.835 - 1.015 * wps - 84.6 * spw, 2
+        ).alias("flesch_reading_ease"),
+    )
+
+
+#: The Unicode replacement character, embedded literally in both
+#: engines' expressions (regex escapes for it differ across dialects).
+_REPL_CHAR = "�"
+
+
+@query(
+    "quality_encoding_check",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             length(text) AS n_chars,
+             CASE WHEN regexp_matches(text, '^[ -~]*$')
+                  THEN 1 ELSE 0 END AS is_ascii,
+             length(text) - length(regexp_replace(text,
+               '[\\x00-\\x1f\\x7f]', '', 'g')) AS n_ctrl,
+             length(text) - length(replace(text, '{_REPL_CHAR}', ''))
+               AS n_repl
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(sum(is_ascii) * 1.0 / count(*), 4) AS ascii_ratio,
+           round(sum(n_ctrl) * 10000.0 / sum(n_chars), 4)
+             AS ctrl_per_10k_chars,
+           sum(n_repl)::BIGINT AS n_replacement_chars
+    FROM per_doc GROUP BY 1
+    """,
+)
+def quality_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit per source: fraction of pure
+    printable-ASCII documents, control characters per 10k chars, and
+    U+FFFD replacement-character count — the mojibake/binary-leak gate
+    that runs FIRST in a crawl pipeline, because a source whose
+    decoder broke poisons every downstream text statistic. The
+    replacement character is matched as a literal (its regex escape
+    differs across dialects); control chars via a shared byte-range
+    class.
+
+    Scale: entirely in-row regex/replace counters folded by one
+    map-side-combinable aggregate to source cardinality — the same
+    single-scan shape as the other quality gates, safe to prepend to
+    any of them."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.when(F.col("text").rlike("^[ -~]*$"), 1).otherwise(0).alias(
+            "is_ascii"
+        ),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace("text", "[\\x00-\\x1f\\x7f]", "")
+            )
+        ).alias("n_ctrl"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(_REPL_CHAR)))
+        ).alias("n_repl"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        stable_round(
+            F.sum("is_ascii") * 1.0 / F.count(F.lit(1)), 4
+        ).alias("ascii_ratio"),
+        stable_round(
+            F.sum("n_ctrl") * 10000.0 / F.sum("n_chars"), 4
+        ).alias("ctrl_per_10k_chars"),
+        F.sum("n_repl").cast("long").alias("n_replacement_chars"),
+    )
+
+
+#: The two independent quality gates whose agreement kappa measures:
+#: A = stopword-ratio band + minimum length (fluency proxy),
+#: B = mean-word-length band + type/token floor (repetition proxy).
+KAPPA_STOP_LO, KAPPA_STOP_HI = 0.05, 0.60
+KAPPA_MIN_WORDS = 20
+KAPPA_MWL_LO, KAPPA_MWL_HI = 3.0, 6.0
+KAPPA_TTR_MIN = 0.10
+_KAPPA_STOPWORDS = ("a", "the")
+
+
+@query(
+    "quality_gate_agreement_kappa",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(ws)::BIGINT AS n_words,
+             len(list_filter(ws, x -> x IN
+               ({", ".join(f"'{s}'" for s in _KAPPA_STOPWORDS)})))
+               * 1.0 / len(ws) AS stop_ratio,
+             list_sum(list_transform(ws, x -> length(x))) * 1.0
+               / len(ws) AS mean_word_len,
+             len(list_distinct(ws)) * 1.0 / len(ws) AS ttr
+      FROM w WHERE len(ws) > 0
+    ),
+    gates AS (
+      SELECT doc_id,
+             CASE WHEN stop_ratio BETWEEN {KAPPA_STOP_LO} AND
+                       {KAPPA_STOP_HI}
+                   AND n_words >= {KAPPA_MIN_WORDS}
+                  THEN 1 ELSE 0 END AS ga,
+             CASE WHEN mean_word_len BETWEEN {KAPPA_MWL_LO} AND
+                       {KAPPA_MWL_HI}
+                   AND ttr >= {KAPPA_TTR_MIN}
+                  THEN 1 ELSE 0 END AS gb
+      FROM feats
+    ),
+    c AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(ga * gb)::BIGINT AS n11,
+             sum(ga * (1 - gb))::BIGINT AS n10,
+             sum((1 - ga) * gb)::BIGINT AS n01,
+             sum((1 - ga) * (1 - gb))::BIGINT AS n00
+      FROM gates
+    )
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00) * 1.0 / n, 6) AS p_observed,
+           round(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n), 6)
+             AS p_expected,
+           round(((n11 + n00) * 1.0 / n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n))
+                 / (1.0 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n)),
+                 6) AS kappa
+    FROM c
+    """,
+)
+def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality gates
+    (a stopword-ratio/length fluency gate vs a word-length/type-token
+    repetition gate): chance-corrected agreement — the measurement a
+    curation team runs before swapping one gate for a cheaper one, or
+    to decide whether two gates are redundant (κ≈1) or complementary
+    (κ≈0) in a filtering cascade.
+
+    Scale: both gates are in-row array arithmetic over ONE
+    tokenization (no second scan, no UDF); the 2×2 confusion counts
+    are a single map-side-combinable aggregate, and the kappa algebra
+    runs on that one row — identical expression tree both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", X.words(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    stopset = list(_KAPPA_STOPWORDS)
+    feats = w.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (
+            F.size(
+                F.filter("ws", lambda x: x.isin(stopset))
+            )
+            * 1.0
+            / F.size("ws")
+        ).alias("stop_ratio"),
+        (
+            F.aggregate(
+                F.transform("ws", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            / F.size("ws")
+        ).alias("mean_word_len"),
+        (
+            F.size(F.array_distinct("ws")) * 1.0 / F.size("ws")
+        ).alias("ttr"),
+    )
+    ga = F.when(
+        F.col("stop_ratio").between(KAPPA_STOP_LO, KAPPA_STOP_HI)
+        & (F.col("n_words") >= KAPPA_MIN_WORDS),
+        1,
+    ).otherwise(0)
+    gb = F.when(
+        F.col("mean_word_len").between(KAPPA_MWL_LO, KAPPA_MWL_HI)
+        & (F.col("ttr") >= KAPPA_TTR_MIN),
+        1,
+    ).otherwise(0)
+    c = feats.select(ga.alias("ga"), gb.alias("gb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ga") * F.col("gb")).cast("long").alias("n11"),
+        F.sum(F.col("ga") * (1 - F.col("gb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ga")) * (1 - F.col("gb")))
+        .cast("long")
+        .alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) * 1.0 / (F.col("n") * F.col("n"))
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        stable_round(po, 6).alias("p_observed"),
+        stable_round(pe, 6).alias("p_expected"),
+        stable_round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

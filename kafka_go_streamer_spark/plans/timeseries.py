@@ -2406,3 +2406,138 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), F.col("community").asc())
         .limit(LPA_TOP)
     )
+
+
+# ---------------------------------------------- round 9: quality/drift
+#: PSI bin count (deciles), Laplace smoothing, and the industry alert
+#: threshold (0.1 = monitor, 0.2 = investigate).
+PSI_BINS = 10
+PSI_SMOOTH = 0.5
+PSI_ALERT = 0.2
+#: Snapshot split point: first half of the event month is the
+#: reference distribution, second half the comparison.
+PSI_SPLIT = "2024-01-16"
+
+
+def _psi_edges_sql() -> str:
+    qs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    cols = ", ".join(
+        f"round(percentile_cont({q}) WITHIN GROUP (ORDER BY value), 6)"
+        f" AS e{i}"
+        for i, q in enumerate(qs, 1)
+    )
+    return cols
+
+
+@query(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value,
+             sum(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0
+                 END)::BIGINT AS c1,
+             sum(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0
+                 END)::BIGINT AS c2
+      FROM events GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT event_type, {_psi_edges_sql()}
+      FROM events WHERE ts < TIMESTAMP '{PSI_SPLIT}' GROUP BY 1
+    ),
+    binned AS (
+      SELECT v.event_type,
+             ({" + ".join(f"CASE WHEN v.value > e.e{i} THEN 1 ELSE 0 END"
+                          for i in range(1, PSI_BINS))}) AS bin,
+             sum(v.c1)::BIGINT AS n1, sum(v.c2)::BIGINT AS n2
+      FROM v JOIN edges e USING (event_type)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(n1) AS t1, sum(n2) AS t2 FROM binned
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT b.event_type, t.t1::BIGINT AS n_ref, t.t2::BIGINT AS n_cur,
+             ((b.n1 + {PSI_SMOOTH}) / (t.t1 + {PSI_SMOOTH * PSI_BINS}))
+               AS p1,
+             ((b.n2 + {PSI_SMOOTH}) / (t.t2 + {PSI_SMOOTH * PSI_BINS}))
+               AS p2
+      FROM binned b JOIN tot t USING (event_type)
+    )
+    SELECT event_type, n_ref, n_cur,
+           round(sum((p2 - p1) * ln(p2 / p1)), 6) AS psi,
+           round(sum((p2 - p1) * ln(p2 / p1)), 6) > {PSI_ALERT}
+             AS drifted
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month: decile edges from the reference half,
+    both halves binned against those edges, PSI = Σ(p₂−p₁)ln(p₂/p₁)
+    with Laplace-smoothed proportions — the model-monitoring staple
+    for "did this feature's distribution move", alerting at 0.2. The
+    KS twin (``stats_ks_drift``) answers with a sup-norm; PSI weights
+    the whole distribution and is what scorecard governance expects.
+
+    Scale: one conditional aggregate collapses the fact to
+    VALUE-cardinality (c_ref, c_cur) rows; decile edges are a
+    per-type sort-aggregate over the reference half ROUNDED to 6 so
+    both engines cut identical boundaries; binning joins the collapsed
+    frame against the broadcast 9-edge frame; all PSI arithmetic runs
+    on the (type × 10)-row frame. The drift verdict compares the
+    ROUNDED psi, so the alert cannot flip on float dust."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    v = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    qs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    edges = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("event_type")
+        .agg(
+            *[
+                stable_round(
+                    F.percentile("value", F.lit(q)), 6
+                ).alias(f"e{i}")
+                for i, q in enumerate(qs, 1)
+            ]
+        )
+    )
+    bin_expr = sum(
+        F.when(F.col("value") > F.col(f"e{i}"), 1).otherwise(0)
+        for i in range(1, PSI_BINS)
+    )
+    binned = (
+        v.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type", bin_expr.alias("bin"))
+        .agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    tot = binned.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    sm, smb = PSI_SMOOTH, PSI_SMOOTH * PSI_BINS
+    p1 = (F.col("n1") + sm) / (F.col("t1") + smb)
+    p2 = (F.col("n2") + sm) / (F.col("t2") + smb)
+    psi = stable_round(F.sum((p2 - p1) * F.log(p2 / p1)), 6)
+    return (
+        binned.join(F.broadcast(tot), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("t1").cast("long").alias("n_ref"),
+            F.col("t2").cast("long").alias("n_cur"),
+        )
+        .agg(
+            psi.alias("psi"),
+            (psi > PSI_ALERT).alias("drifted"),
+        )
+    )

@@ -462,3 +462,49 @@ def byte_histogram(
             )
 
     return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def perceptual_signatures(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+    """(key, sig) frame: a fixed-width 60-bit signature of each blob's
+    DECODED content body, for banded near-duplicate blocking.
+
+    STUB NOTE: with no imaging libraries in this container, the
+    "perceptual" signature is md5 of the decoded content body (so it
+    is deterministic, engine-predictable, and sensitive only to the
+    content — not the container). Production swaps exactly this one
+    per-batch line for a real dHash/pHash over decoded pixels; the
+    Spark-side plumbing this module exercises — container parse →
+    content extraction → fixed-width integer signature, Arrow-batched,
+    only 8 bytes per blob leaving the scan — is the real shape."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for b in pdf["blob"]:
+                payload = bytes(b)
+                if payload.startswith(_PNG_SIG):
+                    (length,) = struct.unpack_from(">I", payload, 8)
+                    content = payload[16 + length + 4 :]
+                elif payload.startswith(b"\xff\xd8"):
+                    off = 2
+                    content = b""
+                    while off + 4 <= len(payload):
+                        marker = payload[off + 1]
+                        (seglen,) = struct.unpack_from(">H", payload, off + 2)
+                        if 0xC0 <= marker <= 0xC3:
+                            content = payload[off + 2 + seglen : -2]
+                            break
+                        off += 2 + seglen
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    content = payload[13:-1]
+                else:
+                    raise ValueError("unrecognized container magic")
+                sigs.append(int(hashlib.md5(content).hexdigest()[:15], 16))
+            yield pd.DataFrame({"key": pdf["key"], "sig": sigs})
+
+    return src.mapInPandas(batches, "key bigint, sig bigint")

@@ -283,3 +283,136 @@ def multimodal_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - 1).cast("long").alias("n_dup_docs"),
         F.max("n").cast("long").alias("largest_group"),
     )
+
+
+#: Perceptual-hash banding geometry: the 60-bit signature splits into
+#: four 15-bit bands; candidates share any band (capped buckets), and
+#: the full-signature Hamming distance verifies.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 15
+PHASH_BUCKET_CAP = 64
+PHASH_HAMMING = 12
+
+
+@query(
+    "multimodal_phash_bands",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS sig
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, sig, b.band,
+             (sig >> (b.band * {PHASH_BAND_BITS}))
+               & {(1 << PHASH_BAND_BITS) - 1} AS key
+      FROM sigs, (SELECT unnest(range(0, {PHASH_BANDS})) AS band) b
+    ),
+    capped AS (
+      SELECT doc_id, sig, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _n
+        FROM bands
+      ) WHERE _n <= {PHASH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT count(*) FROM sigs)::BIGINT AS n_blobs,
+           count(*)::BIGINT AS n_candidates,
+           sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END)::BIGINT
+             AS n_exact,
+           sum(CASE WHEN sig_a <> sig_b
+                     AND bit_count(xor(sig_a, sig_b)) <= {PHASH_HAMMING}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_near
+    FROM cand
+    """,
+)
+def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded perceptual-hash near-duplicate blocking on the BINARY
+    modality: synthesize every document's image container, DECODE it
+    back to its content body (Arrow-batched mapInPandas — the real
+    image-dedup data path), compress each body to a fixed 60-bit
+    signature, block candidates by 15-bit signature bands with a
+    bucket cap, and verify candidates by full-signature Hamming
+    distance — exactly the pHash/dHash dedup pipeline image corpora
+    run, with the pixel-domain hash stubbed to an md5 of the decoded
+    body (see ``perceptual_signatures``: one swappable line). The
+    oracle re-derives every count from the text alone — synthesis is
+    injective, so the decode→signature path must reproduce the group
+    structure an engine that never saw a blob predicts.
+
+    Scale: only 8-byte signatures leave the decode scan; banding is an
+    in-row explode of 4 rows per blob; the band-bucket self-join is
+    capped (no bucket can go quadratic) and Hamming verification
+    (xor + bit_count, codegen'd) runs on candidates only — the same
+    blocking discipline as the SimHash/MinHash text family, applied
+    cross-modality."""
+    from kafka_go_streamer_spark.multimodal import (
+        perceptual_signatures,
+        synthetic_image_blobs,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = perceptual_signatures(
+        synthetic_image_blobs(d, "doc_id", "text"), "key", "blob"
+    ).select(F.col("key").alias("doc_id"), "sig")
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.expr(
+            f"shiftrightunsigned(sig, band * {PHASH_BAND_BITS})"
+            f" & {(1 << PHASH_BAND_BITS) - 1}"
+        ).alias("key"),
+    )
+    wn = Window.partitionBy("band", "key")
+    capped = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_n") <= PHASH_BUCKET_CAP)
+        .drop("_n")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "key",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    n_blobs = sigs.agg(F.count(F.lit(1)).cast("long").alias("n_blobs"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.crossJoin(F.broadcast(n_blobs)).groupBy("n_blobs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(
+            F.when(
+                (F.col("sig_a") != F.col("sig_b"))
+                & (ham <= PHASH_HAMMING),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_near"),
+    ).select("n_blobs", "n_candidates", "n_exact", "n_near")

@@ -408,3 +408,60 @@ def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+#: Per-group LATERAL top-n size.
+LATERAL_TOPN = 3
+
+
+@query(
+    "sql_api_lateral_topn",
+    oracle=f"""
+    SELECT n.n_name, t.c_name, t.bal
+    FROM nation n
+    JOIN LATERAL (
+      SELECT c.c_name, round(c.c_acctbal, 2) AS bal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY round(c.c_acctbal, 2) DESC, c.c_name ASC
+      LIMIT {LATERAL_TOPN}
+    ) t ON true
+    """,
+)
+def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 3.2+/DuckDB): the top-{LATERAL_TOPN} customers by balance
+    PER NATION written as a per-row subquery instead of a
+    window+filter — the SQL-surface idiom migrating warehouse users
+    expect to keep working verbatim (its window twin is
+    ``window_topk_parts_per_brand``).
+
+    Scale: Catalyst de-correlates the lateral subquery into a
+    ranked-window plan over the (nationkey)-partitioned customer
+    table — the same physical shape as the explicit window form, one
+    shuffle on the correlation key, never an N-subquery loop. Ordering
+    is on the ROUNDED balance with a name tiebreak so both engines cut
+    identical top-3 sets."""
+    from kafka_go_streamer_spark.plans.registry import stabilize_rounds
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "v_nation_lat"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer_lat"
+    )
+    return spark.sql(
+        stabilize_rounds(
+            f"""
+        SELECT n.n_name, t.c_name, t.bal
+        FROM v_nation_lat n
+        JOIN LATERAL (
+          SELECT c.c_name, round(c.c_acctbal, 2) AS bal
+          FROM v_customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY round(c.c_acctbal, 2) DESC, c.c_name ASC
+          LIMIT {LATERAL_TOPN}
+        ) t
+        """
+        )
+    )

@@ -1811,3 +1811,148 @@ def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(pe, 6).alias("p_expected"),
         stable_round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+#: Pseudo-relevance feedback geometry: BM25 top-PRF_DOCS for the seed
+#: query feed term extraction; the PRF_TERMS highest corpus-weighted
+#: terms (minus the seed terms) become the expansion.
+PRF_DOCS = 5
+PRF_TERMS = 8
+
+
+@query(
+    "retrieval_query_expansion_prf",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*)::DOUBLE AS tf
+      FROM w WHERE w <> '' GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    dfq AS (
+      SELECT w, count(*)::DOUBLE AS df FROM tf
+      WHERE w IN {BM25_TERMS} GROUP BY w
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1}
+                * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+      FROM tf
+      JOIN dfq USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    rel AS (
+      SELECT doc_id, round(sum(sc), 4) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT {PRF_DOCS}
+    ),
+    dfall AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+    expansion AS (
+      SELECT tf.w AS term,
+             round(sum(tf.tf) * ln((SELECT n FROM stats)
+                                   / dfall.df), 4) AS score
+      FROM tf
+      JOIN rel USING (doc_id)
+      JOIN dfall ON dfall.w = tf.w
+      WHERE tf.w NOT IN {BM25_TERMS}
+      GROUP BY tf.w, dfall.df
+    )
+    SELECT term, score,
+           row_number() OVER (ORDER BY score DESC, term ASC)::BIGINT
+             AS rank
+    FROM expansion
+    ORDER BY score DESC, term ASC
+    LIMIT {PRF_TERMS}
+    """,
+)
+def retrieval_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-style): run
+    the seed BM25 query, take its top-{PRF_DOCS} documents as the
+    pseudo-relevant set, and extract the {PRF_TERMS} highest
+    TF·IDF-weighted terms (seed terms excluded) — the classic
+    recall-expansion loop sparse retrieval stacks run before a second
+    search pass; the output IS the expanded query.
+
+    Scale: the tf table (the inverted-index shape) is built ONCE and
+    reused by both stages: BM25 scoring touches only rows whose term
+    is a seed term; the feedback stage joins tf against the
+    {PRF_DOCS}-row relevant set (broadcast) and the vocab-sized df
+    frame — no second corpus scan, no rescoring of the full corpus.
+    Both rankings order by ROUNDED scores with deterministic
+    tiebreaks, so engines agree on every boundary."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.sources.tables import fan_out
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = fan_out(d).select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("w")
+    )
+    tf = pinned(
+        w.filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfq = (
+        tf.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    sc = (
+        F.log(
+            1
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    rel = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(stable_round(F.sum(sc), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(PRF_DOCS)
+    )
+    dfall = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    expansion = (
+        tf.join(F.broadcast(rel.select("doc_id")), "doc_id")
+        .filter(~F.col("w").isin(*BM25_TERMS))
+        .join(dfall, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("w").alias("term"), F.col("df"), F.col("n"))
+        .agg(
+            stable_round(
+                F.sum("tf") * F.log(F.col("n") / F.col("df")), 4
+            ).alias("score")
+        )
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        expansion.select(
+            "term",
+            "score",
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(PRF_TERMS)
+    )

@@ -180,8 +180,17 @@ HEADLINE = [
     "pipeline_incremental_ingest",
     # round-9 additions (appended, common prefix still comparable):
     # the rank-based mergeable quantile sketch (mapInPandas partials +
-    # bounded-fan-in merge tree)
+    # bounded-fan-in merge tree), the matrix-free power-iteration PC,
+    # the decode-path perceptual-hash banding, the offset-join EWMA,
+    # the bounded-round label propagation, RAKE keyphrases, and the
+    # one-tf-table PRF expansion
     "sketch_kll_quantiles",
+    "embedding_top_pc_power_iter",
+    "multimodal_phash_bands",
+    "ts_ewma_smoothing",
+    "graph_label_propagation",
+    "text_rake_keywords",
+    "retrieval_query_expansion_prf",
 ]
 
 

@@ -688,3 +688,48 @@ def test_doc_centrality_iterations_reuse_edge_exchange(spark, sf_dir):
 
     assert DOC_PR_ITERS >= 2  # the invariant is vacuous with 1 iter
     assert final.count("ReusedExchange") >= 1
+
+
+def test_anova_is_two_stage_aggregate(spark, sf_dir):
+    """ANOVA must collapse the fact in one partial+final aggregate and
+    never sort or window the raw events."""
+    plan = physical_plan(QUERIES["stats_anova_oneway"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_lag_join_is_hash_not_range(spark, sf_dir):
+    """The truncated-EWMA lag structure must plan as an equi (hash)
+    join on (event_type, hour) — the BETWEEN range form would go
+    nested-loop at scale."""
+    plan = physical_plan(QUERIES["ts_ewma_smoothing"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_band_join_is_capped_equi(spark, sf_dir):
+    """Perceptual-hash candidate generation is a band-key equi (hash)
+    join, never all-pairs. (The one nested-loop join in the plan is
+    the 1-row n_blobs stats broadcast — constant-size by
+    construction.)"""
+    plan = physical_plan(QUERIES["multimodal_phash_bands"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[band#\d+, key#\d+", plan)
+
+
+def test_prf_reuses_one_tf_table(spark, sf_dir):
+    """PRF must reuse the pinned tf (inverted-index) frame for both
+    retrieval and expansion: the documents parquet may be scanned at
+    pin time only — the final plan reads the materialized RDD, zero
+    parquet scans of the corpus."""
+    df = QUERIES["retrieval_query_expansion_prf"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+
+
+def test_kappa_single_pass_no_shuffle_of_docs(spark, sf_dir):
+    """Both quality gates compute in-row from one tokenization; the
+    only exchange is the final 1-row aggregate's."""
+    plan = physical_plan(QUERIES["quality_gate_agreement_kappa"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial -> final agg only
+    assert "Window" not in plan

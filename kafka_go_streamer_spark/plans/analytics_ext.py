@@ -1920,3 +1920,128 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta"),
         )
     )
+
+
+#: Daily maintenance windows (UTC seconds-of-day): the small interval
+#: table the session intervals join against.
+MAINT_WINDOWS = ((12 * 3600, 14 * 3600), (20 * 3600, 21 * 3600 + 1800))
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts)
+                      > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             floor(min(epoch(ts)))::BIGINT AS s_start,
+             floor(max(epoch(ts)))::BIGINT AS s_end
+      FROM (
+        SELECT user_id, ts,
+               sum(is_start) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+      ) GROUP BY user_id, seq
+    ),
+    win AS (
+      SELECT d.day, w.w_lo, w.w_hi,
+             d.day * 86400 + w.w_lo AS w_start,
+             d.day * 86400 + w.w_hi AS w_end
+      FROM (SELECT DISTINCT floor(epoch(ts) / 86400)::BIGINT AS day
+            FROM events) d
+      CROSS JOIN (VALUES
+        {", ".join(f"({lo}, {hi})" for lo, hi in MAINT_WINDOWS)}
+      ) AS w(w_lo, w_hi)
+    )
+    SELECT w.day, w.w_lo,
+           count(*)::BIGINT AS n_sessions,
+           sum(least(s.s_end, w.w_end)
+               - greatest(s.s_start, w.w_start))::BIGINT
+             AS total_overlap_sec
+    FROM sess s JOIN win w
+      ON s.s_start < w.w_end AND w.w_start < s.s_end
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user session intervals (gap-based
+    sessionization) against the daily maintenance-window calendar —
+    which sessions were live during each window and for how many
+    seconds, the canonical ops question ("who did the 12:00 deploy
+    window hit") and the shape of every event-time interval
+    enrichment.
+
+    Scale: the calendar side is (days × windows) rows — broadcast, so
+    the overlap predicate `s.start < w.end AND w.start < s.end` runs
+    as a broadcast join with NO shuffle of the session side. When BOTH
+    interval sides are fact-sized (session×session overlap), the same
+    query decomposes each interval onto hour buckets and becomes the
+    capped bucket-equi-join + exact-refine pattern the dedup family
+    uses — the broadcast form here is the common enrichment case.
+    Interval arithmetic is whole-second epochs, identical in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (
+            (F.col("ts").cast("long") - prev.cast("long"))
+            > SESSION_GAP_MIN * 60
+        ),
+        1,
+    ).otherwise(0)
+    seq = F.sum(F.col("is_start")).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        ev.select("user_id", "ts", is_start.alias("is_start"))
+        .select("user_id", "ts", seq.alias("seq"))
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s_start"),
+            F.max(F.col("ts").cast("long")).alias("s_end"),
+        )
+    )
+    days = ev.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).distinct()
+    wins = days.crossJoin(
+        F.broadcast(
+            ev.sparkSession.createDataFrame(
+                list(MAINT_WINDOWS), "w_lo LONG, w_hi LONG"
+            )
+        )
+    ).select(
+        "day",
+        "w_lo",
+        (F.col("day") * 86400 + F.col("w_lo")).alias("w_start"),
+        (F.col("day") * 86400 + F.col("w_hi")).alias("w_end"),
+    )
+    return (
+        sess.join(
+            F.broadcast(wins),
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") < F.col("s_end")),
+        )
+        .groupBy("day", "w_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(
+                F.least("s_end", "w_end") - F.greatest("s_start", "w_start")
+            )
+            .cast("long")
+            .alias("total_overlap_sec"),
+        )
+    )

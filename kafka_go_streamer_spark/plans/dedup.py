@@ -989,3 +989,85 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("match_id"),
         F.when(near, F.col("j")).alias("jaccard"),
     )
+
+
+def _source_dup_rate_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    return f"""
+    WITH wpairs AS ({wpairs}),
+    ends AS (
+      SELECT id_a AS doc_id FROM wpairs
+      UNION ALL
+      SELECT id_b AS doc_id FROM wpairs
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_edges FROM ends GROUP BY 1
+    ),
+    src AS (
+      SELECT d.source,
+             count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0
+                 END)::BIGINT AS n_dup_docs,
+             coalesce(sum(p.n_edges), 0)::BIGINT AS n_edge_endpoints
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT source, n_docs, n_dup_docs, n_edge_endpoints,
+           round(n_dup_docs * 1.0 / n_docs, 6) AS dup_rate
+    FROM src
+    """
+
+
+@query("quality_near_dup_rate_by_source", oracle=_source_dup_rate_oracle)
+def quality_near_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplication exposure per source: for every crawl source,
+    how many of its documents participate in at least one winnowing
+    near-dup pair, the total pair endpoints it contributes, and the
+    dup RATE — the curator's triage view ("which feed is flooding the
+    corpus with boilerplate") that turns the pair list into a
+    per-provenance quality score, the first thing checked before
+    down-weighting or dropping a source.
+
+    Scale: reuses the registered capped winnowing pairs (never
+    all-pairs); endpoints collapse to a per-doc edge count
+    (doc-cardinality), which LEFT-joins the documents table on its
+    key — one equi-join plus a source-cardinality aggregate. The
+    documents side never fans out: a doc in a million pairs costs one
+    joined row carrying its count."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    per_doc = ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_edges").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.coalesce(F.sum("n_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_edge_endpoints"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_edge_endpoints",
+            stable_round(
+                F.col("n_dup_docs") * 1.0 / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -1372,3 +1372,151 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("loading")).desc(), F.col("dim").asc())
         .limit(5)
     )
+
+
+#: Product-quantization geometry: the 64-dim embedding splits into
+#: PQ_SUBSPACES contiguous subvectors; each quantizes against
+#: PQ_CODEBOOK fixed seed centroids (vec_ids 0..3's subvectors — real
+#: codebook TRAINING is kmeans_lloyd_refine's Lloyd loop, run per
+#: subspace; fixed seeds keep this oracle-checkable, the same split as
+#: the IVF family).
+PQ_SUBSPACES = 2
+PQ_SUBDIM = 32
+PQ_CODEBOOK_IDS = (0, 1, 2, 3)
+
+
+def _pq_l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _pq_oracle() -> str:
+    ids = ", ".join(str(i) for i in PQ_CODEBOOK_IDS)
+    subs = ", ".join(
+        f"({s}, list_slice(embedding::DOUBLE[], "
+        f"{s * PQ_SUBDIM + 1}, {(s + 1) * PQ_SUBDIM}))"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+    WITH sub AS (
+      SELECT vec_id, s.sub, list_slice(embedding::DOUBLE[],
+               s.sub * {PQ_SUBDIM} + 1, (s.sub + 1) * {PQ_SUBDIM}) AS sv
+      FROM embeddings,
+           (SELECT unnest(range(0, {PQ_SUBSPACES})) AS sub) s
+    ),
+    cb AS (
+      SELECT sub, vec_id AS cent_id, sv AS cv FROM sub
+      WHERE vec_id IN ({ids})
+    ),
+    scored AS (
+      SELECT sub.vec_id, sub.sub, cb.cent_id,
+             round({_pq_l2sq_sql('sub.sv', 'cb.cv')}, 6) AS d2
+      FROM sub JOIN cb USING (sub)
+    ),
+    assigned AS (
+      SELECT vec_id, sub, cent_id, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, sub ORDER BY d2 ASC, cent_id ASC
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    ),
+    mu AS (
+      SELECT sub, i.i AS dim, round(avg(sv[i.i]), 6) AS m
+      FROM sub, (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS i) i
+      GROUP BY 1, 2
+    ),
+    var AS (
+      SELECT s.sub, avg(pow(s.sv[m.dim] - m.m, 2)) AS tot
+      FROM sub s JOIN mu m ON m.sub = s.sub
+      GROUP BY 1
+    )
+    SELECT a.sub AS subspace,
+           count(*)::BIGINT AS n_vectors,
+           count(DISTINCT a.cent_id)::BIGINT AS codes_used,
+           round(avg(a.d2), 6) AS mse_quantized,
+           round(max(v.tot), 6) AS per_dim_variance
+    FROM assigned a JOIN var v ON v.sub = a.sub
+    GROUP BY 1
+    """
+
+
+@query("embedding_pq_quantize", oracle=_pq_oracle)
+def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column: split every
+    vector into {PQ_SUBSPACES} contiguous subvectors, assign each to
+    its nearest codebook entry (L2, fixed seed codebook — the
+    training loop is ``kmeans_lloyd_refine`` run per subspace), and
+    report per-subspace reconstruction MSE against the per-dimension
+    variance baseline — the compression stage every billion-vector ANN
+    deployment runs (IVF-PQ), here as the measurable query "how much
+    of the subspace variance survives an 8x compression".
+
+    Scale: subvector explosion is in-row (2 rows per vector, each a
+    32-dim slice); the codebook is a broadcast {PQ_SUBSPACES}×4-row
+    frame; assignment is the argmin-over-broadcast pattern of the IVF
+    cells (row_number over ROUNDED distances with a cent_id tiebreak,
+    so both engines pick identical codes on boundaries); the variance
+    baseline needs one extra dim-keyed aggregate of the same exploded
+    frame. Codes — not vectors — are what a PQ store persists: 2
+    bytes/vector here vs 256, which is the entire point at 100 TB."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.functions.vectors import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])
+        ).alias("sub"),
+        as_double(F.col("embedding")).alias("ev"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(
+            f"slice(ev, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+        ).alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS)).select(
+        "sub", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    )
+    d2 = stable_round(
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    scored = sub.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "cent_id", d2.alias("d2")
+    )
+    wr = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cent_id", "d2")
+    )
+    ex = sub.select(
+        "sub", F.posexplode("sv").alias("dim0", "val")
+    ).select("sub", (F.col("dim0") + 1).alias("dim"), "val")
+    mu = ex.groupBy("sub", "dim").agg(
+        stable_round(F.avg("val"), 6).alias("m")
+    )
+    var = (
+        ex.join(F.broadcast(mu), ["sub", "dim"])
+        .groupBy("sub")
+        .agg(F.avg(F.pow(F.col("val") - F.col("m"), 2)).alias("tot"))
+    )
+    return (
+        assigned.join(F.broadcast(var), "sub")
+        .groupBy(F.col("sub").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.countDistinct("cent_id").cast("long").alias("codes_used"),
+            stable_round(F.avg("d2"), 6).alias("mse_quantized"),
+            stable_round(F.max("tot"), 6).alias("per_dim_variance"),
+        )
+    )

@@ -2541,3 +2541,73 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (psi > PSI_ALERT).alias("drifted"),
         )
     )
+
+
+@query(
+    "stats_theil_sen_slope",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             floor(epoch(ts) / 86400)::BIGINT AS day_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.x - a.x) / (b.day_idx - a.day_idx) AS slope
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day_idx > a.day_idx
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_pairs,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 6)
+             AS theil_sen_slope
+    FROM pairs GROUP BY 1
+    """,
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event type: the median of
+    all pairwise slopes of the DAILY value means — the
+    breakdown-point-29% answer to "is this metric trending" that a
+    single outlier day cannot move (its OLS twin is
+    ``stats_groupwise_ols``; one bad day swings that slope freely).
+
+    Scale: the fact collapses to the DAY rollup first (one map-side
+    combinable pass, ~30 rows per type per month), so the pairwise
+    self-join is bounded at rollup²-per-type — a few hundred pairs —
+    never a pair join over raw events; the median is a sort-aggregate
+    over that pair frame. Daily means are pre-rounded so both engines
+    difference identical doubles. For multi-year series, the same
+    estimator runs per bounded window (e.g. quarter) and medians
+    combine via the KLL sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias(
+            "day_idx"
+        ),
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    a = d.select(
+        "event_type",
+        F.col("day_idx").alias("da"),
+        F.col("x").alias("xa"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day_idx").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    pairs = a.join(b, "event_type").filter(
+        F.col("db") > F.col("da")
+    ).select(
+        "event_type",
+        (
+            (F.col("xb") - F.col("xa")) / (F.col("db") - F.col("da"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        stable_round(
+            F.percentile("slope", F.lit(0.5)), 6
+        ).alias("theil_sen_slope"),
+    )

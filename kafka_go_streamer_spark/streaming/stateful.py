@@ -297,3 +297,69 @@ def cms_grid_stream(events: DataFrame) -> DataFrame:
     return cells.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+#: Streaming KLL quantile sketch (twin of plans/sketches.py
+#: sketch_kll_quantiles): per-event-type compactor levels live in the
+#: state store as (level, values[]) arrays.
+KLL_STREAM_SCHEMA = (
+    "event_type string, total_weight bigint, n_retained bigint, "
+    "p50 double, p90 double, p99 double"
+)
+_KLL_STATE = "levels array<array<double>>"
+
+
+def _kll_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from kafka_go_streamer_spark.operators.kll import KLLSketch
+    from kafka_go_streamer_spark.plans.sketches import KLL_K
+
+    sk = KLLSketch(KLL_K)
+    if state.exists:
+        (levels,) = state.get
+        for lvl, vals in enumerate(levels):
+            while lvl >= len(sk.levels):
+                sk.levels.append([])
+            sk.levels[lvl].extend(float(v) for v in vals)
+    for pdf in pdfs:
+        if len(pdf):
+            sk.update_many(pdf["value"].astype(float).tolist())
+    state.update(([list(vs) for vs in sk.levels],))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "total_weight": [sk.total_weight()],
+            "n_retained": [sk.n_retained()],
+            "p50": [sk.quantile(0.5)],
+            "p90": [sk.quantile(0.9)],
+            "p99": [sk.quantile(0.99)],
+        }
+    )
+
+
+def kll_quantiles_stream(events: DataFrame) -> DataFrame:
+    """Streaming KLL rank-quantile sketch: per-event-type compactor
+    levels maintained in the state store across micro-batches — the
+    streaming twin of the batch ``sketch_kll_quantiles`` build,
+    sharing its compaction core (operators/kll.py) verbatim.
+
+    The KLL merge is associative but NOT order-invariant (compaction
+    keeps a pseudo-random half), so unlike the HLL/CMS register
+    streams the streamed sketch is not bit-equal to the batch build —
+    the invariants that ARE exact, and that the tests assert, are (a)
+    total_weight equals the true row count after any stream prefix
+    (odd-item retention conserves weight through every compaction and
+    restart) and (b) every reported quantile's true rank stays inside
+    the certified KLL_EPS bound. State is O(k·log(n/k)) doubles per
+    key forever — no watermark eviction needed, same bounded-state
+    contract as the register streams."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _kll_update,
+        outputStructType=KLL_STREAM_SCHEMA,
+        stateStructType=_KLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

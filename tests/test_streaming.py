@@ -509,3 +509,95 @@ def test_streaming_cms_grid_matches_batch_and_estimates(
         est = min(streamed[cell] for cell in buckets(r["user_id"]))
         assert est == r["cms_estimate"]
         assert est >= r["true_count"]
+
+
+def test_streaming_kll_weight_exact_and_rank_bounded(
+    spark, sf_dir, tmp_path
+):
+    """Streaming KLL after two micro-batches (with per-key state
+    carried across them): total_weight must equal the TRUE per-type
+    row count exactly (weight conservation across micro-batches), and
+    every reported quantile's true rank must sit inside the certified
+    KLL_EPS bound. (Bit-equality with the batch sketch is NOT the
+    contract — compaction is order-sensitive; the bound is.)"""
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans.sketches import KLL_EPS
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import (
+        kll_quantiles_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts"
+    )
+    cut = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).collect()[
+        0
+    ][0]
+    src_dir = tmp_path / "kll_src"
+    ev.filter(F.unix_timestamp("ts") <= cut).drop("ts").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b1"))
+    ev.filter(F.unix_timestamp("ts") > cut).drop("ts").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b2"))
+    feed = tmp_path / "kll_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    q = (
+        kll_quantiles_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kll_smoke")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        rows = spark.sql(
+            """
+            SELECT * FROM kll_smoke
+            WHERE (event_type, total_weight) IN (
+              SELECT event_type, max(total_weight) FROM kll_smoke
+              GROUP BY event_type
+            )
+            """
+        ).collect()
+    finally:
+        q.stop()
+
+    con = duckdb.connect()
+    truth = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            SELECT event_type, count(*),
+                   list_sort(list(value))
+            FROM '{sf_dir}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert len(rows) == len(truth)
+    import bisect
+
+    for r in rows:
+        n, srt = truth[r["event_type"]]
+        assert r["total_weight"] == n  # exact across micro-batches
+        for qq, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = bisect.bisect_right(srt, r[col])
+            assert abs(rank / n - qq) <= KLL_EPS, (
+                r["event_type"],
+                col,
+                rank / n,
+            )

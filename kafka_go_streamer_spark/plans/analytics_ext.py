@@ -2045,3 +2045,136 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_overlap_sec"),
         )
     )
+
+
+#: Top-k reported behavior paths.
+PATH_TOP = 15
+
+
+@query(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+             count(*)::BIGINT AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS t FROM paths)
+    SELECT p.path, p.n,
+           round(p.n * 1.0 / tot.t, 6) AS share
+    FROM paths p CROSS JOIN tot
+    ORDER BY p.n DESC, p.path ASC
+    LIMIT {PATH_TOP}
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-behavior PATHS: the most common 3-step event-type
+    sequences (per-user time order, double-lead window), with each
+    path's share of all trigrams — the Sankey/flow view product
+    analytics builds on, and the empirical counterpart of the Markov
+    chain queries (a path whose share beats its chain-predicted
+    probability is a correlated flow the first-order model misses).
+
+    Scale: ONE window shuffle on user_id produces both leads (shared
+    partitioning with every other per-user sequence query); paths
+    collapse to a type³-cardinality aggregate (125 here), and the
+    share window runs on that tiny frame. No self-joins of the event
+    log — the lead() form is the bigram/trigram idiom throughout this
+    repo."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = paths.agg(F.sum("n").alias("t"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            stable_round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATH_TOP)
+    )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             floor(epoch(ts) / 86400)::BIGINT AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1
+    ),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+      FROM days d
+      JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(d.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement headline triple every product dashboard opens with,
+    here as the deterministic batch form over the event log.
+
+    Scale: the log collapses to DISTINCT (user, day) FIRST — one
+    map-side-combinable distinct at user-day cardinality, after which
+    everything is tiny relative to the fact. The trailing window is an
+    offset-exploded equi-join of user-days onto target days (7 rows
+    per user-day, the same bounded-lag idiom as the EWMA smoother —
+    never a range join), and the distinct-in-window count shuffles
+    only user-day rows. At extreme user counts the exact WAU swaps
+    for the mergeable HLL registers (sketch_hll_hourly_rollup shape)
+    with identical query shape."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    days = ud.select("day").distinct()
+    offs = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.col("day").alias("uday"),
+    ).select("user_id", (F.col("uday") + F.col("off")).alias("day"))
+    wau = (
+        days.join(offs, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        stable_round(F.col("dau") * 1.0 / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -1520,3 +1520,109 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.max("tot"), 6).alias("per_dim_variance"),
         )
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(range(1, len(embedding) + 1))::BIGINT AS dim,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, dim, round(avg(val), 6) AS c
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    n AS (
+      SELECT label, half, count(DISTINCT vec_id)::BIGINT AS n
+      FROM (SELECT label, vec_id % 2 AS half, vec_id FROM embeddings)
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.dim = a.dim
+       AND a.half = 0 AND b.half = 1
+    ),
+    m AS (
+      SELECT label,
+             sqrt(sum(pow(ca - cb, 2))) AS l2,
+             sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb)))
+               AS cos
+      FROM paired GROUP BY 1
+    )
+    SELECT m.label,
+           max(CASE WHEN n.half = 0 THEN n.n END)::BIGINT AS n_a,
+           max(CASE WHEN n.half = 1 THEN n.n END)::BIGINT AS n_b,
+           round(max(m.l2), 6) AS centroid_l2,
+           round(max(m.cos), 6) AS centroid_cos
+    FROM m JOIN n USING (label)
+    GROUP BY 1
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between the two vec_id-parity
+    halves of the corpus (the stand-in for consecutive snapshots): L2
+    distance and cosine between the half-centroids — the cheap
+    embedding-space drift monitor run after every encoder change or
+    re-crawl, before anything expensive (recall evals, re-indexing)
+    is spent; near-zero drift certifies the snapshots interchangeable.
+
+    Scale: centroids are ONE map-side-combinable aggregate over the
+    exploded (label, half, dim, value) frame — label×2×d rows out of
+    any corpus size; all distance algebra runs on that tiny frame,
+    pre-rounded so both engines compare identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "label",
+        "half",
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        stable_round(F.avg("val"), 6).alias("c")
+    )
+    n = ex.select("label", "half", "vec_id").distinct().groupBy(
+        "label", "half"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    m = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sqrt(
+                F.sum(F.pow(F.col("ca") - F.col("cb"), 2))
+            ).alias("l2"),
+            (
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                )
+            ).alias("cos"),
+        )
+    )
+    nw = n.groupBy("label").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n_b"),
+    )
+    return m.join(F.broadcast(nw), "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        stable_round(F.col("l2"), 6).alias("centroid_l2"),
+        stable_round(F.col("cos"), 6).alias("centroid_cos"),
+    )

@@ -2611,3 +2611,213 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("slope", F.lit(0.5)), 6
         ).alias("theil_sen_slope"),
     )
+
+
+#: TOST equivalence margin as a fraction of the pooled mean, and the
+#: one-sided z critical value at alpha=0.05 (asymptotic: the cohort
+#: sizes here are thousands, where t ~ z).
+TOST_MARGIN_FRAC = 0.05
+TOST_Z = 1.645
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             count(*)::BIGINT AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN grp = 'a' THEN n END) AS na,
+             max(CASE WHEN grp = 'b' THEN n END) AS nb,
+             max(CASE WHEN grp = 'a' THEN m END) AS ma,
+             max(CASE WHEN grp = 'b' THEN m END) AS mb,
+             max(CASE WHEN grp = 'a' THEN v END) AS va,
+             max(CASE WHEN grp = 'b' THEN v END) AS vb
+      FROM g
+    ),
+    s AS (
+      SELECT na, nb,
+             mb - ma AS diff,
+             {TOST_MARGIN_FRAC} * (na * ma + nb * mb) / (na + nb)
+               AS margin,
+             sqrt(va / na + vb / nb) AS se
+      FROM w
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(diff, 6) AS mean_diff,
+           round(margin, 6) AS margin,
+           round(se, 6) AS se,
+           round((diff + margin) / se, 4) AS t_lower,
+           round((margin - diff) / se, 4) AS t_upper,
+           (round((diff + margin) / se, 4) > {TOST_Z}
+            AND round((margin - diff) / se, 4) > {TOST_Z})
+             AS equivalent
+    FROM s
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) between the A/B
+    cohorts' purchase values: is the mean difference PROVABLY inside
+    ±5% of the pooled mean — the statistically sound way to certify
+    "this change did nothing", which a non-significant Welch test
+    (its twin ``stats_ab_welch_ttest``) can never do. Both one-sided
+    statistics must clear the z critical value; the verdict compares
+    ROUNDED statistics so the boundary cannot flip on float dust.
+
+    Scale: one conditional-aggregate pass collapses the fact to two
+    (n, mean, variance) rows; all TOST algebra runs on that 1-row
+    pivot — the same sufficient-statistics discipline as Welch/ANOVA."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("grp") == grp, F.col(c))).alias(f"{c}{grp}")
+            for c in ("n", "m", "v")
+            for grp in ("a", "b")
+        ]
+    )
+    diff = F.col("mb") - F.col("ma")
+    margin = (
+        TOST_MARGIN_FRAC
+        * (F.col("na") * F.col("ma") + F.col("nb") * F.col("mb"))
+        / (F.col("na") + F.col("nb"))
+    )
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    t_lo = stable_round((diff + margin) / se, 4)
+    t_hi = stable_round((margin - diff) / se, 4)
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        stable_round(diff, 6).alias("mean_diff"),
+        stable_round(margin, 6).alias("margin"),
+        stable_round(se, 6).alias("se"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        ((t_lo > TOST_Z) & (t_hi > TOST_Z)).alias("equivalent"),
+    )
+
+
+#: Deseasonalized-anomaly report size.
+DSA_TOP = 10
+
+
+@query(
+    "ts_deseasonalized_anomaly",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             floor(epoch(ts) / 86400)::BIGINT AS day,
+             (floor(epoch(ts) / 3600) % 24)::BIGINT AS hod,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2, 3, 4
+    ),
+    si AS (
+      SELECT event_type, hod,
+             round(avg(x), 6) AS hod_mean
+      FROM h GROUP BY 1, 2
+    ),
+    tm AS (SELECT event_type, round(avg(x), 6) AS typ_mean FROM h
+           GROUP BY 1),
+    dl AS (
+      SELECT event_type, day, round(avg(x), 6) AS day_level
+      FROM h GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT h.event_type, h.hour_idx,
+             round(h.x - dl.day_level * si.hod_mean / tm.typ_mean, 6)
+               AS resid
+      FROM h
+      JOIN si ON si.event_type = h.event_type AND si.hod = h.hod
+      JOIN dl ON dl.event_type = h.event_type AND dl.day = h.day
+      JOIN tm ON tm.event_type = h.event_type
+    ),
+    st AS (
+      SELECT event_type, round(avg(resid), 6) AS mu,
+             round(stddev_samp(resid), 6) AS sd
+      FROM res GROUP BY 1
+    )
+    SELECT r.event_type, r.hour_idx, r.resid,
+           round((r.resid - st.mu) / st.sd, 4) AS resid_z
+    FROM res r JOIN st USING (event_type)
+    ORDER BY abs(round((r.resid - st.mu) / st.sd, 4)) DESC,
+             r.event_type ASC, r.hour_idx ASC
+    LIMIT {DSA_TOP}
+    """,
+)
+def ts_deseasonalized_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: expected hourly value =
+    day level × hour-of-day index (the multiplicative decomposition of
+    ``ts_seasonal_profile``), residual z-scores over the remainder,
+    top-|{DSA_TOP}| excursions reported — the detector that does NOT
+    fire every midnight like a raw z-score does on a diurnal metric
+    (its naive twin is ``events_zscore_anomaly``).
+
+    Scale: one pass collapses the fact to the hourly rollup; the
+    seasonal index, type mean, and day level are all aggregates OF
+    that rollup; residuals join the rollup against three broadcast
+    frames. Every intermediate is pre-rounded, so both engines
+    difference identical doubles and the top-k (ordered by the
+    ROUNDED z with key tiebreaks) cuts identically."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias(
+            "hour_idx"
+        ),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24)
+        .cast("long")
+        .alias("hod"),
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    si = h.groupBy("event_type", "hod").agg(
+        stable_round(F.avg("x"), 6).alias("hod_mean")
+    )
+    tm = h.groupBy("event_type").agg(
+        stable_round(F.avg("x"), 6).alias("typ_mean")
+    )
+    dl = h.groupBy("event_type", "day").agg(
+        stable_round(F.avg("x"), 6).alias("day_level")
+    )
+    res = (
+        h.join(F.broadcast(si), ["event_type", "hod"])
+        .join(F.broadcast(dl), ["event_type", "day"])
+        .join(F.broadcast(tm), "event_type")
+        .select(
+            "event_type",
+            "hour_idx",
+            stable_round(
+                F.col("x")
+                - F.col("day_level")
+                * F.col("hod_mean")
+                / F.col("typ_mean"),
+                6,
+            ).alias("resid"),
+        )
+    )
+    st = res.groupBy("event_type").agg(
+        stable_round(F.avg("resid"), 6).alias("mu"),
+        stable_round(F.stddev_samp("resid"), 6).alias("sd"),
+    )
+    z = stable_round((F.col("resid") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        res.join(F.broadcast(st), "event_type")
+        .select("event_type", "hour_idx", "resid", z.alias("resid_z"))
+        .orderBy(
+            F.abs(F.col("resid_z")).desc(),
+            F.col("event_type").asc(),
+            F.col("hour_idx").asc(),
+        )
+        .limit(DSA_TOP)
+    )

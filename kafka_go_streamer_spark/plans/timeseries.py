@@ -2821,3 +2821,215 @@ def ts_deseasonalized_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(DSA_TOP)
     )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1)
+                 / 2.0 AS rv,
+             rank() OVER (PARTITION BY event_type ORDER BY epoch(ts))
+               + (count(*) OVER (PARTITION BY event_type, epoch(ts))
+                  - 1) / 2.0 AS rt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             rv - (count(*) OVER (PARTITION BY event_type) + 1) / 2.0
+               AS rvc,
+             rt - (count(*) OVER (PARTITION BY event_type) + 1) / 2.0
+               AS rtc
+      FROM r
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(round(sum(rvc * rtc), 0)
+                 / (sqrt(round(sum(rvc * rvc), 0))
+                    * sqrt(round(sum(rtc * rtc), 0))), 6)
+             AS spearman_rho
+    FROM c GROUP BY 1
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and event time per
+    event type (tie-averaged ranks): the monotone-trend test that sees
+    ANY monotone drift — not just linear (Pearson/OLS) — and shrugs at
+    outliers; ρ>0 means the metric is creeping up over the month in a
+    way robust to scale and spikes. Completes the rank-statistics
+    family (Mann–Whitney compares groups, Theil–Sen fits a slope,
+    Spearman scores monotonicity).
+
+    Scale: ONE window shuffle on event_type produces both tie-averaged
+    rank columns (min-rank + half the tie-group size — identical
+    semantics in both engines); the correlation is a
+    sufficient-statistics aggregate of the ranked frame. At extreme
+    per-type cardinalities the ranks come from the value-collapsed
+    ECDF frame (the stats_ks_drift collapse) instead of a raw window,
+    with the same downstream algebra."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rv = (
+        F.rank().over(
+            Window.partitionBy("event_type").orderBy("value")
+        )
+        + (
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "value")
+            )
+            - 1
+        )
+        / 2.0
+    )
+    # fractional-second epoch: unix_timestamp() truncates to whole
+    # seconds, which collapses distinct event times into ties that
+    # DuckDB's epoch() (microsecond fraction) keeps apart — the rank
+    # key must carry the fraction on both engines
+    et = F.col("ts").cast("double")
+    rt = (
+        F.rank().over(Window.partitionBy("event_type").orderBy(et))
+        + (
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", et)
+            )
+            - 1
+        )
+        / 2.0
+    )
+    r = ev.select("event_type", rv.alias("rv"), rt.alias("rt"))
+    # center by the exact mean rank (n+1)/2 BEFORE the product sums:
+    # the uncentered E[XY]-E[X]E[Y] form cancels ~6 leading digits at
+    # these rank magnitudes and the engines' sum orders diverge in the
+    # residue (observed 1e-6 rho drift); centered products don't cancel
+    nw = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    c = r.select(
+        "event_type",
+        (F.col("rv") - (nw + 1) / 2.0).alias("rvc"),
+        (F.col("rt") - (nw + 1) / 2.0).alias("rtc"),
+    )
+    # the three sufficient sums are rounded to INTEGERS before the
+    # division: their accumulation-order drift (~1e-2 at these
+    # magnitudes) vanishes against the 0.5 boundary gap, while the
+    # integer quantization perturbs rho by < 1e-9 — so both engines
+    # divide identical numbers
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        stable_round(
+            stable_round(F.sum(F.col("rvc") * F.col("rtc")), 0)
+            / (
+                F.sqrt(
+                    stable_round(F.sum(F.col("rvc") * F.col("rvc")), 0)
+                )
+                * F.sqrt(
+                    stable_round(F.sum(F.col("rtc") * F.col("rtc")), 0)
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+#: ACF lags reported (hourly series).
+ACF_MAX_LAG = 6
+
+
+@query(
+    "ts_autocorrelation_acf",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, round(avg(x), 6) AS mu,
+             sum(pow(x - (SELECT round(avg(x2.x), 6) FROM h x2
+                          WHERE x2.event_type = h.event_type), 2))
+               AS denom
+      FROM h GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    prod AS (
+      SELECT a.event_type, l.lag,
+             count(*)::BIGINT AS n_pairs,
+             sum((a.x - st.mu) * (b.x - st.mu)) AS num
+      FROM h a
+      CROSS JOIN lags l
+      JOIN h b ON b.event_type = a.event_type
+              AND b.hour_idx = a.hour_idx + l.lag
+      JOIN st ON st.event_type = a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.lag::BIGINT AS lag, p.n_pairs,
+           round(p.num / st.denom, 6) AS acf
+    FROM prod p JOIN st USING (event_type)
+    """,
+)
+def ts_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly value series per event
+    type, lags 1..{ACF_MAX_LAG}: the diagnostic that separates
+    white-noise metrics from sticky ones (high lag-1) and surfaces
+    periodicity (a lag-24 spike = diurnal) — the first plot a
+    forecaster draws, and the empirical justification for the EWMA
+    smoother's decay choice.
+
+    Scale: the fact collapses to the hourly rollup first; each lag's
+    product sum is an EQUI-join of the rollup with itself on
+    (event_type, hour+lag) — generated by a lag explode, never a
+    range join — and the denominator is one aggregate of the same
+    rollup. Pre-rounded hourly means and mean make both engines
+    multiply identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias(
+            "hour_idx"
+        ),
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    h = pinned(h)  # consumed by stats, left and right of the lag join
+    mu = h.groupBy("event_type").agg(
+        stable_round(F.avg("x"), 6).alias("mu")
+    )
+    st = (
+        h.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "mu")
+        .agg(F.sum(F.pow(F.col("x") - F.col("mu"), 2)).alias("denom"))
+    )
+    a = h.select(
+        "event_type",
+        "hour_idx",
+        F.col("x").alias("xa"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+        ).alias("lag"),
+    ).select(
+        "event_type",
+        "lag",
+        (F.col("hour_idx") + F.col("lag")).alias("hour_idx"),
+        "xa",
+    )
+    b = h.select(
+        "event_type", "hour_idx", F.col("x").alias("xb")
+    )
+    return (
+        a.join(b, ["event_type", "hour_idx"])
+        .join(F.broadcast(st), "event_type")
+        .groupBy("event_type", F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            stable_round(
+                F.sum(
+                    (F.col("xa") - F.col("mu"))
+                    * (F.col("xb") - F.col("mu"))
+                )
+                / F.first("denom"),
+                6,
+            ).alias("acf"),
+        )
+    )

@@ -3033,3 +3033,400 @@ def ts_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+@query(
+    "stats_jarque_bera",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_type, s.n,
+             round((e.value - s.mu) / s.sd, 6) AS z
+      FROM events e JOIN st s USING (event_type)
+    ),
+    m AS (
+      SELECT event_type, max(n)::BIGINT AS n,
+             round(avg(z * z * z), 6) AS skew,
+             round(avg(z * z * z * z) - 3.0, 6) AS ex_kurt
+      FROM z GROUP BY 1
+    )
+    SELECT event_type, n, skew AS skewness, ex_kurt AS ex_kurtosis,
+           round(n / 6.0 * (skew * skew + ex_kurt * ex_kurt / 4.0), 4)
+             AS jb_stat
+    FROM m ORDER BY event_type
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: skewness and excess
+    kurtosis of the standardized values, combined into the asymptotic
+    chi-square(2) statistic n/6*(S^2 + K^2/4) — the screening question
+    every parametric test in this family (Welch, ANOVA, OLS bands)
+    silently assumes an answer to. A huge JB says "use the rank tests
+    instead" (Mann-Whitney / Spearman live right here).
+
+    Scale: two map-side-combinable passes, both keyed on event_type —
+    one for (n, mean, sd), one for the standardized third/fourth
+    moments; the k-row stats frame broadcasts back into the scan.
+    Standardizing BEFORE the moment sums keeps every accumulator O(n)
+    instead of O(max(x)^4·n), which is what makes the cross-engine
+    rounding stable (raw fourth-power sums at 1e15 magnitudes drift
+    past any fixed decimal)."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        stable_round(F.avg("value"), 6).alias("mu"),
+        stable_round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = ev.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "n",
+        stable_round(
+            (F.col("value") - F.col("mu")) / F.col("sd"), 6
+        ).alias("z"),
+    )
+    zc = F.col("z")
+    m = z.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        stable_round(F.avg(zc * zc * zc), 6).alias("skewness"),
+        stable_round(F.avg(zc * zc * zc * zc) - 3.0, 6).alias(
+            "ex_kurtosis"
+        ),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "skewness",
+        "ex_kurtosis",
+        stable_round(
+            F.col("n")
+            / 6.0
+            * (
+                F.col("skewness") * F.col("skewness")
+                + F.col("ex_kurtosis") * F.col("ex_kurtosis") / 4.0
+            ),
+            4,
+        ).alias("jb_stat"),
+    ).orderBy("event_type")
+
+
+@query(
+    "stats_levene_bf",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT e.event_type,
+             round(abs(e.value - m.med), 6) AS z
+      FROM events e JOIN med m USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(z) AS s, sum(z * z) AS ss
+      FROM z GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::BIGINT AS nn, sum(s) AS gs,
+                 count(*)::BIGINT AS k FROM g),
+    c AS (
+      SELECT t.k, t.nn,
+             sum(g.n * pow(g.s / g.n - t.gs / t.nn, 2)) AS ssb,
+             sum(g.ss - g.s * g.s / g.n) AS ssw
+      FROM g CROSS JOIN t GROUP BY 1, 2
+    )
+    SELECT k AS k_groups, nn AS n_total,
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS bf_stat
+    FROM c
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with the median center) for
+    equality of variances across event types: one-way ANOVA run on the
+    absolute deviations from each group's MEDIAN — the
+    heteroscedasticity gate for the pooled tests, robust to the heavy
+    tails that break the classic mean-centered Levene. Completes the
+    assumption-checking pair with ``stats_jarque_bera`` (that one asks
+    "is it normal", this one asks "are the spreads equal").
+
+    Scale: the exact per-group median is ONE sort-based aggregate
+    keyed on event_type (same primitive as ``stats_mad_outliers``);
+    the deviations pass is a broadcast-join + map-side-combinable
+    (n, sum, sumsq) collapse to k rows, and every downstream term is
+    arithmetic on that k-row frame — identical shuffle discipline to
+    ``stats_anova_oneway``, which shares its F-statistic algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        stable_round(F.abs(F.col("value") - F.col("med")), 6).alias(
+            "z"
+        ),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    c = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "nn")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.col("s") / F.col("n")
+                    - F.col("gs") / F.col("nn"),
+                    2,
+                )
+            ).alias("ssb"),
+            F.sum(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+            ).alias("ssw"),
+        )
+    )
+    return c.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        stable_round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+    )
+
+
+#: Kaplan-Meier censoring window: users whose LAST event falls within
+#: this many seconds of the observation horizon are censored (still
+#: active), not churned.
+KM_CENSOR_S = 7 * 24 * 3600
+
+
+@query(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(epoch(ts)) AS first_s, max(epoch(ts)) AS last_s
+      FROM events GROUP BY 1
+    ),
+    hz AS (SELECT max(last_s) AS horizon FROM u),
+    lab AS (
+      SELECT floor((u.last_s - u.first_s) / 86400.0)::BIGINT AS dur,
+             CASE WHEN hz.horizon - u.last_s < {KM_CENSOR_S}
+                  THEN 0 ELSE 1 END AS churned
+      FROM u CROSS JOIN hz
+    ),
+    d AS (
+      SELECT dur, sum(churned)::BIGINT AS n_events,
+             sum(1 - churned)::BIGINT AS n_censored,
+             count(*)::BIGINT AS n_at
+      FROM lab GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_at)::BIGINT AS n_users FROM d),
+    r AS (
+      SELECT dur, n_events, n_censored,
+             (t.n_users - coalesce(sum(n_at) OVER (
+                ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0))::BIGINT AS n_risk
+      FROM d CROSS JOIN tot t
+    ),
+    s AS (
+      SELECT dur, n_risk, n_events, n_censored,
+             sum(ln(greatest(
+               1.0 - n_events * 1.0 / n_risk, 1e-12
+             ))) OVER (ORDER BY dur) AS ls
+      FROM r
+    )
+    SELECT dur AS duration_days, n_risk, n_events, n_censored,
+           round(exp(ls), 6) AS survival
+    FROM s ORDER BY duration_days
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (first event to
+    last event, in days), with right-censoring for users whose last
+    event falls inside the final week of the observation window — the
+    estimator every churn analysis should use instead of the naive
+    "fraction still here at day d" (which silently treats
+    still-active users as churned; ``events_churn_survival`` is that
+    naive cousin). S(d) is the product-limit over at-risk counts.
+
+    Scale: the fact collapses to ONE user-keyed aggregate (first/last
+    epoch), then to a DURATION-cardinality frame (days, dozens of
+    rows) — the cumulative at-risk window and the product-limit
+    (via exp-sum-log, zero-guarded identically on both engines) run
+    on that tiny frame, never on events. The horizon is a broadcast
+    1-row aggregate of the user frame, not a second fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    tsd = F.col("ts").cast("double")
+    u = ev.groupBy("user_id").agg(
+        F.min(tsd).alias("first_s"), F.max(tsd).alias("last_s")
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    u = pinned(u)  # consumed by horizon AND labels: one user collapse
+    hz = u.agg(F.max("last_s").alias("horizon"))
+    lab = u.crossJoin(F.broadcast(hz)).select(
+        F.floor((F.col("last_s") - F.col("first_s")) / 86400.0)
+        .cast("long")
+        .alias("dur"),
+        F.when(
+            F.col("horizon") - F.col("last_s") < KM_CENSOR_S, 0
+        )
+        .otherwise(1)
+        .alias("churned"),
+    )
+    d = lab.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("n_events"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+    )
+    d = pinned(d)  # duration-cardinality; feeds total AND the curve
+    tot = d.agg(F.sum("n_at").cast("long").alias("n_users"))
+    wcum = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "n_events",
+        "n_censored",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_at").over(wcum), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ls = F.sum(
+        F.log(
+            F.greatest(
+                1.0 - F.col("n_events") * 1.0 / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        )
+    ).over(wall)
+    return r.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        stable_round(F.exp(ls), 6).alias("survival"),
+    ).orderBy("duration_days")
+
+
+@query(
+    "stats_kendall_tau_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             sum(CASE WHEN b.x > a.x THEN 1 ELSE 0 END)::BIGINT
+               AS concordant,
+             sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)::BIGINT
+               AS discordant,
+             sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)::BIGINT AS tx
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    n AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1)
+    SELECT p.event_type, n.n AS n_days, p.concordant, p.discordant,
+           round((p.concordant - p.discordant)
+                 / sqrt((n.n * (n.n - 1) / 2.0 - p.tx)
+                        * (n.n * (n.n - 1) / 2.0)), 6) AS kendall_tau
+    FROM p JOIN n USING (event_type) ORDER BY event_type
+    """,
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the DAILY mean value and calendar time,
+    per event type: the pair-counting monotone-trend test that
+    completes the rank family (Spearman correlates the ranks,
+    Theil-Sen fits the slope, Kendall counts inversions — its tau has
+    the cleanest interpretation: P(concordant) − P(discordant)).
+    Days are distinct so time contributes no ties; value ties get the
+    tau-b correction from the tied-pair count.
+
+    Scale: pair counting is quadratic, so it runs on the DAY-grain
+    rollup (one map-side-combinable shuffle collapses the fact to
+    |types|×|days| rows), never on raw events — the self-join is a
+    broadcast over a frame whose size is fixed by the calendar, not
+    the data volume. Every accumulator is an integer until the final
+    division, so the engines agree bit-for-bit before rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = pinned(d)  # one day-rollup feeds both pair arms and the count
+    a = d.select(
+        "event_type", F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = d.select(
+        "event_type", F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    p = (
+        a.join(
+            F.broadcast(b),
+            ["event_type"],
+        )
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(F.col("xb") < F.col("xa"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("discordant"),
+            F.sum(
+                F.when(F.col("xb") == F.col("xa"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tx"),
+        )
+    )
+    n = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    n0 = F.col("n_days") * (F.col("n_days") - 1) / 2.0
+    return (
+        p.join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "concordant",
+            "discordant",
+            stable_round(
+                (F.col("concordant") - F.col("discordant"))
+                / F.sqrt((n0 - F.col("tx")) * n0),
+                6,
+            ).alias("kendall_tau"),
+        )
+        .orderBy("event_type")
+    )

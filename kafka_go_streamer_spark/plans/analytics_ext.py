@@ -2178,3 +2178,152 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+#: HITS power-iteration count.
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h, prev_a = "h0", "a0"
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+    a{k} AS (
+      SELECT s.event_type,
+             coalesce(sum(t.n * h.hub), 0.0) AS auth
+      FROM states s
+      LEFT JOIN t ON t.to_type = s.event_type
+      LEFT JOIN {prev_h} h ON h.event_type = t.from_type
+      GROUP BY 1
+    ),
+    h{k} AS (
+      SELECT s.event_type,
+             coalesce(sum(t.n * a.auth), 0.0) AS hub
+      FROM states s
+      LEFT JOIN t ON t.from_type = s.event_type
+      LEFT JOIN a{k} a ON a.event_type = t.to_type
+      GROUP BY 1
+    )""")
+        prev_h, prev_a = f"h{k}", f"a{k}"
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*)::BIGINT AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT event_type FROM events),
+    h0 AS (SELECT event_type, 1.0 AS hub FROM states),{",".join(steps)}
+    SELECT s.event_type,
+           round(coalesce(h.hub / nullif((SELECT sum(hub) FROM {prev_h}), 0),
+                          0.0), 6) AS hub,
+           round(coalesce(a.auth / nullif((SELECT sum(auth) FROM {prev_a}), 0),
+                          0.0), 6) AS authority
+    FROM states s
+    JOIN {prev_h} h USING (event_type)
+    JOIN {prev_a} a USING (event_type)
+    ORDER BY s.event_type
+    """
+
+
+@query("events_hits_hubs", oracle=_hits_oracle)
+def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the behavioral transition graph
+    (edge weight = transition count): authority = "event types that
+    journeys converge INTO" (weighted by how hub-like the senders
+    are), hub = "event types that fan OUT into authoritative ones" —
+    the directed complement of the PageRank/stationary pair, which
+    mixes both roles into one score. Three mutual power iterations
+    h←Wa, a←Wᵀh from the all-ones vector, UN-normalized — power
+    iteration is scale-invariant, so the L1 normalization is applied
+    exactly once, on the final iterates (both engines divide the same
+    raw sums-of-products, then round to 6 decimals).
+
+    Scale: identical discipline to ``events_markov_stationary`` — the
+    fact is touched ONCE (one user-keyed window builds the transition
+    pairs, pinned), and every iteration is joins over
+    STATE-cardinality frames (|event types| rows), so iteration count
+    never re-reads events. Skipping per-step normalization is also
+    what keeps the lineage LINEAR: a normalizer consumes its raw
+    frame twice (value + z), so normalizing inside the loop either
+    doubles the plan per half-step (2^(2k) subtree copies) or forces
+    an eager materialization barrier per half-step (6 driver-blocking
+    jobs for k=3); the raw recurrence needs neither — the whole query
+    is ONE job over the two pinned state-sized frames. Raw iterates
+    grow like (Σn)^k, which double range absorbs even at 100 TB edge
+    counts (1e12^6 ≪ 1e308)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    t = pinned(t)  # consumed twice per iteration: never re-window events
+    states = pinned(ev.select("event_type").distinct())
+    h = states.select("event_type", F.lit(1.0).alias("hub"))
+
+    def _propagate(vec: DataFrame, val: str, src: str, dst: str, out: str):
+        # new(dst) = sum over edges of n * vec(src), re-indexed on dst,
+        # zero-filled over the full state domain.  No normalization —
+        # see docstring; keeps each iterate a single-consumer frame.
+        contrib = (
+            t.join(
+                F.broadcast(
+                    vec.select(
+                        F.col("event_type").alias(src),
+                        F.col(val).alias("_v"),
+                    )
+                ),
+                src,
+            )
+            .groupBy(F.col(dst).alias("event_type"))
+            .agg(F.sum(F.col("n") * F.col("_v")).alias("v"))
+        )
+        return states.join(contrib, "event_type", "left").select(
+            "event_type", F.coalesce("v", F.lit(0.0)).alias(out)
+        )
+
+    a = None
+    for _ in range(HITS_ITERS):
+        # a(v) = sum_u n(u,v) * h(u): incoming mass, indexed by to_type
+        a = _propagate(h, "hub", "from_type", "to_type", "auth")
+        # h(u) = sum_v n(u,v) * a(v): outgoing mass, indexed by from_type
+        h = _propagate(a, "auth", "to_type", "from_type", "hub")
+
+    def _normed(vec: DataFrame, val: str, out: str):
+        z = vec.agg(F.sum(val).alias("_z"))
+        return vec.crossJoin(F.broadcast(z)).select(
+            "event_type",
+            stable_round(
+                F.coalesce(
+                    F.col(val) / F.when(F.col("_z") != 0, F.col("_z")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(out),
+        )
+
+    # the only double-consumption in the plan: the two final iterates
+    # feed their own L1 normalizer — a bounded 4x of a linear lineage,
+    # which Catalyst plans in one job (no barrier needed)
+    return (
+        states.join(_normed(h, "hub", "hub"), "event_type")
+        .join(_normed(a, "auth", "authority"), "event_type")
+        .select("event_type", "hub", "authority")
+        .orderBy("event_type")
+    )

@@ -3430,3 +3430,104 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Adamic-Adar: how many predicted links to report.
+AA_TOP = 20
+
+
+def _adamic_adar_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    return f"""
+    WITH wpairs AS ({wpairs}),
+    e AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM wpairs
+    ),
+    adj AS (
+      SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e
+    ),
+    deg AS (SELECT x AS node, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+    cand AS (
+      SELECT a1.x AS u, a2.x AS v, count(*)::BIGINT AS n_common,
+             round(sum(1.0 / ln(g.d)), 6) AS aa_score
+      FROM adj a1
+      JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x
+      JOIN deg g ON g.node = a1.y
+      GROUP BY 1, 2
+    )
+    SELECT c.u AS id_a, c.v AS id_b, c.n_common, c.aa_score
+    FROM cand c LEFT JOIN e ON e.a = c.u AND e.b = c.v
+    WHERE e.a IS NULL
+    ORDER BY c.aa_score DESC, c.u, c.v LIMIT {AA_TOP}
+    """
+
+
+@query("graph_adamic_adar", oracle=_adamic_adar_oracle)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the winnowing-overlap document
+    graph: for every NON-adjacent pair sharing at least one neighbor,
+    score = sum over common neighbors c of 1/ln(deg(c)) — rare shared
+    neighbors count more than promiscuous hubs. The top predictions
+    are the near-duplicate pairs the fingerprint blocking MISSED but
+    the graph structure implies (two docs both overlapping the same
+    template are probably versions of each other): a recall audit for
+    the dedup family, from the dedup family's own output.
+
+    Scale: the wedge join is the triangle join's first arm (same
+    capped, pinned edge list — sparse by construction), grouped to
+    pair-cardinality before the degree weighting; existing edges drop
+    out via an anti-join against the edge frame, and only the top-20
+    by rounded score (deterministic id tie-break) surface. deg(c)>=2
+    for any common neighbor, so 1/ln never divides by zero.
+    Production adds the degree-descending orientation + a per-node
+    neighbor cap, same as every candidate generator in this repo."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    e = pinned(
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).distinct()
+    )
+    adj = pinned(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+            e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        )
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a1 = adj.select(F.col("x").alias("u"), F.col("y").alias("c"))
+    a2 = adj.select(F.col("x").alias("v"), F.col("y").alias("c"))
+    cand = (
+        a1.join(a2, "c")
+        .filter(F.col("u") < F.col("v"))
+        .join(deg.withColumnRenamed("node", "c"), "c")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            stable_round(F.sum(1.0 / F.log(F.col("d"))), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+    new = cand.join(
+        e,
+        (cand["u"] == e["a"]) & (cand["v"] == e["b"]),
+        "left_anti",
+    )
+    return (
+        new.select(
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+            "n_common",
+            "aa_score",
+        )
+        .orderBy(F.col("aa_score").desc(), "id_a", "id_b")
+        .limit(AA_TOP)
+    )

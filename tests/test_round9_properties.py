@@ -283,3 +283,104 @@ def test_psi_zero_on_identical_distributions():
     assert abs(psi(ref, list(ref), edges)) < 1e-9
     shifted = [v + 0.3 for v in ref]
     assert psi(ref, shifted, edges) > 0.1
+
+
+# ------------------------------------------------------------------ HITS
+def test_hits_matches_numpy(spark, duck):
+    """The Spark HITS result must equal a from-scratch numpy run of
+    the SAME bounded recurrence (all-ones start, HITS_ITERS mutual
+    un-normalized steps, one final L1 normalization, round 6) — the
+    algorithm is the contract, not its converged limit. Invariants:
+    both score vectors are non-negative and L1-normalized."""
+    np = pytest.importorskip("numpy")
+    from kafka_go_streamer_spark.plans.analytics_ext import HITS_ITERS
+
+    rows = duck.execute(
+        """
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS next_type
+          FROM events
+        )
+        SELECT event_type, next_type, count(*)
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    states = sorted(
+        {r[0] for r in duck.execute(
+            "SELECT DISTINCT event_type FROM events"
+        ).fetchall()}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    W = np.zeros((len(states), len(states)))
+    for f, t, n in rows:
+        W[idx[f], idx[t]] = n
+    h = np.ones(len(states))
+    for _ in range(HITS_ITERS):
+        a = W.T @ h
+        h = W @ a
+    h = h / h.sum()
+    a = a / a.sum()
+    pdf = (
+        QUERIES["events_hits_hubs"](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+    )
+    assert list(pdf["event_type"]) == states
+    for got, want in zip(pdf["hub"], np.round(h, 6)):
+        assert got == pytest.approx(want, abs=2e-6)
+    for got, want in zip(pdf["authority"], np.round(a, 6)):
+        assert got == pytest.approx(want, abs=2e-6)
+    assert (pdf["hub"] >= 0).all() and (pdf["authority"] >= 0).all()
+    assert float(pdf["hub"].sum()) == pytest.approx(1.0, abs=1e-4)
+    assert float(pdf["authority"].sum()) == pytest.approx(1.0, abs=1e-4)
+
+
+# ----------------------------------------------------------- Adamic-Adar
+def test_adamic_adar_matches_python_reference(spark):
+    """The Spark Adamic-Adar predictions must equal a from-scratch
+    Python pass over the SAME edge list (the Spark winnowing-pairs
+    output): wedge enumeration, 1/ln(deg) weighting, existing-edge
+    exclusion, (-score, u, v) ordering, top-20 cut."""
+    from kafka_go_streamer_spark.plans.timeseries import AA_TOP
+
+    pairs = QUERIES["dedup_winnowing_pairs"](spark, SF).toPandas()
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    }
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    scores: dict = {}
+    for c, ns in nbrs.items():
+        d = len(ns)
+        for u in ns:
+            for v in ns:
+                if u < v and (u, v) not in edges:
+                    n, s = scores.get((u, v), (0, 0.0))
+                    scores[(u, v)] = (n + 1, s + 1.0 / math.log(d))
+    want = sorted(
+        (
+            (u, v, n, round(s, 6))
+            for (u, v), (n, s) in scores.items()
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:AA_TOP]
+    got = [
+        (r["id_a"], r["id_b"], r["n_common"], r["aa_score"])
+        for r in QUERIES["graph_adamic_adar"](spark, SF)
+        .toPandas()
+        .to_dict("records")
+    ]
+    assert len(got) == len(want)
+    for (gu, gv, gn, gs), (wu, wv, wn, ws) in zip(got, want):
+        assert (gu, gv, gn) == (wu, wv, wn)
+        assert gs == pytest.approx(ws, abs=2e-6)
+    # every prediction is a genuinely NEW pair with >=1 shared neighbor
+    for u, v, n, _ in got:
+        assert (min(u, v), max(u, v)) not in edges
+        assert n >= 1

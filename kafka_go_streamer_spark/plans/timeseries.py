@@ -2764,12 +2764,17 @@ def ts_deseasonalized_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     fire every midnight like a raw z-score does on a diurnal metric
     (its naive twin is ``events_zscore_anomaly``).
 
-    Scale: one pass collapses the fact to the hourly rollup; the
-    seasonal index, type mean, and day level are all aggregates OF
-    that rollup; residuals join the rollup against three broadcast
-    frames. Every intermediate is pre-rounded, so both engines
-    difference identical doubles and the top-k (ordered by the
-    ROUNDED z with key tiebreaks) cuts identically."""
+    Scale: one pass collapses the fact to the hourly rollup, which is
+    PINNED — the seasonal index, type mean, day level, residual join,
+    and z-score stats all read the materialized rollup, so the fact
+    parquet is scanned exactly once (unpinned, the four consumers
+    re-derive it: 8 fact scans in the physical plan); residuals join
+    the rollup against three broadcast frames. Every intermediate is
+    pre-rounded, so both engines difference identical doubles and the
+    top-k (ordered by the ROUNDED z with key tiebreaks) cuts
+    identically."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type",
@@ -2781,6 +2786,7 @@ def ts_deseasonalized_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hod"),
     ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    h = pinned(h)  # one fact scan feeds all four consumers
     si = h.groupBy("event_type", "hod").agg(
         stable_round(F.avg("x"), 6).alias("hod_mean")
     )

@@ -2144,18 +2144,28 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the log collapses to DISTINCT (user, day) FIRST — one
     map-side-combinable distinct at user-day cardinality, after which
-    everything is tiny relative to the fact. The trailing window is an
+    everything is tiny relative to the fact. The user-day frame is
+    PINNED — its three consumers (DAU, day domain, offset explode)
+    would otherwise each re-plan the fact scan + distinct (3 fact
+    scans in the physical plan). The trailing window is an
     offset-exploded equi-join of user-days onto target days (7 rows
     per user-day, the same bounded-lag idiom as the EWMA smoother —
-    never a range join), and the distinct-in-window count shuffles
-    only user-day rows. At extreme user counts the exact WAU swaps
-    for the mergeable HLL registers (sketch_hll_hourly_rollup shape)
-    with identical query shape."""
+    never a range join) with the calendar-sized day domain broadcast,
+    and the distinct-in-window count shuffles only user-day rows. At
+    extreme user counts the exact WAU swaps for the mergeable HLL
+    registers (sketch_hll_hourly_rollup shape) with identical query
+    shape."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
-    ).distinct()
+    ud = pinned(
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day"),
+        ).distinct()
+    )  # one fact scan feeds DAU, the day domain, and the offset explode
     dau = ud.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )
@@ -2166,11 +2176,11 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("uday"),
     ).select("user_id", (F.col("uday") + F.col("off")).alias("day"))
     wau = (
-        days.join(offs, "day")
+        offs.join(F.broadcast(days), "day")
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
-    return dau.join(wau, "day").select(
+    return dau.join(F.broadcast(wau), "day").select(
         "day",
         "dau",
         "wau",
@@ -2294,9 +2304,11 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(dst).alias("event_type"))
             .agg(F.sum(F.col("n") * F.col("_v")).alias("v"))
         )
-        return states.join(contrib, "event_type", "left").select(
-            "event_type", F.coalesce("v", F.lit(0.0)).alias(out)
-        )
+        # contrib is state-cardinality: broadcast it so the zero-fill
+        # never plans a SortMergeJoin (exchange+sort) on a |types| frame
+        return states.join(
+            F.broadcast(contrib), "event_type", "left"
+        ).select("event_type", F.coalesce("v", F.lit(0.0)).alias(out))
 
     a = None
     for _ in range(HITS_ITERS):
@@ -2322,8 +2334,10 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed their own L1 normalizer — a bounded 4x of a linear lineage,
     # which Catalyst plans in one job (no barrier needed)
     return (
-        states.join(_normed(h, "hub", "hub"), "event_type")
-        .join(_normed(a, "auth", "authority"), "event_type")
+        states.join(F.broadcast(_normed(h, "hub", "hub")), "event_type")
+        .join(
+            F.broadcast(_normed(a, "auth", "authority")), "event_type"
+        )
         .select("event_type", "hub", "authority")
         .orderBy("event_type")
     )

@@ -1572,27 +1572,37 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: centroids are ONE map-side-combinable aggregate over the
     exploded (label, half, dim, value) frame — label×2×d rows out of
-    any corpus size; all distance algebra runs on that tiny frame,
+    any corpus size — with the per-half vector count riding the same
+    aggregate, so the corpus is scanned exactly once and the pinned
+    centroid frame feeds all three consumers (halves A/B broadcast-
+    joined, count rollup); all distance algebra runs on that tiny
+    frame,
     pre-rounded so both engines compare identical doubles."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
-        "vec_id",
         F.posexplode("embedding").alias("dim0", "val"),
     ).select(
         "label",
         "half",
-        "vec_id",
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.col("val").cast("double").alias("val"),
     )
-    cent = ex.groupBy("label", "half", "dim").agg(
-        stable_round(F.avg("val"), 6).alias("c")
+    # the per-half vector count rides the SAME aggregate as the
+    # centroid (each vector contributes every dim exactly once, so the
+    # per-dim row count IS the vector count): one corpus scan total,
+    # pinned so halves A/B and the count rollup read label*2*d rows
+    # instead of re-planning the scan+explode three times
+    cent = pinned(
+        ex.groupBy("label", "half", "dim").agg(
+            stable_round(F.avg("val"), 6).alias("c"),
+            F.count(F.lit(1)).cast("long").alias("nv"),
+        )
     )
-    n = ex.select("label", "half", "vec_id").distinct().groupBy(
-        "label", "half"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = cent.groupBy("label", "half").agg(F.max("nv").alias("n"))
     a = cent.filter(F.col("half") == 0).select(
         "label", "dim", F.col("c").alias("ca")
     )
@@ -1600,7 +1610,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "dim", F.col("c").alias("cb")
     )
     m = (
-        a.join(b, ["label", "dim"])
+        a.join(F.broadcast(b), ["label", "dim"])
         .groupBy("label")
         .agg(
             F.sqrt(

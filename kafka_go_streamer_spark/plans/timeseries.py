@@ -2987,7 +2987,10 @@ def ts_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     product sum is an EQUI-join of the rollup with itself on
     (event_type, hour+lag) — generated by a lag explode, never a
     range join — and the denominator is one aggregate of the same
-    rollup. Pre-rounded hourly means and mean make both engines
+    rollup. The rollup is bounded by |types| x |hours| (calendar-
+    sized, independent of fact volume), so the un-exploded right side
+    is broadcast: the lag join plans hash, not sort-merge, at any
+    corpus size. Pre-rounded hourly means and mean make both engines
     multiply identical doubles."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
@@ -3024,7 +3027,7 @@ def ts_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hour_idx", F.col("x").alias("xb")
     )
     return (
-        a.join(b, ["event_type", "hour_idx"])
+        a.join(F.broadcast(b), ["event_type", "hour_idx"])
         .join(F.broadcast(st), "event_type")
         .groupBy("event_type", F.col("lag").cast("long").alias("lag"))
         .agg(

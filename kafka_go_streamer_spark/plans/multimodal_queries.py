@@ -356,10 +356,19 @@ def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     d = load_table(spark, sf_dir, "documents")
-    sigs = perceptual_signatures(
-        synthetic_image_blobs(d, "doc_id", "text"), "key", "blob"
-    ).select(F.col("key").alias("doc_id"), "sig")
+    # pinned: the decode mapInPandas is the expensive stage, and the
+    # signature frame has two consumers (banding + blob count) —
+    # unpinned, the synthesize+decode scan is re-planned under each
+    # (3 decode scans observed; pinned, blobs decode exactly once and
+    # only the 8-byte signatures materialize)
+    sigs = pinned(
+        perceptual_signatures(
+            synthetic_image_blobs(d, "doc_id", "text"), "key", "blob"
+        ).select(F.col("key").alias("doc_id"), "sig")
+    )
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -376,7 +385,7 @@ def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     wn = Window.partitionBy("band", "key")
-    capped = (
+    capped = pinned(  # both self-join sides read the capped frame
         bands.withColumn("_n", F.count(F.lit(1)).over(wn))
         .filter(F.col("_n") <= PHASH_BUCKET_CAP)
         .drop("_n")

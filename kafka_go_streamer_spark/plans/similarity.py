@@ -1187,11 +1187,16 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner's discipline. Ranks order by the ROUNDED similarity with a
     vec_id tiebreak, so both engines rank identically; the ideal DCG
     unrolls to a branch chain on n_rel (no second ranking pass)."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"),
+    # k-row panel, pinned: consumed by the scorer AND the n_rel join
+    q = pinned(
+        emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -1217,9 +1222,18 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.row_number().over(wr).alias("rk"),
     )
-    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
-    nrel = ranked.groupBy("qid").agg(
-        F.sum(rel).cast("long").alias("n_rel")
+    # n_rel never needs the ranked frame: it is the corpus label
+    # histogram minus the query itself (the only same-label row the
+    # vec_id != qid filter removes).  Deriving it from `ranked` would
+    # duplicate the whole panel x corpus scoring subtree under a
+    # second consumer (4 corpus scans observed); this way the corpus
+    # is scanned once for scoring and once, column-pruned to `label`,
+    # for the histogram.
+    lab = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    nrel = q.join(F.broadcast(lab), "qlabel").select(
+        "qid", (F.col("_cnt") - 1).cast("long").alias("n_rel")
     )
     dcg = (
         ranked.filter(F.col("rk") <= NDCG_K)
@@ -1335,7 +1349,9 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "dim", (F.col("val") - F.col("mu")).alias("cval")
         )
     )
-    nn = ex.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    # vector count straight off the un-exploded table (column-pruned
+    # scan of vec_id only; the exploded frame would pay d rows/vector)
+    nn = emb.agg(F.countDistinct("vec_id").cast("long").alias("n"))
     v = centered.select("dim").distinct().select(
         "dim", F.lit(0.125).alias("v")
     )
@@ -1350,7 +1366,13 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        w = (
+        # d rows; pinned because BOTH the normalizer and the next
+        # iterate consume it — unpinned, each consumer re-plans the
+        # corpus-sized centered><t join underneath (9 SortMergeJoins
+        # observed for the 2 genuine ones).  The vec-keyed join
+        # itself stays sort-merge: both sides are corpus-sized, the
+        # one shuffle per iteration this algorithm genuinely needs.
+        w = pinned(
             centered.join(t, "vec_id")
             .groupBy("dim")
             .agg(F.sum(F.col("cval") * F.col("t")).alias("w"))
@@ -1464,6 +1486,7 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from kafka_go_streamer_spark.functions.vectors import as_double, dot
+    from kafka_go_streamer_spark.operators.iterate import pinned
 
     emb = load_table(spark, sf_dir, "embeddings")
     sub = emb.select(
@@ -1479,8 +1502,16 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"slice(ev, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
         ).alias("sv"),
     )
-    cb = sub.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS)).select(
-        "sub", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    # 8-row codebook and (sub x 32)-row mean frame are pinned: they
+    # are tiny but sit under multiple consumers, and unpinned each
+    # consumer re-plans the scan+slice subtree (4 corpus scans
+    # observed; pinned, the two genuine passes: assignment + variance)
+    cb = pinned(
+        sub.filter(F.col("vec_id").isin(*PQ_CODEBOOK_IDS)).select(
+            "sub",
+            F.col("vec_id").alias("cent_id"),
+            F.col("sv").alias("cv"),
+        )
     )
     d2 = stable_round(
         dot(F.col("sv"), F.col("sv"))
@@ -1502,8 +1533,10 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sub.select(
         "sub", F.posexplode("sv").alias("dim0", "val")
     ).select("sub", (F.col("dim0") + 1).alias("dim"), "val")
-    mu = ex.groupBy("sub", "dim").agg(
-        stable_round(F.avg("val"), 6).alias("m")
+    mu = pinned(
+        ex.groupBy("sub", "dim").agg(
+            stable_round(F.avg("val"), 6).alias("m")
+        )
     )
     var = (
         ex.join(F.broadcast(mu), ["sub", "dim"])

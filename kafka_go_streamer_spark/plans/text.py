@@ -1935,8 +1935,13 @@ def retrieval_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("double").alias("df")
     )
     expansion = (
-        tf.join(F.broadcast(rel.select("doc_id")), "doc_id")
-        .filter(~F.col("w").isin(*BM25_TERMS))
+        # the pseudo-relevant term frame is bounded by PRF_DOCS
+        # documents' postings — broadcast it so the join against the
+        # vocab-sized df frame streams dfall instead of sort-merging
+        F.broadcast(
+            tf.join(F.broadcast(rel.select("doc_id")), "doc_id")
+            .filter(~F.col("w").isin(*BM25_TERMS))
+        )
         .join(dfall, "w")
         .crossJoin(F.broadcast(stats))
         .groupBy(F.col("w").alias("term"), F.col("df"), F.col("n"))

@@ -2070,7 +2070,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact collapses to the (type, hour) rollup in one
     map-side-combinable pass; every window and join below runs on that
-    HOUR-cardinality frame. Both the hourly means and the per-series
+    HOUR-cardinality frame. The rollup and the cusum series are
+    PINNED: each has multiple consumers (stats + series; max +
+    argmax + final), so unpinned the fact parquet is re-planned under
+    every consumer (6 fact scans observed — pinned, exactly one).
+    Both the hourly means and the per-series
     mean are rounded to 6 decimals BEFORE the cumulative sum, so both
     engines accumulate the identical sequence of doubles in the
     identical (hour) order — the cusum is bit-reproducible, and the
@@ -2083,6 +2087,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_idx"
         ),
     ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    h = pinned(h)  # one fact scan feeds the stats and the series
     st = h.groupBy("event_type").agg(
         stable_round(F.avg("x"), 6).alias("mu"),
         stable_round(F.stddev_samp("x"), 6).alias("sd"),
@@ -2093,12 +2100,14 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cs = h.join(F.broadcast(st), "event_type").select(
-        "event_type",
-        "hour_idx",
-        "nh",
-        "sd",
-        F.sum(F.col("x") - F.col("mu")).over(wcs).alias("cusum"),
+    cs = pinned(  # consumed by the max, the argmax, and the final join
+        h.join(F.broadcast(st), "event_type").select(
+            "event_type",
+            "hour_idx",
+            "nh",
+            "sd",
+            F.sum(F.col("x") - F.col("mu")).over(wcs).alias("cusum"),
+        )
     )
     mx = cs.groupBy("event_type", "nh", "sd").agg(
         F.max(F.abs(F.col("cusum"))).alias("s_max")
@@ -2514,7 +2523,13 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") > F.col(f"e{i}"), 1).otherwise(0)
         for i in range(1, PSI_BINS)
     )
-    binned = (
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    # type x 10 rows; pinned because BOTH the totals and the final PSI
+    # read it — unpinned, each consumer re-plans the two fact scans
+    # underneath (4 scans observed; pinned, the two genuine passes:
+    # one for the value counts, one for the percentile edges)
+    binned = pinned(
         v.join(F.broadcast(edges), "event_type")
         .groupBy("event_type", bin_expr.alias("bin"))
         .agg(
@@ -3179,10 +3194,18 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
-    g = z.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("z").alias("s"),
-        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    # k rows; pinned because both the grand totals and the SSB/SSW
+    # pass read it — unpinned, each re-plans the median + deviation
+    # fact scans underneath (4 scans observed; pinned, exactly 2:
+    # the genuine median pass and the deviation pass)
+    g = pinned(
+        z.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("z").alias("s"),
+            F.sum(F.col("z") * F.col("z")).alias("ss"),
+        )
     )
     t = g.agg(
         F.sum("n").cast("long").alias("nn"),

@@ -708,13 +708,18 @@ def test_ewma_lag_join_is_hash_not_range(spark, sf_dir):
 
 
 def test_phash_band_join_is_capped_equi(spark, sf_dir):
-    """Perceptual-hash candidate generation is a band-key equi (hash)
-    join, never all-pairs. (The one nested-loop join in the plan is
-    the 1-row n_blobs stats broadcast — constant-size by
-    construction.)"""
+    """Perceptual-hash candidate generation is a band-key equi join,
+    never all-pairs. Any equi strategy is acceptable — the band frame
+    is corpus-sized, so sort-merge/shuffled-hash is the plan a real
+    cluster would (and should) pick; broadcast only ever appeared at
+    fixture scale. (The one nested-loop join in the plan is the 1-row
+    n_blobs stats broadcast — constant-size by construction.)"""
     plan = physical_plan(QUERIES["multimodal_phash_bands"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert re.search(r"BroadcastHashJoin \[band#\d+, key#\d+", plan)
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band#\d+, key#\d+",
+        plan,
+    )
 
 
 def test_prf_reuses_one_tf_table(spark, sf_dir):

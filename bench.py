@@ -191,6 +191,22 @@ HEADLINE = [
     "graph_label_propagation",
     "text_rake_keywords",
     "retrieval_query_expansion_prf",
+    # round-9 closing wave (appended, common prefix still comparable):
+    # the iterative k-core peel and HITS loops, the pinned-rollup
+    # CUSUM/PSI/ACF time-series passes, the panel-broadcast nDCG eval,
+    # the two-pass PQ quantizer, the conditional-density Kaplan-Meier,
+    # and the O(n log n) Kendall tau — the newest queries with
+    # nontrivial shuffle structure, so their ratios are measured
+    "graph_kcore_decomposition",
+    "events_hits_hubs",
+    "ts_cusum_changepoint",
+    "quality_psi_drift",
+    "ts_autocorrelation_acf",
+    "retrieval_ndcg_eval",
+    "embedding_pq_quantize",
+    "events_kaplan_meier",
+    "stats_kendall_tau_daily",
+    "stats_anova_oneway",
 ]
 
 

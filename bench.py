@@ -207,6 +207,11 @@ HEADLINE = [
     "events_kaplan_meier",
     "stats_kendall_tau_daily",
     "stats_anova_oneway",
+    # final round-9 wave: rescaled-range Hurst (block windows over the
+    # hourly rollup) and per-language lexical diversity (vocab-sized
+    # downstream after one explode+count)
+    "ts_hurst_rs",
+    "text_ttr_lexical_diversity",
 ]
 
 

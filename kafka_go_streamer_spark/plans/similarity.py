@@ -1669,3 +1669,126 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("l2"), 6).alias("centroid_l2"),
         stable_round(F.col("cos"), 6).alias("centroid_cos"),
     )
+
+
+@query(
+    "retrieval_precision_recall_at_k",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < {NDCG_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, label,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC
+             ) AS rk
+      FROM scored
+    ),
+    nrel AS (
+      SELECT qid,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+               AS n_rel
+      FROM ranked GROUP BY 1
+    ),
+    hits AS (
+      SELECT qid,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+               AS hits
+      FROM ranked WHERE rk <= {NDCG_K} GROUP BY 1
+    )
+    SELECT h.qid AS query_id, n.n_rel, h.hits,
+           round(h.hits * 1.0 / {NDCG_K}, 6) AS p_at_k,
+           round(h.hits * 1.0 / nullif(n.n_rel, 0), 6) AS r_at_k,
+           round(2.0 * h.hits / nullif({NDCG_K} + n.n_rel, 0), 6)
+             AS f1_at_k
+    FROM hits h JOIN nrel n USING (qid)
+    """,
+)
+def retrieval_precision_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision@k / Recall@k / F1@k of the brute-force cosine ranking
+    for the evaluation query panel (label equality = relevance) — the
+    set-based companions to NDCG's rank-weighted view. Precision says
+    how clean the top-k page is, recall how much of the relevant pool
+    it surfaced; together they catch the two distinct failure modes a
+    retrieval change can introduce (junk at the top vs truncated
+    coverage).
+
+    Scale: identical discipline to ``retrieval_ndcg_eval`` — the query
+    panel is pinned and broadcast, the corpus is scanned ONCE for the
+    codegen'd cosine scoring, and n_rel comes from the corpus label
+    histogram (column-pruned second scan), never a re-score of the
+    panel join. F1 simplifies to 2·hits/(k + n_rel) because P and R
+    share the hits numerator."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = pinned(
+        emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            stable_round(
+                cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        "qlabel",
+        "label",
+        F.row_number().over(wr).alias("rk"),
+    )
+    hits = (
+        ranked.filter(F.col("rk") <= NDCG_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits")
+        )
+    )
+    lab = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    nrel = q.join(F.broadcast(lab), "qlabel").select(
+        "qid", (F.col("_cnt") - 1).cast("long").alias("n_rel")
+    )
+    nz = lambda c: F.when(c != 0, c)  # noqa: E731 — nullif twin
+    return hits.join(F.broadcast(nrel), "qid").select(
+        F.col("qid").alias("query_id"),
+        "n_rel",
+        "hits",
+        stable_round(F.col("hits") * 1.0 / NDCG_K, 6).alias("p_at_k"),
+        stable_round(
+            F.col("hits") * 1.0 / nz(F.col("n_rel")), 6
+        ).alias("r_at_k"),
+        stable_round(
+            2.0 * F.col("hits") / nz(F.lit(NDCG_K) + F.col("n_rel")), 6
+        ).alias("f1_at_k"),
+    )

@@ -1961,3 +1961,59 @@ def retrieval_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("score").desc(), F.col("term").asc())
         .limit(PRF_TERMS)
     )
+
+
+@query(
+    "text_ttr_lexical_diversity",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest({X.words_sql('text')}) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT lang, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2
+    )
+    SELECT lang,
+           sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS vocab_size,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(count(*) / sqrt(sum(c)), 6) AS root_ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS hapax_ratio
+    FROM vocab GROUP BY 1 ORDER BY lang
+    """,
+)
+def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per language: type-token ratio, root
+    TTR (Guiraud's index — TTR's length-bias-corrected form), and the
+    hapax share of the vocabulary. Low diversity flags templated or
+    machine-generated text the quality scorer's length/punctuation
+    ratios miss; per-language baselines matter because raw TTR is not
+    comparable across languages with different morphology.
+
+    Scale: one explode + one (lang, word) count collapse the corpus to
+    vocabulary cardinality; everything after runs on the vocab frame
+    (map-side combinable, no self-joins, no windows over the corpus).
+    The same single-pass shape as the Zipf/Good-Turing queries —
+    per-language here, whole-corpus there."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(X.words(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    types = F.count(F.lit(1))
+    toks = F.sum("c")
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            toks.cast("long").alias("n_tokens"),
+            types.cast("long").alias("vocab_size"),
+            hapax.cast("long").alias("n_hapax"),
+            stable_round(types * 1.0 / toks, 6).alias("ttr"),
+            stable_round(types / F.sqrt(toks), 6).alias("root_ttr"),
+            stable_round(hapax * 1.0 / types, 6).alias("hapax_ratio"),
+        )
+        .orderBy("lang")
+    )

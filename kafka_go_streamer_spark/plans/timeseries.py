@@ -3563,3 +3563,374 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "id_a", "id_b")
         .limit(AA_TOP)
     )
+
+
+def _ljung_box_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    acf = ORACLES["ts_autocorrelation_acf"]
+    return f"""
+    WITH acf AS ({acf}),
+    nn AS (
+      SELECT event_type, count(*)::BIGINT AS n FROM (
+        SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_idx
+        FROM events GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT a.event_type, nn.n AS n_hours, count(*)::BIGINT AS m_lags,
+           round(nn.n * (nn.n + 2.0)
+                 * sum(a.acf * a.acf / (nn.n - a.lag)), 4) AS lb_stat
+    FROM acf a JOIN nn USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+@query("stats_ljung_box", oracle=_ljung_box_oracle)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event type: Q = n(n+2) ·
+    Σ_{{k=1..m}} ρ̂²_k/(n−k) over the hourly-series autocorrelations —
+    the standard "is there ANY serial correlation left" diagnostic a
+    forecaster runs on model residuals (large Q ⇒ the seasonal-naive /
+    EWMA model is leaving structure on the table). Composes the ACF
+    query's own output, so the two stay consistent by construction.
+
+    Scale: the ACF subplan already collapses the fact to the
+    calendar-sized hourly rollup; this adds one count of that rollup
+    (n per series) and an aggregation over |types| × m_lags rows —
+    constant-size work on top of the ACF's single fact shuffle. The
+    rounded-ρ inputs make the Q statistic bit-stable across engines."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    acf = _Q["ts_autocorrelation_acf"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    nn = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        )
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    )
+    return (
+        acf.join(F.broadcast(nn), "event_type")
+        .groupBy("event_type", "n_hours")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_lags"),
+            stable_round(
+                F.col("n_hours")
+                * (F.col("n_hours") + 2.0)
+                * F.sum(
+                    F.col("acf")
+                    * F.col("acf")
+                    / (F.col("n_hours") - F.col("lag"))
+                ),
+                4,
+            ).alias("lb_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: Rescaled-range block sizes for the Hurst estimate (points per
+#: block; three octaves give the log-log fit its x-spread).
+HURST_BLOCKS = (16, 32, 64)
+
+
+@query(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    rn AS (
+      SELECT event_type, hour_idx, x,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+             ) AS rn
+      FROM h
+    ),
+    ex AS (
+      SELECT r.event_type, r.hour_idx, r.x, n.n,
+             floor((r.rn - 1) / n.n)::BIGINT AS blk
+      FROM rn r CROSS JOIN (
+        SELECT unnest([{", ".join(str(n) for n in HURST_BLOCKS)}]) AS n
+      ) n
+    ),
+    w AS (
+      SELECT event_type, n, blk, hour_idx, x,
+             count(*) OVER (PARTITION BY event_type, n, blk) AS cnt,
+             round(avg(x) OVER (PARTITION BY event_type, n, blk), 6)
+               AS m,
+             round(stddev_pop(x) OVER (PARTITION BY event_type, n, blk),
+                   6) AS s
+      FROM ex
+    ),
+    z AS (
+      SELECT event_type, n, blk, s,
+             sum(x - m) OVER (
+               PARTITION BY event_type, n, blk ORDER BY hour_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS zc
+      FROM w WHERE cnt = n
+    ),
+    rs AS (
+      SELECT event_type, n, blk,
+             round((max(zc) - min(zc)) / max(s), 6) AS rs
+      FROM z GROUP BY 1, 2, 3 HAVING max(s) > 0
+    ),
+    a AS (
+      SELECT event_type, n, count(*)::BIGINT AS n_blocks,
+             round(avg(rs), 6) AS avg_rs
+      FROM rs GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type, n_blocks, ln(n * 1.0) AS lx, ln(avg_rs) AS ly
+      FROM a
+    )
+    SELECT event_type,
+           sum(n_blocks)::BIGINT AS n_blocks,
+           count(*)::BIGINT AS n_sizes,
+           round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+                 / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)),
+                 4) AS hurst_exponent
+    FROM pts GROUP BY 1 ORDER BY 1
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type by classic rescaled-range (R/S)
+    analysis: split the hourly series into blocks of {HURST_BLOCKS}
+    points, compute each block's range-of-cumulative-deviations over
+    its standard deviation, average per block size, and fit the
+    log-log slope — H≈0.5 is a random walk, H>0.5 long-range
+    persistence (load trends), H<0.5 mean reversion. The diagnostic
+    that says whether the EWMA/seasonal forecasters' assumptions hold
+    at all.
+
+    Scale: the fact collapses to the calendar-sized hourly rollup
+    first (one map-side-combinable shuffle); the 3-way block-size
+    explode and every window after run on that rollup, with window
+    partitions bounded by the largest block (64 rows). The log-log
+    OLS sees ≤3 points per series. Hourly means, block means/sds, and
+    per-block R/S are all rounded to 6 before downstream arithmetic,
+    and the cumulative deviation sums in identical hour order — both
+    engines fold the identical doubles.
+
+    The per-block cumulative-deviation window is the same in-block
+    running-sum shape the CUSUM changepoint uses; blocks that would be
+    partial at the tail (cnt < n) are dropped so every R/S sees a full
+    window, and zero-variance blocks drop out before the ratio."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    h = pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+    wrn = Window.partitionBy("event_type").orderBy("hour_idx")
+    rn = h.select(
+        "event_type",
+        "hour_idx",
+        "x",
+        F.row_number().over(wrn).alias("rn"),
+    )
+    ex = rn.select(
+        "event_type",
+        "hour_idx",
+        "x",
+        F.explode(
+            F.array(*[F.lit(n) for n in HURST_BLOCKS])
+        ).alias("n"),
+        F.col("rn").alias("rn"),
+    ).select(
+        "event_type",
+        "hour_idx",
+        "x",
+        "n",
+        F.floor((F.col("rn") - 1) / F.col("n")).cast("long").alias("blk"),
+    )
+    wb = Window.partitionBy("event_type", "n", "blk")
+    w = ex.select(
+        "event_type",
+        "n",
+        "blk",
+        "hour_idx",
+        "x",
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+        stable_round(F.avg("x").over(wb), 6).alias("m"),
+        stable_round(F.stddev_pop("x").over(wb), 6).alias("s"),
+    )
+    wz = (
+        Window.partitionBy("event_type", "n", "blk")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    z = w.filter(F.col("cnt") == F.col("n")).select(
+        "event_type",
+        "n",
+        "blk",
+        "s",
+        F.sum(F.col("x") - F.col("m")).over(wz).alias("zc"),
+    )
+    rs = (
+        z.groupBy("event_type", "n", "blk")
+        .agg(
+            F.max("s").alias("smax"),
+            stable_round(
+                (F.max("zc") - F.min("zc")) / F.max("s"), 6
+            ).alias("rs"),
+        )
+        .filter(F.col("smax") > 0)
+    )
+    a = rs.groupBy("event_type", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        stable_round(F.avg("rs"), 6).alias("avg_rs"),
+    )
+    pts = a.select(
+        "event_type",
+        "n_blocks",
+        F.log(F.col("n") * 1.0).alias("lx"),
+        F.log("avg_rs").alias("ly"),
+    )
+    cnt = F.count(F.lit(1))
+    slope = (
+        cnt * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly")
+    ) / (
+        cnt * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")
+    )
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+            cnt.cast("long").alias("n_sizes"),
+            stable_round(slope, 4).alias("hurst_exponent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _jaccard_neighbors_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    return f"""
+    WITH wpairs AS ({wpairs}),
+    e AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM wpairs
+    ),
+    adj AS (
+      SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e
+    ),
+    deg AS (SELECT x AS node, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+    cand AS (
+      SELECT a1.x AS u, a2.x AS v, count(*)::BIGINT AS n_common
+      FROM adj a1
+      JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT c.u, c.v, c.n_common,
+             round(c.n_common * 1.0
+                   / (du.d + dv.d - c.n_common), 6) AS jaccard
+      FROM cand c
+      JOIN deg du ON du.node = c.u
+      JOIN deg dv ON dv.node = c.v
+    )
+    SELECT s.u AS id_a, s.v AS id_b, s.n_common, s.jaccard
+    FROM sc s LEFT JOIN e ON e.a = s.u AND e.b = s.v
+    WHERE e.a IS NULL
+    ORDER BY s.jaccard DESC, s.u, s.v LIMIT {AA_TOP}
+    """
+
+
+@query("graph_jaccard_neighbors", oracle=_jaccard_neighbors_oracle)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the winnowing-overlap
+    document graph: for every non-adjacent pair with at least one
+    common neighbor, |N(u)∩N(v)| / |N(u)∪N(v)| — the set-overlap
+    companion to Adamic-Adar's rarity-weighted score. Jaccard favors
+    pairs whose neighborhoods agree PROPORTIONALLY (two 3-neighbor
+    docs sharing all 3 beat two hubs sharing 10 of 200), so the two
+    predictors disagree exactly where hub structure matters, and
+    running both is the standard link-prediction ablation.
+
+    Scale: same wedge join as the triangle/Adamic-Adar family (capped,
+    pinned, sparse edge list), grouped to pair cardinality before the
+    degree joins; the union size comes from inclusion-exclusion on the
+    degree table (no neighborhood materialization), existing edges
+    drop via anti-join, top-{AA_TOP} by rounded score with id
+    tie-breaks. deg_u + deg_v − n_common ≥ max(deg) ≥ 1, so the ratio
+    never divides by zero."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    e = pinned(
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).distinct()
+    )
+    adj = pinned(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+            e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        )
+    )
+    deg = pinned(
+        adj.groupBy(F.col("x").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+    )
+    a1 = adj.select(F.col("x").alias("u"), F.col("y").alias("c"))
+    a2 = adj.select(F.col("x").alias("v"), F.col("y").alias("c"))
+    cand = (
+        a1.join(a2, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sc = (
+        cand.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "n_common",
+            stable_round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("du") + F.col("dv") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    new = sc.join(
+        e,
+        (sc["u"] == e["a"]) & (sc["v"] == e["b"]),
+        "left_anti",
+    )
+    return (
+        new.select(
+            F.col("u").alias("id_a"),
+            F.col("v").alias("id_b"),
+            "n_common",
+            "jaccard",
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(AA_TOP)
+    )

@@ -738,3 +738,45 @@ def test_kappa_single_pass_no_shuffle_of_docs(spark, sf_dir):
     plan = physical_plan(QUERIES["quality_gate_agreement_kappa"](spark, sf_dir))
     assert plan.count("Exchange") <= 2  # partial -> final agg only
     assert "Window" not in plan
+
+
+def test_hurst_single_fact_scan_no_cartesian(spark, sf_dir):
+    """Hurst R/S must read the events parquet exactly once (the pinned
+    hourly rollup feeds the block explode); the 3-way block-size fan
+    is an in-row explode, never a cross join."""
+    plan = physical_plan(QUERIES["ts_hurst_rs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 0  # pinned rollup only
+
+
+def test_ttr_is_joinless_two_stage_aggregate(spark, sf_dir):
+    """Lexical diversity is explode -> (lang, word) count -> per-lang
+    aggregate: no join of any kind, one corpus scan."""
+    plan = physical_plan(
+        QUERIES["text_ttr_lexical_diversity"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_precision_recall_two_corpus_scans(spark, sf_dir):
+    """P/R@k scans the embeddings corpus exactly twice: once for the
+    cosine scoring, once (column-pruned to `label`) for the relevance
+    histogram — never a re-score of the panel join per consumer."""
+    plan = physical_plan(
+        QUERIES["retrieval_precision_recall_at_k"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_neighbors_equi_wedge_join(spark, sf_dir):
+    """Neighborhood-Jaccard candidates come from the equi wedge join on
+    the pinned edge list — no all-pairs, no nested loop; degrees join
+    by key, the union via inclusion-exclusion (no neighborhood
+    arrays)."""
+    plan = physical_plan(QUERIES["graph_jaccard_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan parquet" not in plan  # everything reads pinned frames

@@ -2341,3 +2341,131 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hub", "authority")
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT user_id,
+             round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS h,
+             max(n)::BIGINT AS n_events
+      FROM (
+        SELECT user_id, c,
+               sum(c) OVER (PARTITION BY user_id) AS n
+        FROM ut
+      ) GROUP BY 1
+    )
+    SELECT round(h, 1) AS entropy_bucket,
+           count(*)::BIGINT AS n_users,
+           round(avg(n_events), 2) AS avg_events
+    FROM ent GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity profile: Shannon entropy of each user's
+    event-type mix, histogrammed at 0.1-nat resolution with the mean
+    activity per bucket — separates single-action users (H = 0, often
+    bots or landing-page bounces) from diverse engaged users, and the
+    bucket×volume view shows whether heavy users are heavy because
+    they do MORE KINDS of things or more of one thing.
+
+    Scale: one (user, type) count shuffle, a user-partitioned window
+    for the per-user total (k ≤ |types| rows per partition), the
+    entropy fold per user, then a constant-sized bucket histogram —
+    cardinality shrinks monotonically at every step, all aggregates
+    map-side combinable. Probabilities are exact integer ratios, so
+    the entropy doubles are identical on both engines before the
+    rounded bucketing."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wn = Window.partitionBy("user_id")
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        ut.select("user_id", "c", F.sum("c").over(wn).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            stable_round(-F.sum(p * F.log(p)), 6).alias("h"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+    )
+    return (
+        ent.groupBy(stable_round(F.col("h"), 1).alias("entropy_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            stable_round(F.avg("n_events"), 2).alias("avg_events"),
+        )
+        .orderBy("entropy_bucket")
+    )
+
+
+#: Experiment sizing: two-sided alpha = 0.05, power = 0.80, and the
+#: minimum detectable effect as a fraction of the observed mean.
+POWER_Z_ALPHA = 1.959964
+POWER_Z_BETA = 0.841621
+POWER_MDE_FRAC = 0.05
+
+
+@query(
+    "events_power_analysis",
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type, count(*)::BIGINT AS n_obs,
+             round(stddev_samp(value), 6) AS sd,
+             round(abs(avg(value)) * {POWER_MDE_FRAC}, 6) AS mde
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_obs, sd, mde,
+           ceil(2.0 * pow({POWER_Z_ALPHA} + {POWER_Z_BETA}, 2)
+                * sd * sd / (mde * mde))::BIGINT AS n_required,
+           (n_obs >= 2 * ceil(2.0 * pow({POWER_Z_ALPHA} + {POWER_Z_BETA}, 2)
+                              * sd * sd / (mde * mde))::BIGINT)
+             AS feasible_now
+    FROM st ORDER BY event_type
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing per event type: the per-arm sample size n =
+    2(z_α/2 + z_β)²σ²/δ² needed to detect a {POWER_MDE_FRAC:.0%} shift
+    of the mean at α = 0.05 with 80% power (normal approximation —
+    the design-stage companion to the Welch test that ANALYZES the
+    experiment afterwards), and whether the observed volume could
+    already feed both arms. Over- and under-powered tests are the two
+    standard A/B failure modes; this is the query that catches both
+    before launch.
+
+    Scale: one map-side-combinable aggregate over the fact — count,
+    mean, and variance in a single pass; everything after is constant
+    arithmetic on |types| rows. σ and δ are rounded to 6 before the
+    sizing formula so both engines ceil the identical double."""
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        stable_round(F.stddev_samp("value"), 6).alias("sd"),
+        stable_round(
+            F.abs(F.avg("value")) * POWER_MDE_FRAC, 6
+        ).alias("mde"),
+    )
+    n_req = F.ceil(
+        2.0
+        * F.pow(F.lit(POWER_Z_ALPHA + POWER_Z_BETA), 2)
+        * F.col("sd")
+        * F.col("sd")
+        / (F.col("mde") * F.col("mde"))
+    ).cast("long")
+    return st.select(
+        "event_type",
+        "n_obs",
+        "sd",
+        "mde",
+        n_req.alias("n_required"),
+        (F.col("n_obs") >= 2 * n_req).alias("feasible_now"),
+    ).orderBy("event_type")

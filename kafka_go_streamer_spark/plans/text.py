@@ -2017,3 +2017,76 @@ def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Burstiness report size: the top-N corpus words by total count.
+BURST_TOP = 15
+
+
+@query(
+    "text_burstiness",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({X.words_sql('text')}) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT word, doc_id, count(*)::BIGINT AS c FROM w GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    agg AS (
+      SELECT word, sum(c)::BIGINT AS total,
+             count(*)::BIGINT AS docs_present,
+             sum(c * c) AS ss
+      FROM c GROUP BY 1
+    )
+    SELECT word, total, docs_present,
+           round(((ss - total * total * 1.0 / nd.n) / (nd.n - 1))
+                 / (total * 1.0 / nd.n), 4) AS fano
+    FROM agg, nd
+    ORDER BY total DESC, word ASC LIMIT {BURST_TOP}
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Fano factor) for the top-{BURST_TOP} corpus
+    words: variance-to-mean ratio of the per-document count, zeros
+    included — function words scatter near-Poisson (fano ≈ 1) while
+    topical and boilerplate words clump (fano ≫ 1). Church & Gale's
+    classic observation, and a dedup-adjacent signal: a high-frequency
+    word with extreme burstiness usually marks template text
+    concentrated in few documents.
+
+    Scale: one explode + one (word, doc) count collapse the corpus;
+    zeros are never materialized — the full-corpus variance comes from
+    inclusion-exclusion on (Σc², Σc, N) with the 1-row document count
+    broadcast. Top-N by total with a word tie-break keeps the output
+    deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            "doc_id", F.explode(X.words(F.col("text"))).alias("word")
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = c.groupBy("word").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("docs_present"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("total") * 1.0 / F.col("n")
+    var = (F.col("ss") - F.col("total") * F.col("total") * 1.0 / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "total",
+            "docs_present",
+            stable_round(var / mean, 4).alias("fano"),
+        )
+        .orderBy(F.col("total").desc(), F.col("word").asc())
+        .limit(BURST_TOP)
+    )

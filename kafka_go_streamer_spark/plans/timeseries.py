@@ -3934,3 +3934,202 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(AA_TOP)
     )
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, round(avg(x), 6) AS mu FROM h GROUP BY 1
+    ),
+    sg AS (
+      SELECT h.event_type, h.hour_idx,
+             CASE WHEN h.x > st.mu THEN 1 ELSE 0 END AS s
+      FROM h JOIN st USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER (
+                    PARTITION BY event_type ORDER BY hour_idx
+                  ) IS DISTINCT FROM s THEN 1 ELSE 0 END AS strt
+      FROM sg
+    ),
+    agg AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(s)::BIGINT AS n_above,
+             (count(*) - sum(s))::BIGINT AS n_below,
+             sum(strt)::BIGINT AS n_runs
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n AS n_hours, n_above, n_below, n_runs,
+           CASE WHEN 2.0 * n_above * n_below > n THEN
+             round((n_runs - (1.0 + 2.0 * n_above * n_below / n))
+                   / sqrt(2.0 * n_above * n_below
+                          * (2.0 * n_above * n_below - n)
+                          / (n * n * (n - 1.0))), 4)
+           END AS z_stat
+    FROM agg ORDER BY 1
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the hourly series per event type:
+    code each hour above/below the series mean, count the runs, and
+    z-score against the exact null moments — too FEW runs means the
+    hours cluster (regimes, trends the ACF quantifies), too MANY means
+    oscillation. The nonparametric randomness check that needs no
+    distributional assumption at all, complementing Ljung-Box (which
+    assumes stationarity) and Hurst (which assumes scaling).
+
+    Scale: the fact collapses to the calendar-sized hourly rollup; the
+    run boundaries are one lag() window over it and the null moments
+    are exact integer arithmetic on (n_above, n_below) — nothing after
+    the rollup shuffle exceeds |types| × |hours| rows. The degenerate
+    all-one-side case (variance term ≤ 0) reports NULL on both
+    engines."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    h = pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+    st = h.groupBy("event_type").agg(
+        stable_round(F.avg("x"), 6).alias("mu")
+    )
+    sg = h.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hour_idx",
+        F.when(F.col("x") > F.col("mu"), 1).otherwise(0).alias("s"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("hour_idx")
+    r = sg.select(
+        "event_type",
+        "s",
+        F.when(
+            ~F.lag("s").over(wl).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("strt"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
+        F.sum("strt").cast("long").alias("n_runs"),
+    )
+    two_ab = 2.0 * F.col("n_above") * F.col("n_below")
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(
+            two_ab > F.col("n"),
+            stable_round(
+                (F.col("n_runs") - (1.0 + two_ab / F.col("n")))
+                / F.sqrt(
+                    two_ab
+                    * (two_ab - F.col("n"))
+                    / (F.col("n") * F.col("n") * (F.col("n") - 1.0))
+                ),
+                4,
+            ),
+        ).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+#: Variance-ratio horizon (hours): VR(k) compares k-step to 1-step
+#: increment variance; 4 gives three overlapping lags of headroom.
+VR_K = 4
+
+
+@query(
+    "ts_variance_ratio",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type,
+             x - lag(x, 1) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+             ) AS d1,
+             x - lag(x, {VR_K}) OVER (
+               PARTITION BY event_type ORDER BY hour_idx
+             ) AS dk
+      FROM h
+    ),
+    v AS (
+      SELECT event_type, count(d1)::BIGINT AS n_diffs,
+             round(var_samp(d1), 6) AS v1,
+             round(var_samp(dk), 6) AS vk
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n_diffs,
+           round(vk / ({VR_K} * nullif(v1, 0)), 4) AS variance_ratio,
+           round((vk / ({VR_K} * nullif(v1, 0)) - 1.0)
+                 / sqrt(2.0 * (2 * {VR_K} - 1) * ({VR_K} - 1)
+                        / (3.0 * {VR_K} * n_diffs)), 4) AS z_stat
+    FROM v ORDER BY 1
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per event type: if the hourly
+    series is a random walk, the variance of {VR_K}-hour increments is
+    exactly {VR_K}× the 1-hour increment variance — VR < 1 flags mean
+    reversion, VR > 1 momentum. The third leg of the random-walk
+    triangle with Hurst (scaling) and the runs test (sign patterns),
+    each making a different assumption.
+
+    Scale: one fact collapse to the hourly rollup, two lag() windows
+    over it (row-offset, gap-agnostic by construction — both engines
+    difference the same row sequence), one variance aggregate per
+    series. Increment variances are rounded to 6 before the ratio so
+    both engines divide identical doubles; a zero 1-step variance
+    yields NULL, not ±inf."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    h = pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+    wl = Window.partitionBy("event_type").orderBy("hour_idx")
+    d = h.select(
+        "event_type",
+        (F.col("x") - F.lag("x", 1).over(wl)).alias("d1"),
+        (F.col("x") - F.lag("x", VR_K).over(wl)).alias("dk"),
+    )
+    v = d.groupBy("event_type").agg(
+        F.count("d1").cast("long").alias("n_diffs"),
+        stable_round(F.var_samp("d1"), 6).alias("v1"),
+        stable_round(F.var_samp("dk"), 6).alias("vk"),
+    )
+    v1nz = F.when(F.col("v1") != 0, F.col("v1"))
+    vr = F.col("vk") / (VR_K * v1nz)
+    se = F.sqrt(
+        F.lit(2.0 * (2 * VR_K - 1) * (VR_K - 1))
+        / (3.0 * VR_K * F.col("n_diffs"))
+    )
+    return v.select(
+        "event_type",
+        "n_diffs",
+        stable_round(vr, 4).alias("variance_ratio"),
+        stable_round((vr - 1.0) / se, 4).alias("z_stat"),
+    ).orderBy("event_type")

@@ -1071,3 +1071,49 @@ def quality_near_dup_rate_by_source(
             ).alias("dup_rate"),
         )
     )
+
+
+def _dup_severity_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    jac = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH pairs AS ({jac})
+    SELECT round(floor(jaccard * 10) / 10.0, 1) AS jaccard_bucket,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(jaccard), 4) AS avg_jaccard
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("dedup_severity_histogram", oracle=_dup_severity_oracle)
+def dedup_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication-severity profile: the verified n-gram-Jaccard
+    candidate pairs histogrammed at 0.1 resolution — the one-glance
+    answer to "is our duplication problem boilerplate fragments
+    (mass at 0.3-0.5) or wholesale copies (mass at 0.9-1.0)?", which
+    decides whether the dedup pipeline should drop documents or
+    extract spans. Composes the verifier's own output, so the profile
+    stays consistent with what the pipeline actually removes.
+
+    Scale: everything above the histogram is the ngram-Jaccard
+    subplan's already-audited candidate discipline (banded, capped,
+    verify-on-candidates-only); the histogram itself collapses the
+    pair list to ≤10 rows in one map-side-combinable pass. Jaccard is
+    rounded to 4 upstream, so the floor-bucketing is deterministic on
+    both engines."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = _Q["dedup_ngram_jaccard"](spark, sf_dir)
+    return (
+        pairs.groupBy(
+            stable_round(
+                F.floor(F.col("jaccard") * 10) / 10.0, 1
+            ).alias("jaccard_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            stable_round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("jaccard_bucket")
+    )

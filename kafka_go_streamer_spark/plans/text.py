@@ -2090,3 +2090,179 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), F.col("word").asc())
         .limit(BURST_TOP)
     )
+
+
+#: TextRank geometry: graph restricted to the TR_VOCAB most frequent
+#: words (the documented production cap — rank quality concentrates in
+#: the head), TR_ITERS damped iterations, top TR_TOP keywords out.
+TR_VOCAB = 50
+TR_ITERS = 3
+TR_DAMP = 0.85
+TR_TOP = 15
+
+
+def _textrank_oracle() -> str:
+    base = f"""
+    w AS (SELECT {X.words_sql('text')} AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    freq AS (
+      SELECT word, count(*)::BIGINT AS c FROM (
+        SELECT a AS word FROM bg UNION ALL SELECT b FROM bg
+      ) GROUP BY 1
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word,
+               row_number() OVER (ORDER BY c DESC, word ASC) AS rk
+        FROM freq
+      ) WHERE rk <= {TR_VOCAB}
+    ),
+    eu AS (
+      SELECT a, b, count(*)::BIGINT AS n FROM (
+        SELECT a, b FROM bg UNION ALL SELECT b AS a, a AS b FROM bg
+      )
+      WHERE a <> b
+        AND a IN (SELECT word FROM vocab)
+        AND b IN (SELECT word FROM vocab)
+      GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT a AS f, b AS t, n / sum(n) OVER (PARTITION BY a) AS p
+      FROM eu
+    ),
+    nodes AS (SELECT DISTINCT f AS node FROM ew),
+    ns AS (SELECT count(*) AS nn FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT nn FROM ns) AS r FROM nodes)"""
+    iters = []
+    for k in range(1, TR_ITERS + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             {1.0 - TR_DAMP} / (SELECT nn FROM ns)
+             + {TR_DAMP} * coalesce((
+                 SELECT sum(prev.r * ew.p)
+                 FROM ew JOIN r{k - 1} prev ON prev.node = ew.f
+                 WHERE ew.t = n.node), 0) AS r
+      FROM nodes n
+    )""")
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(iters)
+        + f"""
+    SELECT node AS word, round(r, 6) AS textrank
+    FROM r{TR_ITERS}
+    ORDER BY textrank DESC, word ASC LIMIT {TR_TOP}"""
+    )
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): damped PageRank
+    over the word co-occurrence graph — adjacent-word edges, symmetric,
+    weighted by transition probability — restricted to the {TR_VOCAB}
+    most frequent words. Centrality-based keywords complement RAKE's
+    degree/frequency heuristic: RAKE rewards words inside long
+    stopword-free runs, TextRank rewards words that CONNECT the
+    vocabulary, and the overlap of both lists is the robust keyword
+    set.
+
+    Scale: bigrams generate positionally in-row (the PMI query's
+    discipline — the corpus is never self-joined); the frequency cap
+    bounds the graph at {TR_VOCAB} nodes so the iteration runs on a
+    constant-size frame with 1-row/edge-table broadcasts, identical to
+    the behavioral PageRank loop. One corpus scan at pin time, full
+    stop. At 100 TB only the bigram count shuffle grows; the rank loop
+    is cardinality-fixed by construction."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = pinned(
+        d.select(X.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> struct(ws[i] AS a, ws[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    freq = (
+        bg.select(F.col("a").alias("word"))
+        .unionByName(bg.select(F.col("b").alias("word")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wv = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    vocab = pinned(
+        freq.select("word", F.row_number().over(wv).alias("rk"))
+        .filter(F.col("rk") <= TR_VOCAB)
+        .select("word")
+    )
+    sym = bg.unionByName(
+        bg.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b"))
+    eu = (
+        sym.join(
+            F.broadcast(vocab.withColumnRenamed("word", "a")), "a"
+        )
+        .join(F.broadcast(vocab.withColumnRenamed("word", "b")), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wf = Window.partitionBy("a")
+    ew = pinned(
+        eu.select(
+            F.col("a").alias("f"),
+            F.col("b").alias("t"),
+            (F.col("n") / F.sum("n").over(wf)).alias("p"),
+        )
+    )
+    nodes = ew.select(F.col("f").alias("node")).distinct()
+    ns = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = nodes.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("r"), "nn"
+    )
+    for _ in range(TR_ITERS):
+        contrib = (
+            ew.join(
+                F.broadcast(
+                    ranks.select(F.col("node").alias("f"), "r")
+                ),
+                "f",
+            )
+            .groupBy("t")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("c"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(
+                F.broadcast(contrib.withColumnRenamed("t", "node")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - TR_DAMP) / F.col("nn")
+                    + TR_DAMP * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+                "nn",
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            stable_round(F.col("r"), 6).alias("textrank"),
+        )
+        .orderBy(F.col("textrank").desc(), F.col("word").asc())
+        .limit(TR_TOP)
+    )

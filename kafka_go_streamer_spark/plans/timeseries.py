@@ -4133,3 +4133,88 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(vr, 4).alias("variance_ratio"),
         stable_round((vr - 1.0) / se, 4).alias("z_stat"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, hour_idx % 24 AS hod,
+             round(avg(x), 6) AS seasonal
+      FROM h GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT h.event_type, h.x, h.x - s.seasonal AS resid
+      FROM h JOIN s ON s.event_type = h.event_type
+                   AND s.hod = h.hour_idx % 24
+    ),
+    v AS (
+      SELECT event_type, count(*)::BIGINT AS n_hours,
+             round(var_samp(x), 6) AS var_total,
+             round(var_samp(resid), 6) AS var_resid
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n_hours, var_total, var_resid,
+           round(greatest(0.0, 1.0 - var_resid / nullif(var_total, 0)),
+                 4) AS seasonal_strength
+    FROM v ORDER BY event_type
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength of diurnal seasonality per event type (Hyndman's
+    F_s = max(0, 1 − Var(remainder)/Var(series)) with the hour-of-day
+    profile as the seasonal component): 0 means the daily shape
+    explains nothing, →1 means the series IS its daily cycle. The
+    one-number answer to "should this metric use the seasonal-naive
+    forecaster or is the deseasonalized-anomaly detector just adding
+    noise?" — the selector in front of both.
+
+    Scale: one fact collapse to the calendar-sized hourly rollup
+    (pinned: the 24-row profile AND the residual join both read it),
+    a broadcast join of the 24×|types| profile, two variance
+    aggregates. Profile means and variances are rounded to 6 before
+    the ratio; a constant series (zero variance) reports NULL strength
+    on both engines rather than 0/0."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    h = pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+    s = h.groupBy(
+        "event_type", (F.col("hour_idx") % 24).alias("hod")
+    ).agg(stable_round(F.avg("x"), 6).alias("seasonal"))
+    r = h.withColumn("hod", F.col("hour_idx") % 24).join(
+        F.broadcast(s), ["event_type", "hod"]
+    )
+    v = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        stable_round(F.var_samp("x"), 6).alias("var_total"),
+        stable_round(
+            F.var_samp(F.col("x") - F.col("seasonal")), 6
+        ).alias("var_resid"),
+    )
+    vt = F.when(F.col("var_total") != 0, F.col("var_total"))
+    return v.select(
+        "event_type",
+        "n_hours",
+        "var_total",
+        "var_resid",
+        stable_round(
+            F.greatest(
+                F.lit(0.0), 1.0 - F.col("var_resid") / vt
+            ),
+            4,
+        ).alias("seasonal_strength"),
+    ).orderBy("event_type")

@@ -2542,3 +2542,172 @@ def events_interarrival_burstiness(
             (F.col("sd_gap") - F.col("mean_gap")) / denom, 4
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+def _entropy_rate_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    markov = ORACLES["events_markov_stationary"]
+    return f"""
+    WITH m AS ({markov}),
+    seq2 AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t2 AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             round(count(*) * 1.0 / sum(count(*)) OVER (
+               PARTITION BY event_type), 6) AS p
+      FROM seq2 WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT count(DISTINCT m.event_type)::BIGINT AS n_states,
+             -sum(m.pi * t2.p * ln(t2.p)) AS hr
+      FROM m JOIN t2 ON t2.from_type = m.event_type
+    )
+    SELECT n_states, round(hr, 4) AS entropy_rate,
+           round(ln(n_states * 1.0), 4) AS max_entropy,
+           round(1.0 - hr / ln(n_states * 1.0), 4) AS predictability
+    FROM h
+    """
+
+
+@query("events_markov_entropy_rate", oracle=_entropy_rate_oracle)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the behavioral Markov chain: H = −Σᵢ πᵢ Σⱼ
+    pᵢⱼ ln pᵢⱼ with π from the stationary-distribution query and P the
+    rounded transition matrix — bits-per-step unpredictability of user
+    behavior, and 1 − H/ln(k) as the predictability headroom a
+    next-event model could exploit. The chain-level summary on top of
+    the per-state stationary view, kept consistent by composing that
+    query's own π.
+
+    Scale: the π subplan and the transition matrix each cost one
+    lead() window shuffle over the fact (the stationary query's
+    audited shape); the entropy contraction is a k²-row weighted sum.
+    π and p are both pre-rounded to 6, so the engines fold identical
+    doubles."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pi = _Q["events_markov_stationary"](spark, sf_dir).select(
+        "event_type", "pi"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    wf = Window.partitionBy("from_type")
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = t.select(
+        "from_type",
+        "to_type",
+        stable_round(
+            F.col("n") * 1.0 / F.sum("n").over(wf), 6
+        ).alias("p"),
+    )
+    h = (
+        pi.join(
+            t, pi["event_type"] == t["from_type"]
+        )
+        .agg(
+            F.count_distinct(pi["event_type"])
+            .cast("long")
+            .alias("n_states"),
+            (-F.sum(F.col("pi") * F.col("p") * F.log("p"))).alias("hr"),
+        )
+    )
+    hmax = F.log(F.col("n_states") * 1.0)
+    return h.select(
+        "n_states",
+        stable_round(F.col("hr"), 4).alias("entropy_rate"),
+        stable_round(hmax, 4).alias("max_entropy"),
+        stable_round(1.0 - F.col("hr") / hmax, 4).alias(
+            "predictability"
+        ),
+    )
+
+
+#: Skew report: how many of the heaviest keys to aggregate into the
+#: concentration share.
+SKEW_TOP = 10
+
+
+@query(
+    "quality_join_key_skew",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+             max(c)::BIGINT AS max_per_key,
+             round(avg(c), 6) AS mean_per_key
+      FROM k
+    ),
+    top AS (
+      SELECT sum(c)::BIGINT AS top_rows FROM (
+        SELECT c FROM k ORDER BY c DESC, user_id ASC LIMIT {SKEW_TOP}
+      )
+    )
+    SELECT t.n_rows, t.n_keys, t.mean_per_key, t.max_per_key,
+           round(t.max_per_key / t.mean_per_key, 4) AS skew_factor,
+           round(top.top_rows * 1.0 / t.n_rows, 6)
+             AS top{SKEW_TOP}_share
+    FROM t, top
+    """,
+)
+def quality_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the pipeline's hottest shuffle key
+    (user_id): max-over-mean rows per key and the row share owned by
+    the {SKEW_TOP} heaviest keys — the numbers that decide whether the
+    per-user windows and joins need salting (operators/skew.py's
+    salted variant) or AQE's skew-join split before a 100 TB run, read
+    BEFORE the job instead of from its straggler tasks after.
+
+    Scale: one map-side-combinable key count, a constant-size moment
+    aggregate, and a {SKEW_TOP}-row TakeOrdered — the diagnostic costs
+    one shuffle of pre-combined (key, count) pairs, nothing else."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    k = pinned(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    t = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_per_key"),
+        stable_round(F.avg("c"), 6).alias("mean_per_key"),
+    )
+    top = (
+        k.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOP)
+        .agg(F.sum("c").cast("long").alias("top_rows"))
+    )
+    return t.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "mean_per_key",
+        "max_per_key",
+        stable_round(
+            F.col("max_per_key") / F.col("mean_per_key"), 4
+        ).alias("skew_factor"),
+        stable_round(
+            F.col("top_rows") * 1.0 / F.col("n_rows"), 6
+        ).alias(f"top{SKEW_TOP}_share"),
+    )

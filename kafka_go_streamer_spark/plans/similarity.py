@@ -1792,3 +1792,69 @@ def retrieval_precision_recall_at_k(
             2.0 * F.col("hits") / nz(F.lit(NDCG_K) + F.col("n_rel")), 6
         ).alias("f1_at_k"),
     )
+
+
+#: Dimension-variance report size.
+DIMVAR_TOP = 10
+
+
+@query(
+    "embedding_dim_variance",
+    oracle=f"""
+    WITH ex AS (
+      SELECT t.i AS dim, embedding[t.i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    d AS (
+      SELECT dim::BIGINT AS dim, round(var_samp(val), 6) AS variance
+      FROM ex GROUP BY 1
+    ),
+    tot AS (SELECT sum(variance) AS tv FROM d)
+    SELECT d.dim, d.variance,
+           round(d.variance / tot.tv, 6) AS share,
+           row_number() OVER (
+             ORDER BY d.variance DESC, d.dim ASC
+           )::BIGINT AS rank
+    FROM d, tot
+    ORDER BY d.variance DESC, d.dim ASC LIMIT {DIMVAR_TOP}
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rogue-dimension diagnostic: the {DIMVAR_TOP} highest-variance
+    embedding dimensions and their share of total variance. A handful
+    of dominant dimensions is the classic anisotropy pathology
+    (Timkey & van Schijndel) that wrecks cosine similarity — this is
+    the per-axis view behind the power-iteration top-PC query (which
+    finds the dominant DIRECTION; this finds dominant COORDINATES,
+    the ones dimension-wise whitening or clipping would treat).
+
+    Scale: one posexplode + (dim) variance aggregate — d-cardinality
+    after the map-side combine — and a broadcast 1-row total;
+    per-dim variances round to 6 before the share and the ranking, so
+    ordering ties break identically on both engines."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "val")
+    ).select((F.col("dim0") + 1).cast("long").alias("dim"), "val")
+    d = ex.groupBy("dim").agg(
+        stable_round(F.var_samp("val"), 6).alias("variance")
+    )
+    tot = d.agg(F.sum("variance").alias("tv"))
+    wr = Window.orderBy(F.col("variance").desc(), F.col("dim").asc())
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "variance",
+            stable_round(F.col("variance") / F.col("tv"), 6).alias(
+                "share"
+            ),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .orderBy(F.col("variance").desc(), F.col("dim").asc())
+        .limit(DIMVAR_TOP)
+    )

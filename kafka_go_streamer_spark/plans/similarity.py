@@ -1835,13 +1835,19 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from kafka_go_streamer_spark.functions.vectors import as_double
+    from kafka_go_streamer_spark.operators.iterate import pinned
 
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         F.posexplode(as_double(F.col("embedding"))).alias("dim0", "val")
     ).select((F.col("dim0") + 1).cast("long").alias("dim"), "val")
-    d = ex.groupBy("dim").agg(
-        stable_round(F.var_samp("val"), 6).alias("variance")
+    # d-row frame, pinned: both the total-variance aggregate and the
+    # final ranking read it — unpinned, each consumer re-plans the
+    # corpus-sized posexplode scan underneath (2 scans observed)
+    d = pinned(
+        ex.groupBy("dim").agg(
+            stable_round(F.var_samp("val"), 6).alias("variance")
+        )
     )
     tot = d.agg(F.sum("variance").alias("tv"))
     wr = Window.orderBy(F.col("variance").desc(), F.col("dim").asc())

@@ -780,3 +780,64 @@ def test_jaccard_neighbors_equi_wedge_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan parquet" not in plan  # everything reads pinned frames
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["stats_runs_test", "ts_variance_ratio", "ts_seasonal_strength"],
+)
+def test_rollup_diagnostics_read_pinned_rollup_only(spark, sf_dir, name):
+    """The random-walk/seasonality diagnostics run entirely on the
+    pinned hourly rollup: zero parquet scans in the final plan, no
+    nested loops."""
+    plan = physical_plan(QUERIES[name](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_textrank_iterations_read_pinned_graph(spark, sf_dir):
+    """TextRank's rank loop runs on the pinned vocab-capped edge frame:
+    the corpus parquet is scanned only at pin time (zero scans in the
+    final plan), and the iteration joins are broadcasts, never
+    sort-merge of the corpus."""
+    plan = physical_plan(QUERIES["text_textrank_keywords"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_entropy_single_scan_shrinking_cardinality(spark, sf_dir):
+    """User entropy is one corpus scan and joinless: (user, type)
+    count -> user window -> bucket histogram."""
+    plan = physical_plan(QUERIES["events_user_entropy"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_key_skew_zero_scans_after_pin(spark, sf_dir):
+    """The skew triage reads the pinned key-count frame for both the
+    moments and the top-k; the single BroadcastNestedLoopJoin is the
+    1-row stats crossJoin, constant-size by construction."""
+    plan = physical_plan(QUERIES["quality_join_key_skew"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_variance_reads_pinned_frame(spark, sf_dir):
+    """Dim-variance pins the d-row per-dimension frame so the total
+    and the ranking share ONE posexplode scan — zero parquet scans in
+    the final plan; the only nested loop is the 1-row total-variance
+    broadcast."""
+    plan = physical_plan(QUERIES["embedding_dim_variance"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interarrival_burstiness_one_window_one_scan(spark, sf_dir):
+    """Burstiness is the sessionizer's lag window + one moment
+    aggregate: single scan, no joins at all."""
+    plan = physical_plan(
+        QUERIES["events_interarrival_burstiness"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -2711,3 +2711,97 @@ def quality_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_rows") * 1.0 / F.col("n_rows"), 6
         ).alias(f"top{SKEW_TOP}_share"),
     )
+
+
+def _half_life_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    ret = ORACLES["events_retention_weekly"]
+    return f"""
+    WITH r AS ({ret}),
+    base AS (
+      SELECT cohort_week, n_active AS cohort_size FROM r
+      WHERE week_offset = 0
+    ),
+    pts AS (
+      SELECT r.cohort_week, b.cohort_size,
+             r.week_offset * 1.0 AS k,
+             ln(round(r.n_active * 1.0 / b.cohort_size, 6)) AS ly
+      FROM r JOIN base b USING (cohort_week)
+      WHERE r.week_offset >= 1
+    ),
+    fit AS (
+      SELECT cohort_week, max(cohort_size)::BIGINT AS cohort_size,
+             count(*)::BIGINT AS n_weeks,
+             (count(*) * sum(k * ly) - sum(k) * sum(ly))
+               / (count(*) * sum(k * k) - sum(k) * sum(k)) AS slope
+      FROM pts GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT cohort_week, cohort_size, n_weeks,
+           round(slope, 4) AS decay_slope,
+           CASE WHEN slope < 0
+                THEN round(-ln(2) / slope, 2) END AS half_life_weeks
+    FROM fit ORDER BY cohort_week
+    """
+
+
+@query("events_cohort_half_life", oracle=_half_life_oracle)
+def events_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per weekly cohort: fit ln(retentionₖ) ~ k
+    over the cohort's observed weeks (exponential-decay model) and
+    report −ln2/slope — "in how many weeks does this cohort halve?",
+    the single number product teams track across launches instead of
+    eyeballing the full retention triangle. Composes the retention
+    query's own counts, so triangle and half-life can never disagree.
+
+    Scale: everything data-sized is the retention subplan's audited
+    shape (two user-cardinality aggregates over one reused exchange);
+    the log-linear fit is one grouped aggregate over the
+    cohort×offset-cardinality triangle — weeks-squared rows at most.
+    Retention ratios round to 6 before the log; a non-decaying cohort
+    (slope ≥ 0) reports NULL half-life on both engines."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    r = pinned(_Q["events_retention_weekly"](spark, sf_dir))
+    base = r.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    pts = (
+        r.filter(F.col("week_offset") >= 1)
+        .join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "cohort_size",
+            (F.col("week_offset") * 1.0).alias("k"),
+            F.log(
+                stable_round(
+                    F.col("n_active") * 1.0 / F.col("cohort_size"), 6
+                )
+            ).alias("ly"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    slope = (
+        cnt * F.sum(F.col("k") * F.col("ly"))
+        - F.sum("k") * F.sum("ly")
+    ) / (cnt * F.sum(F.col("k") * F.col("k")) - F.sum("k") * F.sum("k"))
+    fit = (
+        pts.groupBy("cohort_week")
+        .agg(
+            F.max("cohort_size").cast("long").alias("cohort_size"),
+            cnt.cast("long").alias("n_weeks"),
+            slope.alias("slope"),
+        )
+        .filter(F.col("n_weeks") >= 2)
+    )
+    return fit.select(
+        "cohort_week",
+        "cohort_size",
+        "n_weeks",
+        stable_round(F.col("slope"), 4).alias("decay_slope"),
+        F.when(
+            F.col("slope") < 0,
+            stable_round(-F.log(F.lit(2.0)) / F.col("slope"), 2),
+        ).alias("half_life_weeks"),
+    ).orderBy("cohort_week")

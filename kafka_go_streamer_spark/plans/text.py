@@ -2266,3 +2266,87 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("textrank").desc(), F.col("word").asc())
         .limit(TR_TOP)
     )
+
+
+@query(
+    "text_distinct_n",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, {X.words_sql('text')} AS ws FROM documents
+    ),
+    uni AS (
+      SELECT lang, count(*)::BIGINT AS n_tokens,
+             count(DISTINCT word)::BIGINT AS d1
+      FROM (SELECT lang, unnest(ws) AS word FROM w) GROUP BY 1
+    ),
+    bi AS (
+      SELECT lang, count(*)::BIGINT AS n_bigrams,
+             count(DISTINCT a || ' ' || b)::BIGINT AS d2
+      FROM (
+        SELECT lang, ws[i] AS a, ws[i + 1] AS b
+        FROM w, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+      ) GROUP BY 1
+    )
+    SELECT u.lang, u.n_tokens,
+           round(u.d1 * 1.0 / u.n_tokens, 6) AS distinct_1,
+           b.n_bigrams,
+           round(b.d2 * 1.0 / b.n_bigrams, 6) AS distinct_2
+    FROM uni u JOIN bi b USING (lang) ORDER BY lang
+    """,
+)
+def text_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 diversity per language (Li et al.'s
+    generation-diversity metric): unique unigrams and bigrams over
+    their totals — the standard dull-response/mode-collapse detector
+    for generated corpora, applied here as a corpus-health gate
+    (synthetic or templated data shows distinct-2 collapsing long
+    before perplexity moves).
+
+    Scale: unigrams and bigrams both generate positionally in-row from
+    ONE tokenized scan; each side is a map-side-combinable distinct
+    aggregate at (lang, gram) cardinality, joined at |langs| rows.
+    Same vocab-collapse discipline as TTR/burstiness, one level up in
+    n."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("lang", X.words(F.col("text")).alias("ws"))
+    uni = (
+        w.select("lang", F.explode("ws").alias("word"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_distinct(F.col("word")).cast("long").alias("d1"),
+        )
+    )
+    bi = (
+        w.filter(F.size("ws") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count_distinct(F.col("bg")).cast("long").alias("d2"),
+        )
+    )
+    return (
+        uni.join(bi, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            stable_round(
+                F.col("d1") * 1.0 / F.col("n_tokens"), 6
+            ).alias("distinct_1"),
+            "n_bigrams",
+            stable_round(
+                F.col("d2") * 1.0 / F.col("n_bigrams"), 6
+            ).alias("distinct_2"),
+        )
+        .orderBy("lang")
+    )

@@ -4218,3 +4218,136 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_strength"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_granger_lag_screen",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT b.event_type AS target, a.event_type AS driver,
+             b.x AS y, bl.x AS x1, a.x AS x2
+      FROM h b
+      JOIN h bl ON bl.event_type = b.event_type
+               AND bl.hour_idx = b.hour_idx - 1
+      JOIN h a ON a.hour_idx = b.hour_idx - 1
+              AND a.event_type <> b.event_type
+    ),
+    s AS (
+      SELECT target, driver, count(*)::BIGINT AS n,
+             avg(y) AS my, avg(x1) AS m1, avg(x2) AS m2,
+             sum(y * y) AS syy_r, sum(x1 * x1) AS s11_r,
+             sum(x2 * x2) AS s22_r, sum(x1 * y) AS s1y_r,
+             sum(x2 * y) AS s2y_r, sum(x1 * x2) AS s12_r
+      FROM j GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT target, driver, n,
+             syy_r - n * my * my AS syy,
+             s11_r - n * m1 * m1 AS s11,
+             s22_r - n * m2 * m2 AS s22,
+             s1y_r - n * m1 * my AS s1y,
+             s2y_r - n * m2 * my AS s2y,
+             s12_r - n * m1 * m2 AS s12
+      FROM s
+    ),
+    m AS (
+      SELECT target, driver, n, syy,
+             syy - s1y * s1y / s11 AS rss_r,
+             syy - ((s1y * s22 - s2y * s12)
+                    / (s11 * s22 - s12 * s12)) * s1y
+                 - ((s2y * s11 - s1y * s12)
+                    / (s11 * s22 - s12 * s12)) * s2y AS rss_f
+      FROM c
+    )
+    SELECT target, driver, n,
+           round((rss_r - rss_f) / syy, 6) AS r2_gain,
+           round((rss_r - rss_f) * (n - 3) / rss_f, 3) AS f_stat
+    FROM m ORDER BY target, driver
+    """,
+)
+def ts_granger_lag_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag screening over every ordered series pair:
+    does adding A's previous hour to B's own previous hour reduce B's
+    residual variance? Closed-form two-regressor OLS via the normal
+    equations — r2_gain is the incremental variance explained, f_stat
+    the one-restriction F. The cross-metric early-warning screen
+    ("errors lead purchases?") a forecaster runs before building any
+    multivariate model; its own-lag baseline keeps the classic
+    spurious-correlation trap (both series trending) out of the
+    score.
+
+    Scale: the fact collapses to the pinned calendar-sized hourly
+    rollup; the lag alignment is two EQUI-joins of the rollup with
+    itself on (type, hour−1) and (hour−1) — never a range join — and
+    all |types|² models come from ONE grouped aggregate of raw sums
+    (the groupwise-OLS discipline: no per-model passes). Everything
+    after the rollup shuffle is |types|²·|hours| bounded."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    h = pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+    b = h.select(
+        F.col("event_type").alias("target"),
+        "hour_idx",
+        F.col("x").alias("y"),
+    )
+    bl = h.select(
+        F.col("event_type").alias("target"),
+        (F.col("hour_idx") + 1).alias("hour_idx"),
+        F.col("x").alias("x1"),
+    )
+    a = h.select(
+        F.col("event_type").alias("driver"),
+        (F.col("hour_idx") + 1).alias("hour_idx"),
+        F.col("x").alias("x2"),
+    )
+    j = (
+        b.join(F.broadcast(bl), ["target", "hour_idx"])
+        .join(F.broadcast(a), "hour_idx")
+        .filter(F.col("driver") != F.col("target"))
+    )
+    s = j.groupBy("target", "driver").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_r"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11_r"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22_r"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y_r"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y_r"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12_r"),
+    )
+    n = F.col("n")
+    syy = F.col("syy_r") - n * F.col("my") * F.col("my")
+    s11 = F.col("s11_r") - n * F.col("m1") * F.col("m1")
+    s22 = F.col("s22_r") - n * F.col("m2") * F.col("m2")
+    s1y = F.col("s1y_r") - n * F.col("m1") * F.col("my")
+    s2y = F.col("s2y_r") - n * F.col("m2") * F.col("my")
+    s12 = F.col("s12_r") - n * F.col("m1") * F.col("m2")
+    det = s11 * s22 - s12 * s12
+    bhat = (s1y * s22 - s2y * s12) / det
+    chat = (s2y * s11 - s1y * s12) / det
+    rss_r = syy - s1y * s1y / s11
+    rss_f = syy - bhat * s1y - chat * s2y
+    return s.select(
+        "target",
+        "driver",
+        "n",
+        stable_round((rss_r - rss_f) / syy, 6).alias("r2_gain"),
+        stable_round((rss_r - rss_f) * (n - 3) / rss_f, 3).alias(
+            "f_stat"
+        ),
+    ).orderBy("target", "driver")

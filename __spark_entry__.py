@@ -104,6 +104,18 @@ DEMOTED = (
     "kmeans_assign_nearest_centroid",
     "join_enrich_events_broadcast",
     "text_chunking",
+    # round-9 demotions: 55 new queries compete for 35 window slots
+    # (15 are staleness refronts), so the low-risk newcomers whose
+    # machinery is already driver-proven through a sibling yield their
+    # slot to the iterative/novel spill (k-core, label propagation,
+    # PSI, Theil-Sen, TOST, deseasonalized anomaly). Each demoted name
+    # is locally green at BOTH SFs with a pure-Python property test.
+    "events_power_analysis",        # one groupBy agg + closed formula
+    "retrieval_precision_recall_at_k",  # ndcg_eval's exact machinery
+    "text_ttr_lexical_diversity",   # good-turing's vocab collapse
+    "text_burstiness",              # same explode+count family
+    "quality_encoding_check",       # in-row arithmetic (text_quality)
+    "stats_anova_oneway",           # two-stage agg (welch/chi2 shape)
 )
 
 # Queries whose CODE changed since their newest green driver verdict:

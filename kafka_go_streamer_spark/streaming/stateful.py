@@ -363,3 +363,78 @@ def kll_quantiles_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Streaming Misra-Gries top-k (deterministic heavy hitters): counter
+#: budget per event type.
+MG_K = 8
+MG_STREAM_SCHEMA = (
+    "event_type string, user_id bigint, est bigint, "
+    "max_err bigint, n_total bigint"
+)
+_MG_STATE = "items array<long>, counts array<long>, n bigint"
+
+
+def _mg_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from kafka_go_streamer_spark.operators.topk import MisraGries
+
+    mg = MisraGries(MG_K)
+    if state.exists:
+        items, counts, n = state.get
+        mg.counters = {
+            int(i): int(c) for i, c in zip(items, counts)
+        }
+        mg.n = int(n)
+    for pdf in pdfs:
+        if len(pdf):
+            mg.update_many(int(u) for u in pdf["user_id"])
+    state.update(
+        (
+            list(mg.counters.keys()),
+            [int(c) for c in mg.counters.values()],
+            mg.n,
+        )
+    )
+    err = mg.max_error()
+    items = sorted(
+        mg.counters.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(items),
+            "user_id": [i for i, _ in items],
+            "est": [c for _, c in items],
+            "max_err": [err] * len(items),
+            "n_total": [mg.n] * len(items),
+        }
+    )
+
+
+def mg_topk_stream(events: DataFrame) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: the k-counter deterministic
+    top-k summary per event type, carried through the state store —
+    the undercounting, hash-free counterpart of the Count-Min grid
+    stream (which overcounts and needs a D×W grid). State is EXACTLY
+    k counters + one total per key forever.
+
+    The decrement step makes the summary order-sensitive (like KLL's
+    compaction), so bit-equality with a batch pass is not the
+    contract; the invariants that ARE exact after any stream prefix —
+    and that the tests assert against true batch counts — are
+    (a) n_total equals the true per-type row count, (b) every
+    estimate undercounts its true count by at most max_err =
+    (n − Σ counts)/(k+1), and (c) any item with true count >
+    n/(k+1) is retained. Those bounds survive micro-batch boundaries
+    and restarts because the state IS the summary and the summary is
+    mergeable."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _mg_update,
+        outputStructType=MG_STREAM_SCHEMA,
+        stateStructType=_MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

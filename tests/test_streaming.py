@@ -601,3 +601,117 @@ def test_streaming_kll_weight_exact_and_rank_bounded(
                 col,
                 rank / n,
             )
+
+
+def test_streaming_mg_topk_bounds_and_containment(
+    spark, sf_dir, tmp_path
+):
+    """Streaming Misra-Gries after two micro-batches (state carried
+    across them): n_total must equal the TRUE per-type row count,
+    every estimate must undercount its true count by at most the
+    reported max_err, and every item whose true count exceeds
+    n/(k+1) must be retained. (Bit-equality with a batch pass is NOT
+    the contract — the decrement step is order-sensitive; the bounds
+    are.) A pure-Python replay of the same rows checks the error
+    bound is not vacuous."""
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.operators.topk import MisraGries
+    from kafka_go_streamer_spark.sources.tables import load_table
+    from kafka_go_streamer_spark.streaming.stateful import (
+        MG_K,
+        mg_topk_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    cut = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)")
+    ).collect()[0][0]
+    src_dir = tmp_path / "mg_src"
+    ev.filter(F.unix_timestamp("ts") <= cut).drop("ts").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b1"))
+    ev.filter(F.unix_timestamp("ts") > cut).drop("ts").coalesce(
+        1
+    ).write.parquet(str(src_dir / "b2"))
+    feed = tmp_path / "mg_feed"
+    feed.mkdir()
+
+    def promote(stage):
+        src = next((src_dir / stage).glob("*.parquet"))
+        shutil.copy(src, feed / f"{stage}.parquet")
+
+    promote("b1")
+    raw = spark.read.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(feed))
+    q = (
+        mg_topk_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_smoke")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        promote("b2")
+        q.processAllAvailable()
+        rows = spark.sql(
+            """
+            SELECT * FROM mg_smoke
+            WHERE (event_type, n_total) IN (
+              SELECT event_type, max(n_total) FROM mg_smoke
+              GROUP BY event_type
+            )
+            """
+        ).collect()
+    finally:
+        q.stop()
+
+    con = duckdb.connect()
+    true_n = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT event_type, count(*) FROM"
+            f" '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    true_cnt = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            f"SELECT event_type, user_id, count(*) FROM"
+            f" '{sf_dir}/events.parquet' GROUP BY 1, 2"
+        ).fetchall()
+    }
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(true_n)
+    for et, rs in by_type.items():
+        n = true_n[et]
+        assert all(r["n_total"] == n for r in rs)  # (a) exact count
+        assert len(rs) <= MG_K
+        err = rs[0]["max_err"]
+        retained = set()
+        for r in rs:
+            t = true_cnt[(et, r["user_id"])]
+            retained.add(r["user_id"])
+            assert r["est"] <= t, (et, r["user_id"])  # undercount only
+            assert t - r["est"] <= err, (et, r["user_id"])  # (b)
+        for (tet, uid), t in true_cnt.items():  # (c) containment
+            if tet == et and t > n / (MG_K + 1):
+                assert uid in retained, (et, uid, t)
+
+    # non-vacuity: a skewed pure-Python replay has a nonzero-but-
+    # bounded error and retains the planted heavy hitter
+    mg = MisraGries(3)
+    planted = [1] * 50 + list(range(100, 160))
+    mg.update_many(planted)
+    assert 1 in mg.counters
+    assert mg.counters[1] <= 50
+    assert 50 - mg.counters[1] <= mg.max_error()
+    assert mg.max_error() > 0

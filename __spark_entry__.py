@@ -123,30 +123,16 @@ DEMOTED = (
 # No longer hand-curated: tests/test_rotation_staleness.py derives the
 # must-refront set mechanically (ast fingerprint of each query's
 # decorator+body at its green round's record commit vs now) and FAILS
-# if any stale name is missing from this tuple.  Round-9 set:
-#   stats_mad_outliers: nullif guard on MAD=0 groups (ADVICE r8)
-#   window_mom_growth: dropped the fact-sized broadcast hint (ADVICE r8)
-#   sql_api_recursive_cte / graph_doc_centrality / graph_triangle_count:
-#     oracle now registered as a lazy callable (ADVICE r8 import-order
-#     fix; resolved SQL unchanged)
-#   the rest: historic span drift the hand-curated list missed —
-#     surfaced by the new mechanical audit, re-fronted to refresh.
+# if any stale name is missing from this tuple.  Round-10 set (the 15
+# r9 refronts all landed green in CORRECTNESS_r09 with code unchanged
+# since, so they rotate back out):
+#   events_markov_entropy_rate: p > 0 guard before ln(p) on both
+#     engines (ADVICE r9 — rounded-to-zero transition probability)
+#   events_cohort_half_life: retention ratio > 0 guard before the log
+#     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    "text_char_entropy",
-    "stats_mad_outliers",
-    "window_mom_growth",
-    "sql_api_recursive_cte",
-    "graph_doc_centrality",
-    "graph_triangle_count",
-    "agg_grouping_sets",
-    "window_range_frame_1h",
-    "sim_lsh_bucket_pairs",
-    "sim_neardup_ivf_cells",
-    "sim_topk_multi_query",
-    "pack_sequences_greedy",
-    "sample_temperature_mixture",
-    "pipeline_pretraining_full",
-    "retrieval_hybrid_rrf",
+    "events_markov_entropy_rate",
+    "events_cohort_half_life",
 )
 
 

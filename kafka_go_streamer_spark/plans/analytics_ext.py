@@ -2568,6 +2568,7 @@ def _entropy_rate_oracle() -> str:
       SELECT count(DISTINCT m.event_type)::BIGINT AS n_states,
              -sum(m.pi * t2.p * ln(t2.p)) AS hr
       FROM m JOIN t2 ON t2.from_type = m.event_type
+      WHERE t2.p > 0
     )
     SELECT n_states, round(hr, 4) AS entropy_rate,
            round(ln(n_states * 1.0), 4) AS max_entropy,
@@ -2592,7 +2593,11 @@ def events_markov_entropy_rate(
     lead() window shuffle over the fact (the stationary query's
     audited shape); the entropy contraction is a k²-row weighted sum.
     π and p are both pre-rounded to 6, so the engines fold identical
-    doubles."""
+    doubles. Transitions whose 6-rounded p collapses to 0 (a state
+    with >~2M distinct successors at very large scale) are dropped on
+    BOTH engines before the log — the p·ln p → 0 limit term — so
+    DuckDB's hard ln(0) error and Spark's silent NULL can never
+    diverge (ADVICE r9)."""
     from pyspark.sql import Window
 
     from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
@@ -2617,7 +2622,7 @@ def events_markov_entropy_rate(
         stable_round(
             F.col("n") * 1.0 / F.sum("n").over(wf), 6
         ).alias("p"),
-    )
+    ).filter(F.col("p") > 0)
     h = (
         pi.join(
             t, pi["event_type"] == t["from_type"]
@@ -2724,11 +2729,14 @@ def _half_life_oracle() -> str:
       WHERE week_offset = 0
     ),
     pts AS (
-      SELECT r.cohort_week, b.cohort_size,
-             r.week_offset * 1.0 AS k,
-             ln(round(r.n_active * 1.0 / b.cohort_size, 6)) AS ly
-      FROM r JOIN base b USING (cohort_week)
-      WHERE r.week_offset >= 1
+      SELECT cohort_week, cohort_size, k, ln(ratio) AS ly
+      FROM (
+        SELECT r.cohort_week, b.cohort_size,
+               r.week_offset * 1.0 AS k,
+               round(r.n_active * 1.0 / b.cohort_size, 6) AS ratio
+        FROM r JOIN base b USING (cohort_week)
+        WHERE r.week_offset >= 1
+      ) WHERE ratio > 0
     ),
     fit AS (
       SELECT cohort_week, max(cohort_size)::BIGINT AS cohort_size,
@@ -2759,7 +2767,12 @@ def events_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log-linear fit is one grouped aggregate over the
     cohort×offset-cardinality triangle — weeks-squared rows at most.
     Retention ratios round to 6 before the log; a non-decaying cohort
-    (slope ≥ 0) reports NULL half-life on both engines."""
+    (slope ≥ 0) reports NULL half-life on both engines. A week whose
+    6-rounded retention ratio collapses to 0 (cohort > ~2M users with
+    a lone survivor) is excluded from the fit on BOTH engines before
+    the log — otherwise DuckDB hard-errors on ln(0) while Spark emits
+    a NULL that count(*) keeps but the sums skip, skewing the slope
+    (ADVICE r9)."""
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
 
@@ -2774,11 +2787,16 @@ def events_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week",
             "cohort_size",
             (F.col("week_offset") * 1.0).alias("k"),
-            F.log(
-                stable_round(
-                    F.col("n_active") * 1.0 / F.col("cohort_size"), 6
-                )
-            ).alias("ly"),
+            stable_round(
+                F.col("n_active") * 1.0 / F.col("cohort_size"), 6
+            ).alias("ratio"),
+        )
+        .filter(F.col("ratio") > 0)
+        .select(
+            "cohort_week",
+            "cohort_size",
+            "k",
+            F.log("ratio").alias("ly"),
         )
     )
     cnt = F.count(F.lit(1))

@@ -4179,8 +4179,11 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned: the 24-row profile AND the residual join both read it),
     a broadcast join of the 24×|types| profile, two variance
     aggregates. Profile means and variances are rounded to 6 before
-    the ratio; a constant series (zero variance) reports NULL strength
-    on both engines rather than 0/0."""
+    the ratio; for a constant series (zero variance) the nullif makes
+    the ratio term NULL, and greatest() skips NULL arguments in both
+    DuckDB 1.0 and Spark, so BOTH engines report strength 0.0 —
+    never 0/0, never a divergence (contract corrected per ADVICE
+    r9)."""
     from kafka_go_streamer_spark.operators.iterate import pinned
 
     ev = load_table(spark, sf_dir, "events")

@@ -1595,9 +1595,12 @@ def _triangle_oracle() -> str:
     from kafka_go_streamer_spark.plans.registry import ORACLES
 
     wpairs = ORACLES["dedup_winnowing_pairs"]
+    # e is referenced six times (the three-way triangle self-join, the
+    # degree unions, the edge count); MATERIALIZED stops DuckDB's CTE
+    # inlining from re-deriving the winnowing chain per reference.
     return f"""
-    WITH wpairs AS ({wpairs}),
-    e AS (
+    WITH wpairs AS MATERIALIZED ({wpairs}),
+    e AS MATERIALIZED (
       SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
       FROM wpairs
     ),
@@ -2240,8 +2243,14 @@ def _kcore_oracle() -> str:
     from kafka_go_streamer_spark.plans.registry import ORACLES
 
     wpairs = ORACLES["dedup_winnowing_pairs"]
+    # Every per-round CTE is referenced several times (d/e/report);
+    # DuckDB inlines CTEs by default, so without MATERIALIZED the
+    # round-r lineage re-derives rounds 1..r-1 per reference and the
+    # oracle goes quadratic in rounds (measured 55 s vs Spark's ~15 s
+    # at sf0.1 — VERDICT r9 task 3). MATERIALIZED pins each frame
+    # once, the exact analogue of the Spark plan's pinned() barriers.
     parts = [f"""
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
       FROM wpairs
     )"""]
@@ -2254,8 +2263,8 @@ def _kcore_oracle() -> str:
         UNION ALL SELECT b AS node FROM e{r - 1}
       ) GROUP BY 1
     ),
-    k{r} AS (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
-    e{r} AS (
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
       SELECT e.a, e.b FROM e{r - 1} e
       JOIN k{r} ka ON ka.node = e.a
       JOIN k{r} kb ON kb.node = e.b
@@ -2266,7 +2275,7 @@ def _kcore_oracle() -> str:
             " AS edges_kept"
         )
     return (
-        f"WITH wpairs AS ({wpairs}),"
+        f"WITH wpairs AS MATERIALIZED ({wpairs}),"
         + ",".join(parts)
         + " "
         + " UNION ALL ".join(rows)
@@ -2337,16 +2346,19 @@ def _lpa_oracle() -> str:
     from kafka_go_streamer_spark.plans.registry import ORACLES
 
     wpairs = ORACLES["dedup_winnowing_pairs"]
+    # MATERIALIZED for the same reason as _kcore_oracle: l{r-1} is
+    # referenced twice per round and e twice overall, so DuckDB's
+    # default CTE inlining re-derives the whole lineage per reference.
     parts = [f"""
-    e AS (
+    e AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM wpairs
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM wpairs
     ),
-    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""]
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)"""]
     for r in range(1, LPA_ROUNDS + 1):
         parts.append(f"""
-    l{r} AS (
+    l{r} AS MATERIALIZED (
       SELECT l.node, least(l.lbl, min(nl.lbl)) AS lbl
       FROM l{r - 1} l
       JOIN e ON e.src = l.node
@@ -2354,7 +2366,7 @@ def _lpa_oracle() -> str:
       GROUP BY l.node, l.lbl
     )""")
     return (
-        f"WITH wpairs AS ({wpairs}),"
+        f"WITH wpairs AS MATERIALIZED ({wpairs}),"
         + ",".join(parts)
         + f"""
     SELECT lbl AS community, count(*)::BIGINT AS size

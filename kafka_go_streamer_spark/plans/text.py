@@ -991,7 +991,21 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count is map-side combinable, and the top-20 compiles to
     TakeOrderedAndProject; the full pair table is never materialized
     or sorted globally. This is the vocabulary-induction twin of
-    text_ngram_topk one level down (chars, not words)."""
+    text_ngram_topk one level down (chars, not words).
+
+    Measured non-change (r10, VERDICT task 4): the char-entropy
+    treatment — xxhash64'd agg keys (± in-row flatten-once
+    generation) — was A/B'd against this form same-session at sf1,
+    min of 3: string-group two-explode 3.72 s, flatten+string 4.37 s,
+    either explode form with hash-key + min(pair) identity ≈ 8.1-8.6
+    s. Hash keys LOSE here because the pair vocabulary is tiny
+    (≈10³, so string hashing was never the bottleneck) while the
+    extra per-row xxhash64 + min(pair) buffer update doubles the
+    per-byte work; char-entropy's ×2 win came from fixing a
+    quadratic substring seek over LONG texts, a pathology short
+    words don't have. The ×7.4 BENCH_SCALEUP ratio is linear
+    per-byte generation with the small-SF side overhead-dominated —
+    kept as-is deliberately."""
     d = load_table(spark, sf_dir, "documents")
     pairs = (
         d.select(F.explode(X.words(F.col("text"))).alias("w"))

@@ -1,0 +1,684 @@
+"""Round-10 analytics wave: trend/effect-size/association statistics,
+spectral & evaluation time-series diagnostics, graph structure metrics,
+retrieval-ranking evaluation, and sampling diagnostics.
+
+Like every query module here, this is north-star surface the reference
+(a 655-line content-based Kafka router, /root/reference/main.go) never
+had — the operators a training-data pipeline runs NEXT to routing:
+"is this metric trending" (Mann-Kendall), "did the experiment move the
+needle and by how much" (Cohen's d, Wilson CI, Beta posteriors), "is
+the near-dup graph assortative/clustered" (degree assortativity, local
+clustering), "did the retrieval change hurt ranking" (MRR, MAP), "are
+my importance weights degenerate" (effective sample size).
+
+Every query follows the repo's scale discipline: collapse the fact to
+a calendar/vocabulary/panel-sized frame FIRST, do the quadratic or
+windowed part on that bounded frame, keep every join equi- or
+broadcast, round shared doubles before cross-engine folds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+# ----------------------------------------------------------- statistics
+
+#: Wilson confidence level z (two-sided 95%).
+WILSON_Z = 1.96
+#: Success threshold for the per-type conversion proportion.
+WILSON_CUT = 100.0
+#: Kruskal-Wallis value binning scale (2 decimals bounds the rank
+#: vocabulary regardless of fact size).
+KW_SCALE = 2
+
+
+@query(
+    "stats_mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             floor(epoch(ts) / 86400)::BIGINT AS day_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             sum(CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day_idx > a.day_idx
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie
+      FROM (
+        SELECT event_type, x, count(*)::BIGINT AS t
+        FROM d GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    n AS (
+      SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1
+    ),
+    v AS (
+      SELECT n.event_type, n.n, s.s,
+             (n.n * (n.n - 1) * (2 * n.n + 5) - t.tie) / 18.0 AS var_s
+      FROM n JOIN s USING (event_type) JOIN t USING (event_type)
+    )
+    SELECT event_type, n AS n_days, s AS s_stat,
+           round(var_s, 4) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(nullif(var_s, 0))
+                      WHEN s < 0 THEN (s + 1) / sqrt(nullif(var_s, 0))
+                      ELSE 0.0 END, 4) AS z_stat
+    FROM v
+    """,
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type: S = Σ_{i<j}
+    sign(x_j − x_i) over the DAILY value means with the tie-corrected
+    normal approximation z = (S∓1)/√Var(S) — the nonparametric "is
+    this metric trending" answer that needs no linearity or
+    normality, the hypothesis-test companion to the Theil-Sen slope
+    magnitude (``stats_theil_sen_slope`` — same day-rollup pairing).
+
+    Scale: identical discipline to Theil-Sen — the fact collapses to
+    the day rollup first (map-side combinable), so the pairwise join
+    is rollup²-per-type, a few hundred pairs; S and the tie term are
+    exact integer sums, so both engines agree before any float op.
+    A zero-variance (all-tied) series reports NULL z via the nullif
+    guard on both engines; S = 0 reports z = 0 exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400)
+            .cast("long")
+            .alias("day_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+    a = d.select(
+        "event_type", F.col("day_idx").alias("da"), F.col("x").alias("xa")
+    )
+    b = d.select(
+        "event_type", F.col("day_idx").alias("db"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    t = (
+        d.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie")
+        )
+    )
+    n = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nn = F.col("n")
+    var_s = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie")) / 18.0
+    sg = F.sqrt(F.nullif(F.col("var_s"), F.lit(0.0)))
+    return (
+        n.join(s, "event_type")
+        .join(t, "event_type")
+        .select("event_type", "n", "s", var_s.alias("var_s"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            stable_round(F.col("var_s"), 4).alias("var_s"),
+            stable_round(
+                F.when(F.col("s") > 0, (F.col("s") - 1) / sg)
+                .when(F.col("s") < 0, (F.col("s") + 1) / sg)
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("z_stat"),
+        )
+    )
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, (floor(epoch(ts) / 86400)::BIGINT % 7) AS dow,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o)::BIGINT AS r FROM c GROUP BY 1),
+    ct AS (SELECT dow, sum(o)::BIGINT AS cl FROM c GROUP BY 1),
+    n AS (
+      SELECT sum(o)::BIGINT AS n,
+             (SELECT count(*) FROM rt)::BIGINT AS n_rows,
+             (SELECT count(*) FROM ct)::BIGINT AS n_cols
+      FROM c
+    ),
+    chi AS (
+      SELECT sum(pow(c.o - rt.r * ct.cl * 1.0 / n.n, 2)
+                 / (rt.r * ct.cl * 1.0 / n.n)) AS chi2
+      FROM c JOIN rt USING (event_type) JOIN ct USING (dow)
+      CROSS JOIN n
+    )
+    SELECT n.n AS n_events, n.n_rows, n.n_cols,
+           round(chi.chi2, 4) AS chi2,
+           round(sqrt(chi.chi2 / (n.n * least(n.n_rows - 1,
+                                              n.n_cols - 1))), 4)
+             AS cramers_v
+    FROM chi CROSS JOIN n
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between event type and
+    day-of-week: the [0,1]-normalized effect size on top of the χ²
+    independence statistic — the number that says HOW MUCH the
+    categorical pair is associated where the χ² p-value only says
+    whether (``stats_chi2_independence`` is the test; this is the
+    magnitude, comparable across tables of different size/shape).
+    Day-of-week is derived as epoch-day mod 7 so both engines bucket
+    identically with no locale/week-start dependence.
+
+    Scale: one map-side-combinable contingency count to a k×7 frame;
+    marginals and the χ² contraction are arithmetic on that frame
+    (row/column totals are exact integer sums, so expected counts
+    fold identical doubles). Nothing downstream of the first
+    aggregate scales with the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    c = pinned(
+        ev.groupBy(
+            "event_type",
+            (
+                F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7
+            ).alias("dow"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = c.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("o").cast("long").alias("cl"))
+    n = c.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("event_type").cast("long").alias("n_rows"),
+        F.count_distinct("dow").cast("long").alias("n_cols"),
+    )
+    exp = F.col("r") * F.col("cl") * 1.0 / F.col("n")
+    chi = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(F.pow(F.col("o") - exp, 2) / exp).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_events"),
+        "n_rows",
+        "n_cols",
+        stable_round(F.col("chi2"), 4).alias("chi2"),
+        stable_round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "stats_cohens_d",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             count(*)::BIGINT AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN grp = 'a' THEN n END) AS na,
+             max(CASE WHEN grp = 'b' THEN n END) AS nb,
+             max(CASE WHEN grp = 'a' THEN m END) AS ma,
+             max(CASE WHEN grp = 'b' THEN m END) AS mb,
+             max(CASE WHEN grp = 'a' THEN v END) AS va,
+             max(CASE WHEN grp = 'b' THEN v END) AS vb
+      FROM g
+    ),
+    s AS (
+      SELECT na, nb, mb - ma AS diff,
+             sqrt(((na - 1) * va + (nb - 1) * vb)
+                  / (na + nb - 2)) AS sp
+      FROM w
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(diff, 6) AS mean_diff,
+           round(sp, 6) AS pooled_sd,
+           round(diff / sp, 4) AS cohens_d,
+           round((diff / sp) * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)),
+                 4) AS hedges_g
+    FROM s
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size of the A/B cohort split on purchase
+    value: Cohen's d = (m_b − m_a)/s_pooled plus Hedges' small-sample
+    bias correction g — the number a decision memo quotes next to the
+    Welch p-value (``stats_ab_welch_ttest``): significance says the
+    difference is real, d says whether anyone should care.
+
+    Scale: exactly the TOST/Welch shape — one map-side-combinable
+    moment aggregate to two rows, pivoted to one row with a CASE
+    contraction; everything after the first aggregate is constant
+    work. Both engines fold the same doubles; outputs round via the
+    shared epsilon so pooled-variance drift cannot flip a digit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda col, grp: F.max(F.when(F.col("grp") == grp, F.col(col)))
+    w = g.agg(
+        pick("n", "a").alias("na"),
+        pick("n", "b").alias("nb"),
+        pick("m", "a").alias("ma"),
+        pick("m", "b").alias("mb"),
+        pick("v", "a").alias("va"),
+        pick("v", "b").alias("vb"),
+    )
+    diff = F.col("mb") - F.col("ma")
+    sp = F.sqrt(
+        (
+            (F.col("na") - 1) * F.col("va")
+            + (F.col("nb") - 1) * F.col("vb")
+        )
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = diff / sp
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        stable_round(diff, 6).alias("mean_diff"),
+        stable_round(sp, 6).alias("pooled_sd"),
+        stable_round(d, 4).alias("cohens_d"),
+        stable_round(
+            d * (1.0 - 3.0 / (4.0 * (F.col("na") + F.col("nb")) - 9.0)),
+            4,
+        ).alias("hedges_g"),
+    )
+
+
+@query(
+    "stats_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(CASE WHEN value > {WILSON_CUT} THEN 1 ELSE 0
+                 END)::BIGINT AS s
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT event_type, n, s, s * 1.0 / n AS p,
+             {WILSON_Z} * {WILSON_Z} AS z2
+      FROM g
+    )
+    SELECT event_type, n, s AS successes,
+           round(p, 6) AS p_hat,
+           round((p + z2 / (2 * n)
+                  - {WILSON_Z} * sqrt(p * (1 - p) / n
+                                      + z2 / (4.0 * n * n)))
+                 / (1 + z2 / n), 6) AS wilson_lo,
+           round((p + z2 / (2 * n)
+                  + {WILSON_Z} * sqrt(p * (1 - p) / n
+                                      + z2 / (4.0 * n * n)))
+                 / (1 + z2 / n), 6) AS wilson_hi
+    FROM w
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the per-type high-value proportion
+    (share of events with value > {WILSON_CUT}): the proportion CI
+    that behaves at the extremes where the naive Wald interval
+    collapses (p̂ near 0/1, small n) — the right error bar for match
+    rates, conversion shares, and quality-gate pass rates.
+
+    Scale: one map-side-combinable (count, conditional-count)
+    aggregate to |types| rows; the interval is closed-form arithmetic
+    on those exact integers. Nothing scales past the first pass."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > WILSON_CUT, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    p = F.col("s") * 1.0 / F.col("n")
+    z2 = WILSON_Z * WILSON_Z
+    center = p + z2 / (2 * F.col("n"))
+    half = WILSON_Z * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return g.select(
+        "event_type",
+        "n",
+        F.col("s").alias("successes"),
+        stable_round(p, 6).alias("p_hat"),
+        stable_round((center - half) / denom, 6).alias("wilson_lo"),
+        stable_round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, round(value, {KW_SCALE}) AS xr,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT xr, sum(c)::BIGINT AS t FROM g GROUP BY 1
+    ),
+    rk AS (
+      SELECT xr, t,
+             sum(t) OVER (ORDER BY xr
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - t + (t + 1) / 2.0
+               AS avg_rank
+      FROM v
+    ),
+    grp AS (
+      SELECT g.event_type, sum(g.c)::BIGINT AS nj,
+             sum(g.c * rk.avg_rank) AS rj
+      FROM g JOIN rk USING (xr) GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(nj)::BIGINT AS n, count(*)::BIGINT AS k FROM grp
+    ),
+    tie AS (
+      SELECT 1.0 - sum(v.t * v.t * v.t - v.t) * 1.0
+                   / (tot.n * tot.n * tot.n - tot.n) AS tie_c
+      FROM v CROSS JOIN tot GROUP BY tot.n
+    ),
+    h AS (
+      SELECT tot.n, tot.k,
+             12.0 / (tot.n * (tot.n + 1.0))
+               * sum(grp.rj * grp.rj / grp.nj)
+               - 3.0 * (tot.n + 1.0) AS h_stat
+      FROM grp CROSS JOIN tot GROUP BY tot.n, tot.k
+    )
+    SELECT h.n AS n_total, h.k AS k_groups,
+           round(h.h_stat, 4) AS h_stat,
+           round(h.h_stat / nullif(tie.tie_c, 0), 4) AS h_corrected
+    FROM h CROSS JOIN tie
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test across event types: does the VALUE
+    distribution differ between the k groups, judged on ranks (the
+    k-group generalization of ``stats_mannwhitney_u``, and the
+    nonparametric sibling of ``stats_anova_oneway``), with the
+    standard tie correction since binned values tie heavily.
+
+    Scale: ranks are never assigned per row — values bin to
+    {KW_SCALE} decimals first (vocabulary-bounded regardless of fact
+    size), so the rank window runs over the DISTINCT-value frame
+    (thousands of rows, one bounded partition) and per-row ranks are
+    recovered exactly as c × average-rank products on the (type,
+    value) count frame. The per-group rank sums and the H statistic
+    are arithmetic on k rows. All counts are exact integers; the
+    average ranks are exact halves, so both engines agree to the
+    bit before the final division."""
+    ev = load_table(spark, sf_dir, "events")
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    g = pinned(
+        ev.groupBy(
+            "event_type",
+            stable_round(F.col("value"), KW_SCALE).alias("xr"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    v = pinned(
+        g.groupBy("xr").agg(F.sum("c").cast("long").alias("t"))
+    )
+    wr = Window.orderBy("xr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = v.select(
+        "xr",
+        "t",
+        (F.sum("t").over(wr) - F.col("t") + (F.col("t") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    grp = (
+        g.join(rk, "xr")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("rj"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tie = v.crossJoin(F.broadcast(tot)).agg(
+        (
+            1.0
+            - F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            * 1.0
+            / F.first(
+                F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            )
+        ).alias("tie_c")
+    )
+    h = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            (
+                12.0
+                / (F.col("n") * (F.col("n") + 1.0))
+                * F.sum(F.col("rj") * F.col("rj") / F.col("nj"))
+                - 3.0 * (F.col("n") + 1.0)
+            ).alias("h_stat")
+        )
+    )
+    return h.crossJoin(F.broadcast(tie)).select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        stable_round(F.col("h_stat"), 4).alias("h_stat"),
+        stable_round(
+            F.col("h_stat") / F.nullif(F.col("tie_c"), F.lit(0.0)), 4
+        ).alias("h_corrected"),
+    )
+
+
+@query(
+    "quality_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(cast(cast(floor(l_extendedprice) AS BIGINT)
+                         AS VARCHAR), 1, 1)::INTEGER AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    c AS (
+      SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1
+    ),
+    t AS (SELECT sum(n_obs)::BIGINT AS n FROM c)
+    SELECT c.digit, c.n_obs,
+           round(c.n_obs * 1.0 / t.n, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_share,
+           round(t.n * pow(c.n_obs * 1.0 / t.n
+                           - log10(1.0 + 1.0 / c.digit), 2)
+                 / log10(1.0 + 1.0 / c.digit), 4) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def quality_benford_first_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-digit audit of lineitem extended prices:
+    observed leading-digit shares vs log10(1+1/d) with per-digit χ²
+    contributions — the classic fabricated-data / synthetic-leak
+    detector for monetary-ish columns (hand-invented numbers
+    over-sample middle digits; a spike in one digit's chi2_term
+    points at the injection).
+
+    Scale: the digit is extracted in-row from the integer part's
+    decimal string (no log10-of-value boundary hazard: log10(1000)
+    in binary floating point can land a hair below 3 and misbin a
+    power of ten — string extraction cannot), then one
+    map-side-combinable count to ≤9 rows; everything after is
+    constant arithmetic against the broadcast total."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").cast("long").alias("n"))
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n_obs") * 1.0 / F.col("n")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        stable_round(share, 6).alias("obs_share"),
+        stable_round(ben, 6).alias("benford_share"),
+        stable_round(
+            F.col("n") * F.pow(share - ben, 2) / ben, 4
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "stats_bayes_beta_ab",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grp, count(*)::BIGINT AS n, sum(conv)::BIGINT AS s
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN grp = 'a' THEN n END) AS na,
+             max(CASE WHEN grp = 'b' THEN n END) AS nb,
+             max(CASE WHEN grp = 'a' THEN s END) AS sa,
+             max(CASE WHEN grp = 'b' THEN s END) AS sb
+      FROM g
+    ),
+    p AS (
+      SELECT na, nb, sa, sb,
+             (1.0 + sa) / (2.0 + na) AS ma,
+             (1.0 + sb) / (2.0 + nb) AS mb,
+             (1.0 + sa) * (1.0 + na - sa)
+               / (pow(2.0 + na, 2) * (3.0 + na)) AS va,
+             (1.0 + sb) * (1.0 + nb - sb)
+               / (pow(2.0 + nb, 2) * (3.0 + nb)) AS vb
+      FROM w
+    )
+    SELECT na AS n_a, sa AS conv_a, nb AS n_b, sb AS conv_b,
+           round(ma, 6) AS post_mean_a,
+           round(mb, 6) AS post_mean_b,
+           round((mb - ma) / sqrt(va + vb), 4) AS z_b_minus_a
+    FROM p
+    """,
+)
+def stats_bayes_beta_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B on per-user conversion with uniform Beta(1,1)
+    priors: each cohort's posterior is Beta(1+s, 1+n−s) in closed
+    form; reported are the posterior means and the normal-
+    approximation z-score of the B−A difference (the moment-matched
+    stand-in for P(B>A) — exact at these cohort sizes, and the same
+    decision number with no special-function dependency in either
+    engine). The Bayesian companion to ``stats_ab_welch_ttest``:
+    no p-value, a direct posterior statement about the rates.
+
+    Scale: one user-cardinality conversion collapse (the retention
+    family's exact first shuffle), one 2-row cohort aggregate, then
+    closed-form Beta moments on exact integers — constant work after
+    the per-user pass."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("s"),
+    )
+    pick = lambda col, grp: F.max(F.when(F.col("grp") == grp, F.col(col)))
+    w = g.agg(
+        pick("n", "a").alias("na"),
+        pick("n", "b").alias("nb"),
+        pick("s", "a").alias("sa"),
+        pick("s", "b").alias("sb"),
+    )
+    ma = (1.0 + F.col("sa")) / (2.0 + F.col("na"))
+    mb = (1.0 + F.col("sb")) / (2.0 + F.col("nb"))
+    va = (
+        (1.0 + F.col("sa"))
+        * (1.0 + F.col("na") - F.col("sa"))
+        / (F.pow(2.0 + F.col("na"), 2) * (3.0 + F.col("na")))
+    )
+    vb = (
+        (1.0 + F.col("sb"))
+        * (1.0 + F.col("nb") - F.col("sb"))
+        / (F.pow(2.0 + F.col("nb"), 2) * (3.0 + F.col("nb")))
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("sa").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("sb").alias("conv_b"),
+        stable_round(ma, 6).alias("post_mean_a"),
+        stable_round(mb, 6).alias("post_mean_b"),
+        stable_round((mb - ma) / F.sqrt(va + vb), 4).alias(
+            "z_b_minus_a"
+        ),
+    )

@@ -682,3 +682,353 @@ def stats_bayes_beta_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_b_minus_a"
         ),
     )
+
+
+# ---------------------------------------------------------- time series
+
+#: Candidate periods probed by the periodogram (hours): diurnal,
+#: half-week, weekly.
+PERIODOGRAM_PERIODS = (24, 84, 168)
+#: Shared double literal for 2*pi (both engines fold the identical
+#: constant; neither engine's pi() is used).
+TWO_PI = 2.0 * math.pi
+#: Historical VaR tail level.
+VAR_ALPHA = 0.05
+
+
+def _hourly_rollup(spark: SparkSession, sf_dir: str):
+    """The shared fact collapse every ts_* diagnostic here starts
+    from: (event_type, hour_idx, 6-rounded hourly mean), pinned."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ev = load_table(spark, sf_dir, "events")
+    return pinned(
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+        ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    )
+
+
+_HOURLY_SQL = """
+      SELECT event_type,
+             floor(epoch(ts) / 3600)::BIGINT AS hour_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "ts_periodogram_power",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_SQL}),
+    mu AS (
+      SELECT event_type, round(avg(x), 6) AS mu FROM h GROUP BY 1
+    ),
+    p AS (SELECT unnest([{", ".join(str(p) for p in PERIODOGRAM_PERIODS)}])
+            AS period),
+    f AS (
+      SELECT h.event_type, p.period,
+             count(*)::BIGINT AS n_hours,
+             sum((h.x - mu.mu)
+                 * cos({TWO_PI!r} * (h.hour_idx % p.period)
+                       / p.period)) AS c,
+             sum((h.x - mu.mu)
+                 * sin({TWO_PI!r} * (h.hour_idx % p.period)
+                       / p.period)) AS s
+      FROM h JOIN mu USING (event_type) CROSS JOIN p
+      GROUP BY 1, 2
+    )
+    SELECT event_type, period::BIGINT AS period_hours, n_hours,
+           round((c * c + s * s) / n_hours, 4) AS power
+    FROM f
+    """,
+)
+def ts_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram power of the hourly value series
+    at the candidate periods (24 h diurnal, 84 h half-week, 168 h
+    weekly): power_P = (C² + S²)/n with C,S the centered cos/sin
+    projections — the frequency-domain cousin of the lag-domain ACF
+    (a lag-24 ACF spike and a 24 h periodogram peak are the same
+    physics) and the principled input to "which seasonal period does
+    the deseasonalizer use?".
+
+    Scale: everything runs on the pinned calendar-sized hourly
+    rollup; each period is one more term in a 3-row broadcast cross
+    join, so the projection is a single grouped aggregate over
+    rollup × 3 rows. The phase argument reduces hour_idx mod period
+    in INTEGER space before the trig call, so both engines evaluate
+    cos/sin on identical small angles in [0, 2π) — never on a
+    100 000-radian argument where libm range-reduction could differ
+    between Java and C runtimes."""
+    h = _hourly_rollup(spark, sf_dir)
+    mu = h.groupBy("event_type").agg(
+        stable_round(F.avg("x"), 6).alias("mu")
+    )
+    p = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(v)) for v in PERIODOGRAM_PERIODS])
+        ).alias("period")
+    )
+    ang = (
+        F.lit(TWO_PI)
+        * F.pmod(F.col("hour_idx"), F.col("period"))
+        / F.col("period")
+    )
+    f = (
+        h.join(F.broadcast(mu), "event_type")
+        .crossJoin(F.broadcast(p))
+        .groupBy("event_type", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum((F.col("x") - F.col("mu")) * F.cos(ang)).alias("c"),
+            F.sum((F.col("x") - F.col("mu")) * F.sin(ang)).alias("s"),
+        )
+    )
+    return f.select(
+        "event_type",
+        F.col("period").cast("long").alias("period_hours"),
+        "n_hours",
+        stable_round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n_hours"),
+            4,
+        ).alias("power"),
+    )
+
+
+def _pacf_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    acf = ORACLES["ts_autocorrelation_acf"]
+    return f"""
+    WITH acf AS MATERIALIZED ({acf}),
+    w AS (
+      SELECT event_type,
+             max(CASE WHEN lag = 1 THEN acf END) AS r1,
+             max(CASE WHEN lag = 2 THEN acf END) AS r2
+      FROM acf WHERE lag <= 2 GROUP BY 1
+    )
+    SELECT event_type, r1, r2,
+           round((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0), 4)
+             AS pacf_lag2
+    FROM w
+    """
+
+
+@query("ts_pacf_lag2", oracle=_pacf_oracle)
+def ts_pacf_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lag 2 via the Durbin-Levinson
+    closed form φ₂₂ = (r₂ − r₁²)/(1 − r₁²), composed from the ACF
+    query's own r₁, r₂ (so ACF and PACF can never disagree about the
+    underlying correlations): the AR-order selector — r₂ large but
+    φ₂₂ ≈ 0 means lag-2 correlation is just propagated lag-1, i.e.
+    an AR(1) forecaster suffices; φ₂₂ far from 0 demands the second
+    lag.
+
+    Scale: the ACF subplan's audited shape (rollup + equi lag join)
+    plus a k-row pivot; the Durbin-Levinson step is arithmetic on
+    the PRE-ROUNDED r values, so both engines derive the identical
+    φ₂₂ from identical inputs. A unit-root series (r₁ = ±1) reports
+    NULL via the nullif guard on both engines."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    acf = _Q["ts_autocorrelation_acf"](spark, sf_dir).filter(
+        F.col("lag") <= 2
+    )
+    w = acf.groupBy("event_type").agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+    )
+    return w.select(
+        "event_type",
+        "r1",
+        "r2",
+        stable_round(
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / F.nullif(1.0 - F.col("r1") * F.col("r1"), F.lit(0.0)),
+            4,
+        ).alias("pacf_lag2"),
+    )
+
+
+@query(
+    "ts_ohlc_daily",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             floor(epoch(ts) / 86400)::BIGINT AS day_idx,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 86400)
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts) / 86400)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, day_idx,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)::BIGINT AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type: open/close are the first/
+    last value by (ts, event_id) within the day, high/low the
+    extremes — the standard downsample-for-display and
+    range-volatility primitive (close-to-close vs high-low range is
+    the Parkinson volatility input).
+
+    Scale: one window shuffle partitioned by (type, day) — the
+    natural day-partitioned layout, each partition a single day of
+    one type — carrying two row_number frames over the same sort
+    order (one Exchange, one Sort, both numbered in one pass), then
+    a map-side-combinable conditional aggregate. First/last are
+    tie-broken by the unique event_id, so both engines pick the
+    identical rows; all outputs are raw fact doubles (bit-equal from
+    the same parquet), no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    wa = Window.partitionBy("event_type", "day_idx").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "day_idx").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "event_type", day.alias("day_idx"), "value", "ts", "event_id"
+    ).select(
+        "event_type",
+        "day_idx",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "day_idx").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "ts_forecast_eval_mase",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_SQL})
+    SELECT a.event_type,
+           count(*)::BIGINT AS n_eval,
+           round(avg(abs(a.x - b1.x)), 6) AS mae_naive,
+           round(avg(abs(a.x - b24.x)), 6) AS mae_seasonal,
+           round(avg(abs(a.x - b24.x))
+                 / nullif(avg(abs(a.x - b1.x)), 0), 4) AS mase
+    FROM h a
+    JOIN h b1 ON b1.event_type = a.event_type
+             AND b1.hour_idx = a.hour_idx - 1
+    JOIN h b24 ON b24.event_type = a.event_type
+              AND b24.hour_idx = a.hour_idx - 24
+    GROUP BY 1
+    """,
+)
+def ts_forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation per event type: MAE of the naive
+    (previous hour) and seasonal-naive (same hour yesterday)
+    forecasters over their common support, and their ratio — the
+    MASE-style scaled error that answers "does the daily cycle
+    actually help prediction here?" (< 1: use the seasonal-naive
+    ``ts_forecast_seasonal_naive``; ≥ 1: the series isn't seasonal
+    enough to bother). The measurement half of the forecaster the
+    repo already ships.
+
+    Scale: both baselines are EQUI-joins of the pinned hourly rollup
+    with itself on (type, hour−k) — the ACF query's audited join
+    shape, hash-planned with the calendar-sized right side broadcast
+    — and one grouped aggregate; gaps in the hourly record drop out
+    of the common support identically on both engines (inner joins
+    on exact integer hour indexes)."""
+    h = _hourly_rollup(spark, sf_dir)
+    a = h.select("event_type", "hour_idx", F.col("x").alias("xa"))
+    b1 = h.select(
+        "event_type",
+        (F.col("hour_idx") + 1).alias("hour_idx"),
+        F.col("x").alias("x1"),
+    )
+    b24 = h.select(
+        "event_type",
+        (F.col("hour_idx") + 24).alias("hour_idx"),
+        F.col("x").alias("x24"),
+    )
+    j = a.join(F.broadcast(b1), ["event_type", "hour_idx"]).join(
+        F.broadcast(b24), ["event_type", "hour_idx"]
+    )
+    mae1 = F.avg(F.abs(F.col("xa") - F.col("x1")))
+    mae24 = F.avg(F.abs(F.col("xa") - F.col("x24")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        stable_round(mae1, 6).alias("mae_naive"),
+        stable_round(mae24, 6).alias("mae_seasonal"),
+        stable_round(mae24 / F.nullif(mae1, F.lit(0.0)), 4).alias(
+            "mase"
+        ),
+    )
+
+
+@query(
+    "ts_var_cvar",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_SQL}),
+    q AS (
+      SELECT event_type, count(*)::BIGINT AS n_hours,
+             round(percentile_cont({VAR_ALPHA}) WITHIN GROUP
+                   (ORDER BY x), 6) AS var_q
+      FROM h GROUP BY 1
+    )
+    SELECT h.event_type, q.n_hours, q.var_q AS var_5pct,
+           round(avg(h.x), 6) AS cvar_5pct,
+           count(*)::BIGINT AS n_tail
+    FROM h JOIN q USING (event_type)
+    WHERE h.x <= q.var_q
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR and CVaR (expected shortfall) of the hourly
+    value series per event type: the {VAR_ALPHA:.0%} quantile and
+    the mean of everything at or below it — the tail-risk pair
+    (CVaR is the coherent one; VaR alone hides how BAD the tail is)
+    used to alert on metric collapses rather than mean drift.
+
+    Scale: the quantile runs on the pinned calendar-sized hourly
+    rollup (never the raw fact — at petabyte scale the rollup is
+    what exists; a raw-value quantile would use the KLL sketch,
+    operators/kll.py). The tail filter compares 6-ROUNDED x against
+    the 6-ROUNDED interpolated quantile, so both engines admit the
+    identical tail set; the conditional mean is one more aggregate
+    of the same rollup."""
+    h = _hourly_rollup(spark, sf_dir)
+    q = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        stable_round(
+            F.percentile("x", F.lit(VAR_ALPHA)), 6
+        ).alias("var_q"),
+    )
+    return (
+        h.join(F.broadcast(q), "event_type")
+        .filter(F.col("x") <= F.col("var_q"))
+        .groupBy(
+            "event_type",
+            "n_hours",
+            F.col("var_q").alias("var_5pct"),
+        )
+        .agg(
+            stable_round(F.avg("x"), 6).alias("cvar_5pct"),
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+        )
+    )

@@ -1430,3 +1430,501 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weighted_reciprocity"),
     )
+
+
+# ------------------------------------------- retrieval & embeddings
+
+#: Ranking-eval geometry shared with the NDCG/P-R family: first
+#: RET_QUERIES vectors are the query panel, label equality is
+#: relevance, cutoff RET_K.
+RET_QUERIES = 5
+RET_K = 10
+
+
+def _ranked_panel(spark: SparkSession, sf_dir: str):
+    """(qid, qlabel, vec_id, label, rk) — the brute-force cosine
+    ranking of the corpus for the pinned query panel, the shared
+    front half of every retrieval_* evaluator (same geometry as
+    ``retrieval_ndcg_eval``)."""
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = pinned(
+        emb.filter(F.col("vec_id") < RET_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            stable_round(
+                cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.select(
+        "qid",
+        "qlabel",
+        "label",
+        F.row_number().over(wr).alias("rk"),
+    )
+
+
+def _ranked_panel_sql() -> str:
+    from kafka_go_streamer_spark.functions.vectors import cosine_sql
+
+    return f"""
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < {RET_QUERIES}
+    ),
+    ranked AS MATERIALIZED (
+      SELECT qid, qlabel, label,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6)
+                        DESC, e.vec_id ASC
+             ) AS rk
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )"""
+
+
+def _mrr_oracle() -> str:
+    return f"""
+    WITH {_ranked_panel_sql()}
+    SELECT qid AS query_id,
+           min(CASE WHEN label = qlabel THEN rk END)::BIGINT
+             AS first_rel_rank,
+           round(1.0 / min(CASE WHEN label = qlabel THEN rk END), 6)
+             AS reciprocal_rank
+    FROM ranked GROUP BY 1
+    """
+
+
+@query("retrieval_mrr", oracle=_mrr_oracle)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first relevant hit per panel query
+    (label equality as relevance, same geometry as
+    ``retrieval_ndcg_eval``): the metric for known-item /
+    first-answer retrieval — NDCG grades the whole list, RR grades
+    "how far down is THE answer", the number that tracks perceived
+    latency in RAG pipelines (rank 1 vs rank 4 is the difference
+    between the model quoting the right document and burying it).
+
+    Scale: the panel broadcast + one corpus scan + the per-query
+    rank window — the family's audited (panel × corpus) cap — then
+    a k-row min aggregate. Ranks order by ROUNDED cosine with the
+    vec_id tiebreak, so both engines agree on every rank; a query
+    with no relevant document reports NULL on both engines."""
+    ranked = _ranked_panel(spark, sf_dir)
+    first = F.min(
+        F.when(F.col("label") == F.col("qlabel"), F.col("rk"))
+    )
+    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        first.cast("long").alias("first_rel_rank"),
+        stable_round(1.0 / first, 6).alias("reciprocal_rank"),
+    )
+
+
+def _map_oracle() -> str:
+    return f"""
+    WITH {_ranked_panel_sql()},
+    nrel AS (
+      SELECT qid,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+               AS n_rel
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT qid, rk,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid ORDER BY rk
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum_rel
+      FROM ranked WHERE rk <= {RET_K}
+    )
+    SELECT c.qid AS query_id,
+           sum(c.rel)::BIGINT AS n_rel_at_k,
+           round(sum(c.rel * c.cum_rel * 1.0 / c.rk)
+                 / least(n.n_rel, {RET_K}), 6) AS ap_at_k
+    FROM cum c JOIN nrel n USING (qid)
+    GROUP BY 1, n.n_rel
+    """
+
+
+@query("retrieval_average_precision", oracle=_map_oracle)
+def retrieval_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average precision at {RET_K} per panel query: AP = Σ rel_i ·
+    P@i / min(R, k) — the area-under-PR-curve number whose panel
+    mean is MAP, the metric that (unlike NDCG's graded discount)
+    punishes EVERY relevant document ranked below an irrelevant
+    one; the pair of them disagreeing localizes whether a ranking
+    regression hurt the head or the tail.
+
+    Scale: the shared panel ranking plus a cumulative window over
+    the top-{RET_K} rows per query (k-row frames); the normalizer
+    R comes from the corpus label histogram minus the query itself
+    — the NDCG query's one-scan trick — never a second ranking
+    pass. Integer cum-hits over integer ranks, one rounded sum."""
+    ranked = _ranked_panel(spark, sf_dir)
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = pinned(
+        emb.filter(F.col("vec_id") < RET_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    lab = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    nrel = q.join(F.broadcast(lab), "qlabel").select(
+        "qid", (F.col("_cnt") - 1).cast("long").alias("n_rel")
+    )
+    wc = Window.partitionBy("qid").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    cum = ranked.filter(F.col("rk") <= RET_K).select(
+        "qid",
+        "rk",
+        rel.alias("rel"),
+        F.sum(rel).over(wc).alias("cum_rel"),
+    )
+    return (
+        cum.join(F.broadcast(nrel), "qid")
+        .groupBy(F.col("qid").alias("query_id"), F.col("n_rel"))
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel_at_k"),
+            stable_round(
+                F.sum(F.col("rel") * F.col("cum_rel") * 1.0 / F.col("rk"))
+                / F.least(F.col("n_rel"), F.lit(RET_K)),
+                6,
+            ).alias("ap_at_k"),
+        )
+        .drop("n_rel")
+    )
+
+
+def _isotropy_oracle() -> str:
+    from kafka_go_streamer_spark.functions.vectors import dot_sql
+
+    return f"""
+    WITH ex AS (
+      SELECT t.i AS dim, embedding[t.i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    mu AS (
+      SELECT dim, round(avg(val), 6) AS m FROM ex GROUP BY 1
+    ),
+    mn AS (SELECT round(sum(m * m), 6) AS mu_norm_sq,
+                  count(*)::BIGINT AS n_dims FROM mu),
+    nm AS (
+      SELECT count(*)::BIGINT AS n_vecs,
+             round(avg({dot_sql('embedding', 'embedding')}), 6)
+               AS mean_norm_sq
+      FROM embeddings
+    )
+    SELECT nm.n_vecs, mn.n_dims, nm.mean_norm_sq, mn.mu_norm_sq,
+           round(1.0 - mn.mu_norm_sq / nm.mean_norm_sq, 6)
+             AS isotropy
+    FROM nm CROSS JOIN mn
+    """
+
+
+@query("embedding_isotropy_score", oracle=_isotropy_oracle)
+def embedding_isotropy_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotropy of the embedding cloud: 1 − ‖μ‖²/E‖x‖², the share of
+    mean squared norm NOT explained by the common mean vector —
+    the one-number "is cosine similarity even meaningful here"
+    check (anisotropic clouds, ‖μ‖² ≫ 0, make everything look
+    similar to everything; the standard fix is mean-centering,
+    whose benefit this number predicts). Complements the per-axis
+    ``embedding_dim_variance`` and the directional
+    ``embedding_top_pc_power_iter``.
+
+    Scale: two corpus passes, both map-side combinable — a
+    posexplode to d per-dimension means (d-row frame) and an
+    in-row sequential-fold ‖x‖² average (the cosine family's
+    audited fold, no explode); ‖μ‖² is a d-row contraction.
+    Per-dim means and both norms round to 6 before the final
+    ratio, so the engines divide identical doubles."""
+    from kafka_go_streamer_spark.functions.vectors import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    mu = ex.groupBy("dim").agg(
+        stable_round(F.avg("val"), 6).alias("m")
+    )
+    mn = mu.agg(
+        stable_round(F.sum(F.col("m") * F.col("m")), 6).alias(
+            "mu_norm_sq"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    nm = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        stable_round(
+            F.avg(dot(F.col("embedding"), F.col("embedding"))), 6
+        ).alias("mean_norm_sq"),
+    )
+    return nm.crossJoin(F.broadcast(mn)).select(
+        "n_vecs",
+        "n_dims",
+        "mean_norm_sq",
+        "mu_norm_sq",
+        stable_round(
+            1.0 - F.col("mu_norm_sq") / F.col("mean_norm_sq"), 6
+        ).alias("isotropy"),
+    )
+
+
+# --------------------------------------- sessions, concentration, ESS
+
+#: Session gap threshold (seconds) — same 30-minute convention as the
+#: sessionizer family in analytics_ext / windows.
+SESSION_GAP_SEC = 30 * 60
+#: Importance-weight clip for the effective-sample-size diagnostic.
+ESS_CLIP = 300
+
+
+@query(
+    "events_session_duration_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, epoch(ts) AS sec,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > {SESSION_GAP_SEC}
+                  OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, sec,
+             sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM s
+    ),
+    d AS (
+      SELECT user_id, session_no,
+             max(sec) - min(sec) AS dur,
+             count(*)::BIGINT AS n_events
+      FROM sid GROUP BY 1, 2
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           round(avg(dur), 6) AS mean_sec,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dur), 6)
+             AS p50_sec,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY dur), 6)
+             AS p90_sec,
+           round(max(dur), 6) AS max_sec,
+           round(avg(n_events), 4) AS mean_events
+    FROM d
+    """,
+)
+def events_session_duration_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-duration distribution under the 30-minute-gap
+    sessionizer: count, mean, p50/p90, max duration and mean
+    events-per-session — the engagement summary on top of the
+    session-id assigner (``events_sessionize_ids``; same gap rule,
+    so the two can never disagree about what a session is).
+
+    Scale: one per-user window shuffle (the sessionizer's exact
+    shape: lag + running is_start sum in the same sort), a
+    session-cardinality (user, session) aggregate, then one global
+    distribution aggregate. The percentiles here run exact on the
+    session frame; the raw-fact-scale variant would use the KLL
+    sketch (operators/kll.py) — sessions, not events, bound this
+    frame. Durations are exact epoch-microsecond differences, so
+    both engines interpolate identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    s = ev.select(
+        "user_id",
+        sec.alias("sec"),
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | ((sec - F.lag(sec).over(wl)) > SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = s.select(
+        "user_id", "sec", F.sum("is_start").over(wc).alias("session_no")
+    )
+    d = sid.groupBy("user_id", "session_no").agg(
+        (F.max("sec") - F.min("sec")).alias("dur"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        stable_round(F.avg("dur"), 6).alias("mean_sec"),
+        stable_round(F.percentile("dur", F.lit(0.5)), 6).alias(
+            "p50_sec"
+        ),
+        stable_round(F.percentile("dur", F.lit(0.9)), 6).alias(
+            "p90_sec"
+        ),
+        stable_round(F.max("dur"), 6).alias("max_sec"),
+        stable_round(F.avg("n_events"), 4).alias("mean_events"),
+    )
+
+
+@query(
+    "events_lorenz_deciles",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT c, ntile(10) OVER (ORDER BY c ASC, user_id ASC) AS decile
+      FROM k
+    ),
+    g AS (
+      SELECT decile, count(*)::BIGINT AS n_users,
+             sum(c)::BIGINT AS n_events
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT sum(n_events)::BIGINT AS tot FROM g)
+    SELECT g.decile, g.n_users, g.n_events,
+           round(g.n_events * 1.0 / t.tot, 6) AS events_share,
+           round(sum(g.n_events) OVER (
+                   ORDER BY g.decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) * 1.0 / t.tot, 6) AS cum_events_share
+    FROM g CROSS JOIN t
+    """,
+)
+def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user activity in deciles: users sorted by
+    event count into ten equal-population buckets, each bucket's
+    share and cumulative share of all events — the curve whose area
+    gap is the Gini the repo already reports as one number
+    (``stats_gini_concentration``); the decile view shows WHERE the
+    concentration lives ("top decile = 40% of traffic" vs a smooth
+    slope), which is what capacity planning and bot triage read.
+
+    Scale: the fact collapses to per-user counts first; the decile
+    assignment is an ntile over that user-cardinality frame —
+    deterministic via the (count, user_id) total order, identical
+    bucket arithmetic in both engines. At petabyte user counts the
+    ntile becomes a percentile-edge bucket join (the KLL path); the
+    definitional form is kept because the frame is users, not
+    events. Shares are exact-integer ratios rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wd = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    d = k.select("c", F.ntile(10).over(wd).alias("decile"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+    t = g.agg(F.sum("n_events").cast("long").alias("tot"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_users",
+        "n_events",
+        stable_round(F.col("n_events") * 1.0 / F.col("tot"), 6).alias(
+            "events_share"
+        ),
+        stable_round(
+            F.sum("n_events").over(wcum) * 1.0 / F.col("tot"), 6
+        ).alias("cum_events_share"),
+    )
+
+
+@query(
+    "sample_effective_sample_size",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, n_chars::BIGINT AS w,
+             least(n_chars, {ESS_CLIP})::BIGINT AS wc
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(pow(sum(w), 2) * 1.0 / sum(w * w), 4) AS ess,
+           round(pow(sum(w), 2) * 1.0 / sum(w * w) / count(*), 6)
+             AS ess_ratio,
+           round(pow(sum(wc), 2) * 1.0 / sum(wc * wc), 4)
+             AS ess_clipped,
+           round(pow(sum(wc), 2) * 1.0 / sum(wc * wc) / count(*), 6)
+             AS ess_clipped_ratio
+    FROM w GROUP BY 1
+    """,
+)
+def sample_effective_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kish effective sample size of length-proportional document
+    weights per source, raw and clipped at {ESS_CLIP} chars:
+    ESS = (Σw)²/Σw² — the diagnostic that says how many EFFECTIVE
+    documents a weighted sampler (length-, DSIR-, or
+    temperature-weighted — ``sample_dsir_importance``,
+    ``sample_temperature_mixture``) actually draws from; an
+    ess_ratio near 1/n means one monster document dominates the
+    source and the clip column shows exactly how much truncation
+    repairs it. The standard pre-flight check before committing a
+    mixture weighting to a training run.
+
+    Scale: one map-side-combinable (Σw, Σw², count) aggregate per
+    source over exact integer weights — closed form, nothing past
+    the first pass. The clipped twin rides the same aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("long")
+    wc = F.least(F.col("n_chars"), F.lit(ESS_CLIP)).cast("long")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(w).alias("sw"),
+        F.sum(w * w).alias("sww"),
+        F.sum(wc).alias("swc"),
+        F.sum(wc * wc).alias("swcc"),
+    )
+    ess = F.pow(F.col("sw"), 2) * 1.0 / F.col("sww")
+    essc = F.pow(F.col("swc"), 2) * 1.0 / F.col("swcc")
+    return g.select(
+        "source",
+        "n_docs",
+        stable_round(ess, 4).alias("ess"),
+        stable_round(ess / F.col("n_docs"), 6).alias("ess_ratio"),
+        stable_round(essc, 4).alias("ess_clipped"),
+        stable_round(essc / F.col("n_docs"), 6).alias(
+            "ess_clipped_ratio"
+        ),
+    )

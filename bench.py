@@ -212,6 +212,25 @@ HEADLINE = [
     # downstream after one explode+count)
     "ts_hurst_rs",
     "text_ttr_lexical_diversity",
+    # round-10 additions (appended, common prefix still comparable):
+    # the day-rollup² Mann-Kendall pairing, the vocabulary-bounded
+    # Kruskal-Wallis rank window, the 3-period DFT projection over the
+    # pinned hourly rollup, the dual-row_number OHLC window (the
+    # biggest fact-sized window shuffle of the wave), the triangle
+    # triple-join local clustering, the per-user-fanout bipartite
+    # projection, the panel-broadcast AP@k ranking, the sessionizer-
+    # shaped duration stats, the global-ntile Lorenz deciles, and the
+    # one-pass Kish ESS
+    "stats_mann_kendall_trend",
+    "stats_kruskal_wallis",
+    "ts_periodogram_power",
+    "ts_ohlc_daily",
+    "graph_clustering_coefficient",
+    "graph_bipartite_projection",
+    "retrieval_average_precision",
+    "events_session_duration_stats",
+    "events_lorenz_deciles",
+    "sample_effective_sample_size",
 ]
 
 

@@ -841,3 +841,64 @@ def test_interarrival_burstiness_one_window_one_scan(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+# ------------------------------------------------------------ round 10
+def test_ess_single_pass_no_join(spark, sf_dir):
+    """Kish ESS is ONE map-side-combinable aggregate per source (raw
+    and clipped moments ride the same shuffle): single scan, single
+    Exchange, no joins."""
+    plan = physical_plan(QUERIES["sample_effective_sample_size"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_wilson_single_pass_no_join(spark, sf_dir):
+    """The Wilson interval is closed-form arithmetic on one
+    (count, conditional-count) aggregate: single scan, single
+    Exchange, no joins."""
+    plan = physical_plan(QUERIES["stats_wilson_ci"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_ohlc_one_shuffle_two_sorts(spark, sf_dir):
+    """Both OHLC row_number frames partition by (type, day): ONE hash
+    Exchange feeds the ascending and descending Sorts — a second
+    exchange would mean the windows stopped sharing partitioning."""
+    plan = physical_plan(QUERIES["ts_ohlc_daily"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_mann_kendall_pairs_equi_join_no_cartesian(spark, sf_dir):
+    """The S-statistic pairing joins the pinned day rollup with itself
+    ON event_type (the day inequality is a post-join filter over
+    rollup²-per-type rows): equi-join machinery only, no cartesian,
+    zero parquet scans after the pin."""
+    plan = physical_plan(QUERIES["stats_mann_kendall_trend"](spark, sf_dir))
+    assert "Scan parquet" not in plan  # day rollup pinned
+    assert "CartesianProduct" not in plan
+
+
+def test_bipartite_projection_no_cartesian(spark, sf_dir):
+    """The type-type projection self-joins the pinned distinct
+    (user, type) frame ON user_id with per-user bounded fanout, and
+    the k-row type totals broadcast: no cartesian, no parquet rescan,
+    type totals joined via broadcast."""
+    plan = physical_plan(QUERIES["graph_bipartite_projection"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_periodogram_single_rollup_read_per_consumer(spark, sf_dir):
+    """The DFT projection reads the pinned hourly rollup (zero parquet
+    scans), broadcasts the per-type means and the 3-row period frame,
+    and contracts in one grouped aggregate."""
+    plan = physical_plan(QUERIES["ts_periodogram_power"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan

@@ -715,3 +715,68 @@ def test_streaming_mg_topk_bounds_and_containment(
     assert mg.counters[1] <= 50
     assert 50 - mg.counters[1] <= mg.max_error()
     assert mg.max_error() > 0
+
+
+def test_streaming_ohlc_daily_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of ts_ohlc_daily: tumbling 1-day window +
+    watermark over a parquet file stream, with open/close selected by
+    min_by/max_by over the unique (ts, event_id) order — the
+    declarative streaming form of the batch query's dual row_number
+    window (same deterministic tiebreak, so stream == batch exactly).
+    At 100 TB/day this is the shape that actually ships: per-key
+    windowed state with watermark eviction instead of a batch sort."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans import QUERIES
+    from kafka_go_streamer_spark.sources.tables import _fix_nanos
+
+    src_dir = tmp_path / "ohlc_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _fix_nanos(
+        spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    )
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], int(r["w"]["start"].timestamp() // 86400)): (
+            r["open"],
+            r["high"],
+            r["low"],
+            r["close"],
+            r["n_events"],
+        )
+        for r in spark.sql("SELECT * FROM ohlc_smoke").collect()
+    }
+    want = {
+        (r["event_type"], r["day_idx"]): (
+            r["open"],
+            r["high"],
+            r["low"],
+            r["close"],
+            r["n_events"],
+        )
+        for r in QUERIES["ts_ohlc_daily"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -480,7 +480,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     grp = (
-        g.join(rk, "xr")
+        g.join(F.broadcast(rk), "xr")
         .groupBy("event_type")
         .agg(
             F.sum("c").cast("long").alias("nj"),
@@ -560,6 +560,8 @@ def quality_benford_first_digit(
     power of ten — string extraction cannot), then one
     map-side-combinable count to ≤9 rows; everything after is
     constant arithmetic against the broadcast total."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice") >= 1
     )
@@ -570,8 +572,12 @@ def quality_benford_first_digit(
         .cast("int")
         .alias("digit")
     )
-    c = d.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs")
+    # ≤9-row frame, pinned: the total and the final report both read
+    # it — unpinned, each consumer re-plans the fact scan underneath
+    c = pinned(
+        d.groupBy("digit").agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs")
+        )
     )
     t = c.agg(F.sum("n_obs").cast("long").alias("n"))
     ben = F.log10(1.0 + 1.0 / F.col("digit"))
@@ -1843,15 +1849,22 @@ def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile becomes a percentile-edge bucket join (the KLL path); the
     definitional form is kept because the frame is users, not
     events. Shares are exact-integer ratios rounded once."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     ev = load_table(spark, sf_dir, "events")
     k = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     wd = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
     d = k.select("c", F.ntile(10).over(wd).alias("decile"))
-    g = d.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("c").cast("long").alias("n_events"),
+    # 10-row frame, pinned: the total and the final report both read
+    # it — unpinned, each consumer re-plans the per-user count and the
+    # ntile sort underneath
+    g = pinned(
+        d.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
     )
     t = g.agg(F.sum("n_events").cast("long").alias("tot"))
     wcum = Window.orderBy("decile").rowsBetween(

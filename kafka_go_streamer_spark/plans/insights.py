@@ -1941,3 +1941,104 @@ def sample_effective_sample_size(
             "ess_clipped_ratio"
         ),
     )
+
+
+#: Two-sided 95% z for the Fisher correlation interval.
+FISHER_Z = 1.96
+
+
+@query(
+    "stats_fisher_corr_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             floor(epoch(ts) / 86400)::BIGINT AS day_idx,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(day_idx * 1.0) AS sx, sum(x) AS sy,
+             sum(day_idx * 1.0 * x) AS sxy,
+             sum(day_idx * 1.0 * day_idx) AS sxx,
+             sum(x * x) AS syy
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, n,
+             round((n * sxy - sx * sy)
+                   / nullif(sqrt((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy)), 0), 6) AS r
+      FROM m WHERE n > 3
+    ),
+    z AS (
+      SELECT event_type, n, r,
+             0.5 * ln((1 + r) / (1 - r)) AS fz,
+             {FISHER_Z} / sqrt(n - 3.0) AS half
+      FROM r WHERE abs(r) < 1
+    )
+    SELECT event_type, n AS n_days, r AS pearson_r,
+           round((exp(2 * (fz - half)) - 1)
+                 / (exp(2 * (fz - half)) + 1), 6) AS ci_lo,
+           round((exp(2 * (fz + half)) - 1)
+                 / (exp(2 * (fz + half)) + 1), 6) AS ci_hi
+    FROM z
+    """,
+)
+def stats_fisher_corr_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-z confidence interval for the day-index/daily-mean
+    Pearson correlation per event type (the trend correlation): r is
+    variance-stabilized through atanh — written as ½ln((1+r)/(1−r))
+    since neither engine ships atanh — the ±1.96/√(n−3) interval is
+    taken in z-space, and both ends map back through tanh. The error
+    bar that belongs NEXT to every correlation point estimate the
+    repo reports (``stats_corr_matrix``, ``stats_groupwise_ols``):
+    an r of 0.4 with a CI spanning zero is a non-finding.
+
+    Scale: the fact collapses to the day rollup; the correlation
+    folds from one grouped moment aggregate (six sums) on that
+    calendar-sized frame. r rounds to 6 BEFORE the z transform, so
+    both engines stabilize the identical value; |r| = 1 (perfectly
+    collinear) and n ≤ 3 rows drop on both engines rather than
+    dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400)
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(stable_round(F.avg("value"), 6).alias("x"))
+    dx = F.col("day_idx") * 1.0
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum("x").alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(F.col("x") * F.col("x")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r = (
+        m.filter(F.col("n") > 3)
+        .select(
+            "event_type",
+            "n",
+            stable_round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
+        )
+        .filter(F.abs(F.col("r")) < 1)
+    )
+    fz = 0.5 * F.log((1 + F.col("r")) / (1 - F.col("r")))
+    half = FISHER_Z / F.sqrt(F.col("n") - 3.0)
+    lo = (F.exp(2 * (fz - half)) - 1) / (F.exp(2 * (fz - half)) + 1)
+    hi = (F.exp(2 * (fz + half)) - 1) / (F.exp(2 * (fz + half)) + 1)
+    return r.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("r").alias("pearson_r"),
+        stable_round(lo, 6).alias("ci_lo"),
+        stable_round(hi, 6).alias("ci_hi"),
+    )

@@ -640,3 +640,35 @@ def test_ess_matches_python_reference(spark, duck):
         # Kish bounds: 1 <= ESS <= n; clipping can only help
         assert 1.0 <= r["ess"] <= len(ws) + 1e-9
         assert r["ess_clipped"] >= r["ess"] - 1e-9
+
+
+# ------------------------------------------------------- Fisher corr CI
+def test_fisher_corr_ci_matches_python_reference(spark, duck):
+    daily = _daily_means(duck)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["stats_fisher_corr_ci"](spark, SF).collect()
+    }
+    for et, series in daily.items():
+        days = sorted(series)
+        xs = [series[d] for d in days]
+        n = len(days)
+        if n <= 3:
+            assert et not in got
+            continue
+        mx = sum(days) / n
+        my = sum(xs) / n
+        num = sum((d - mx) * (x - my) for d, x in zip(days, xs))
+        den = math.sqrt(
+            sum((d - mx) ** 2 for d in days)
+            * sum((x - my) ** 2 for x in xs)
+        )
+        r_ref = num / den
+        r = got[et]
+        assert r["n_days"] == n
+        assert r["pearson_r"] == pytest.approx(r_ref, abs=1e-4), et
+        fz = math.atanh(r["pearson_r"])
+        half = 1.96 / math.sqrt(n - 3)
+        assert r["ci_lo"] == pytest.approx(math.tanh(fz - half), abs=1e-4)
+        assert r["ci_hi"] == pytest.approx(math.tanh(fz + half), abs=1e-4)
+        assert -1.0 <= r["ci_lo"] <= r["pearson_r"] <= r["ci_hi"] <= 1.0

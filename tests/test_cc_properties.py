@@ -6,6 +6,7 @@ stars, self-loops, duplicate edges, and isolated nodes."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -38,6 +39,7 @@ def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, i
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # hypothesis sweep of Spark CC vs union-find
 @given(
     st.lists(
         st.tuples(st.integers(0, 24), st.integers(0, 24)),
@@ -60,6 +62,7 @@ def test_cc_matches_union_find(spark, edge_list):
     assert got == want
 
 
+@pytest.mark.slow  # 25 contraction rounds on a 60-node path
 def test_cc_long_chain_converges(spark):
     """A 60-node path is the adversarial diameter case for label
     propagation; max_iter=25 with path compression must close it."""

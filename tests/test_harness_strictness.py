@@ -14,6 +14,7 @@ from __future__ import annotations
 import datetime
 
 import pandas as pd
+import pytest
 
 from kafka_go_streamer_spark.plans import ORACLES, QUERIES
 from tests.oracle_harness import compare, duck_connection
@@ -89,6 +90,7 @@ _SPARK_CLASS = {
 }
 
 
+@pytest.mark.slow  # executes all 280+ DuckDB oracles (~2 min)
 def test_every_oracle_integer_columns_cast(spark, sf_dir):
     """Registry-wide dtype contract: execute EVERY oracle (DuckDB only
     — cheap) and require each output column's dtype class to match the

@@ -2042,3 +2042,108 @@ def stats_fisher_corr_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(lo, 6).alias("ci_lo"),
         stable_round(hi, 6).alias("ci_hi"),
     )
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle=f"""
+    WITH h AS MATERIALIZED ({_HOURLY_SQL}),
+    p AS (
+      SELECT event_type, hour_idx, x,
+             row_number() OVER w AS i,
+             sum(x) OVER w AS s1,
+             sum(x * x) OVER w AS s2,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(x) OVER (PARTITION BY event_type) AS t1,
+             sum(x * x) OVER (PARTITION BY event_type) AS t2
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    g AS (
+      SELECT event_type, hour_idx, n,
+             t2 - t1 * t1 / n AS sse_total,
+             round((t2 - t1 * t1 / n)
+                   - ((s2 - s1 * s1 / i)
+                      + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - i))),
+                   6) AS gain
+      FROM p WHERE i < n
+    ),
+    best AS (
+      SELECT event_type, hour_idx, n, sse_total, gain,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY gain DESC, hour_idx ASC) AS rk
+      FROM g
+    )
+    SELECT event_type, n::BIGINT AS n_hours,
+           hour_idx AS split_hour_idx,
+           round(gain, 4) AS sse_gain,
+           round(gain / nullif(sse_total, 0), 6) AS variance_explained
+    FROM best WHERE rk = 1
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary-segmentation changepoint per event type:
+    the hour that maximally reduces total SSE when the hourly series
+    is split into two constant-mean segments — the level-SHIFT
+    detector (argmax of SSE gain) complementing CUSUM's drift
+    detector (argmax of cumulative deviation): CUSUM finds slow
+    bleeds, binseg finds step changes; production recurses on the
+    winning halves, each recursion this exact query on a sub-range.
+
+    Scale: every candidate split is scored from PREFIX SUMS — one
+    window pass (cumulative Σx, Σx² in the same frame as the totals)
+    over the pinned calendar-sized hourly rollup, so the n-candidate
+    search costs one shuffle and O(n) arithmetic, never n² segment
+    re-aggregation. The gain rounds to 6 BEFORE the argmax ranking
+    with an hour tiebreak, so both engines select the identical
+    split even when two candidates differ by float dust; an all-
+    constant series reports NULL variance_explained via the nullif
+    guard on both engines."""
+    h = _hourly_rollup(spark, sf_dir)
+    wc = Window.partitionBy("event_type").orderBy("hour_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    p = h.select(
+        "event_type",
+        "hour_idx",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hour_idx"))
+        .alias("i"),
+        F.sum("x").over(wc).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(wc).alias("s2"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).alias("t1"),
+        F.sum(F.col("x") * F.col("x")).over(wt).alias("t2"),
+    )
+    sse_total = F.col("t2") - F.col("t1") * F.col("t1") / F.col("n")
+    sse_left = F.col("s2") - F.col("s1") * F.col("s1") / F.col("i")
+    sse_right = (F.col("t2") - F.col("s2")) - (
+        F.col("t1") - F.col("s1")
+    ) * (F.col("t1") - F.col("s1")) / (F.col("n") - F.col("i"))
+    g = p.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "hour_idx",
+        "n",
+        sse_total.alias("sse_total"),
+        stable_round(sse_total - (sse_left + sse_right), 6).alias("gain"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("hour_idx").asc()
+    )
+    return (
+        g.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("hour_idx").alias("split_hour_idx"),
+            stable_round(F.col("gain"), 4).alias("sse_gain"),
+            stable_round(
+                F.col("gain") / F.nullif(F.col("sse_total"), F.lit(0.0)),
+                6,
+            ).alias("variance_explained"),
+        )
+    )

@@ -672,3 +672,39 @@ def test_fisher_corr_ci_matches_python_reference(spark, duck):
         assert r["ci_lo"] == pytest.approx(math.tanh(fz - half), abs=1e-4)
         assert r["ci_hi"] == pytest.approx(math.tanh(fz + half), abs=1e-4)
         assert -1.0 <= r["ci_lo"] <= r["pearson_r"] <= r["ci_hi"] <= 1.0
+
+
+# ------------------------------------------------- binseg changepoint
+def test_binseg_matches_bruteforce_split_search(spark, duck):
+    hourly = _hourly_means(duck)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_changepoint_binseg"](spark, SF).collect()
+    }
+    for et, series in hourly.items():
+        hours = sorted(series)
+        xs = [series[h] for h in hours]
+        n = len(xs)
+
+        def sse(seg):
+            m = sum(seg) / len(seg)
+            return sum((v - m) ** 2 for v in seg)
+
+        total = sse(xs)
+        best = max(
+            range(1, n),
+            key=lambda k: (
+                round(total - (sse(xs[:k]) + sse(xs[k:])), 9),
+                -hours[k - 1],
+            ),
+        )
+        gain = total - (sse(xs[:best]) + sse(xs[best:]))
+        r = got[et]
+        assert r["n_hours"] == n
+        assert r["split_hour_idx"] == hours[best - 1], et
+        assert r["sse_gain"] == pytest.approx(gain, abs=1e-2), et
+        if total > 0:
+            assert r["variance_explained"] == pytest.approx(
+                gain / total, abs=1e-4
+            )
+            assert 0.0 <= r["variance_explained"] <= 1.0

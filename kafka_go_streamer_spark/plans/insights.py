@@ -2147,3 +2147,211 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance_explained"),
         )
     )
+
+
+#: Leave-one-out purity geometry: first KNN_PROBES vectors are probes,
+#: each judged by its KNN_K nearest corpus neighbors.
+KNN_PROBES = 20
+KNN_K = 5
+
+
+def _knn_purity_oracle() -> str:
+    from kafka_go_streamer_spark.functions.vectors import cosine_sql
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < {KNN_PROBES}
+    ),
+    ranked AS MATERIALIZED (
+      SELECT qid, qlabel, label,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6)
+                        DESC, e.vec_id ASC
+             ) AS rk
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    p AS (
+      SELECT qid, qlabel,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+               AS k_agree
+      FROM ranked WHERE rk <= {KNN_K} GROUP BY 1, 2
+    )
+    SELECT qlabel AS label, count(*)::BIGINT AS n_probes,
+           round(avg(k_agree * 1.0 / {KNN_K}), 6) AS mean_purity,
+           sum(CASE WHEN k_agree * 2 > {KNN_K} THEN 1 ELSE 0
+               END)::BIGINT AS majority_correct
+    FROM p GROUP BY 1
+    """
+
+
+@query("embedding_knn_label_purity", oracle=_knn_purity_oracle)
+def embedding_knn_label_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out k-NN label purity per label: each probe vector's
+    {KNN_K} nearest corpus neighbors (cosine, probe excluded) vote,
+    and the label's mean agreement + majority-vote accuracy fall out
+    — the classifier-free embedding-quality eval (a good embedding
+    separates classes locally even when the global isotropy or PC
+    diagnostics look fine), and the go/no-go read before trusting
+    label propagation or k-NN weak supervision on the space.
+
+    Scale: the probe panel is pinned and broadcast (the retrieval
+    family's audited geometry — one corpus scan, per-probe rank
+    window bounded by panel × corpus); neighbor votes rank on the
+    ROUNDED cosine with a vec_id tiebreak, so both engines count the
+    identical k-sets. Output is label-cardinality."""
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = pinned(
+        emb.filter(F.col("vec_id") < KNN_PROBES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            stable_round(
+                cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+            "vec_id",
+        )
+        .select(
+            "qid", "qlabel", "label", F.row_number().over(wr).alias("rk")
+        )
+    )
+    p = (
+        ranked.filter(F.col("rk") <= KNN_K)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k_agree")
+        )
+    )
+    return p.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        stable_round(
+            F.avg(F.col("k_agree") * 1.0 / KNN_K), 6
+        ).alias("mean_purity"),
+        F.sum(F.when(F.col("k_agree") * 2 > KNN_K, 1).otherwise(0))
+        .cast("long")
+        .alias("majority_correct"),
+    )
+
+
+def _jsd_oracle() -> str:
+    from kafka_go_streamer_spark.functions import text as X
+
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT source, unnest({X.words_sql('text')}) AS word
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT source, word, count(*)::BIGINT AS cs FROM w GROUP BY 1, 2
+    ),
+    ts AS (SELECT source, sum(cs)::BIGINT AS t FROM g GROUP BY 1),
+    wq AS (SELECT word, sum(cs)::BIGINT AS cq FROM g GROUP BY 1),
+    n AS (SELECT sum(cs)::BIGINT AS n FROM g),
+    terms AS (
+      SELECT g.source,
+             g.cs * 1.0 / ts.t AS p,
+             wq.cq * 1.0 / n.n AS q
+      FROM g JOIN ts USING (source) JOIN wq USING (word) CROSS JOIN n
+    ),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS n_words,
+             sum(p * ln(p / ((p + q) / 2))) AS part1,
+             sum(q * ln(q / ((p + q) / 2))) AS part2_present,
+             ln(2) * (1.0 - sum(q)) AS part2_absent
+      FROM terms GROUP BY 1
+    )
+    SELECT a.source, a.n_words, ts.t AS n_tokens,
+           round(0.5 * a.part1
+                 + 0.5 * (a.part2_present + a.part2_absent), 6)
+             AS jsd_nats,
+           round((0.5 * a.part1
+                  + 0.5 * (a.part2_present + a.part2_absent)) / ln(2),
+                 6) AS jsd_normalized
+    FROM agg a JOIN ts USING (source)
+    """
+
+
+@query("text_js_divergence_sources", oracle=_jsd_oracle)
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the whole corpus: the bounded, symmetric "how different does
+    this feed talk" number ([0,1] after /ln2) — the source-level
+    complement of per-document DSIR importance, and the ranking that
+    tells a mixture designer which sources actually add distributional
+    diversity vs duplicate the corpus voice.
+
+    Scale: everything runs on the SPARSE (source, word) count frame —
+    the q-side sum over words ABSENT from a source (every word for
+    every source in the dense form) collapses to the closed form
+    ln2·(1 − Σ_present q_w), so no dense |sources|×|vocab| frame ever
+    exists. p and q divide exact integer counts, so both engines fold
+    identical doubles into the entropy terms (libm ln drift is ulp-
+    scale and absorbed by the stabilized rounding); one explode pass,
+    vocab-keyed equi-joins after."""
+    from kafka_go_streamer_spark.functions import text as X
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = load_table(spark, sf_dir, "documents")
+    g = pinned(
+        d.select(
+            "source", F.explode(X.words(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    ts = g.groupBy("source").agg(F.sum("cs").cast("long").alias("t"))
+    wq = g.groupBy("word").agg(F.sum("cs").cast("long").alias("cq"))
+    n = g.agg(F.sum("cs").cast("long").alias("n"))
+    terms = (
+        g.join(F.broadcast(ts), "source")
+        .join(wq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            (F.col("cs") * 1.0 / F.col("t")).alias("p"),
+            (F.col("cq") * 1.0 / F.col("n")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    ln2 = float(math.log(2.0))
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("p") * F.log(F.col("p") / m)).alias("part1"),
+        F.sum(F.col("q") * F.log(F.col("q") / m)).alias("part2_present"),
+        (ln2 * (1.0 - F.sum("q"))).alias("part2_absent"),
+    )
+    jsd = 0.5 * F.col("part1") + 0.5 * (
+        F.col("part2_present") + F.col("part2_absent")
+    )
+    return agg.join(F.broadcast(ts), "source").select(
+        "source",
+        "n_words",
+        F.col("t").alias("n_tokens"),
+        stable_round(jsd, 6).alias("jsd_nats"),
+        stable_round(jsd / ln2, 6).alias("jsd_normalized"),
+    )

@@ -708,3 +708,81 @@ def test_binseg_matches_bruteforce_split_search(spark, duck):
                 gain / total, abs=1e-4
             )
             assert 0.0 <= r["variance_explained"] <= 1.0
+
+
+# ---------------------------------------------------- kNN label purity
+def test_knn_purity_matches_python_reference(spark, duck):
+    from kafka_go_streamer_spark.plans.insights import KNN_K, KNN_PROBES
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding::DOUBLE[], label FROM embeddings"
+    ).fetchall()
+    per_label: dict = defaultdict(list)
+    for qid, qv, qlabel in rows[:KNN_PROBES]:
+        qn = math.sqrt(sum(x * x for x in qv))
+        scored = sorted(
+            (
+                -round(
+                    sum(a * b for a, b in zip(qv, v))
+                    / (qn * math.sqrt(sum(x * x for x in v)))
+                    + 5e-9,
+                    6,
+                ),
+                vid,
+                lab,
+            )
+            for vid, v, lab in rows
+            if vid != qid
+        )
+        agree = sum(1 for _, _, lab in scored[:KNN_K] if lab == qlabel)
+        per_label[qlabel].append(agree)
+    got = {
+        r["label"]: r
+        for r in QUERIES["embedding_knn_label_purity"](spark, SF).collect()
+    }
+    assert set(got) == set(per_label)
+    for lab, agrees in per_label.items():
+        r = got[lab]
+        assert r["n_probes"] == len(agrees)
+        assert r["mean_purity"] == pytest.approx(
+            sum(a / KNN_K for a in agrees) / len(agrees), abs=1e-5
+        )
+        assert r["majority_correct"] == sum(
+            1 for a in agrees if 2 * a > KNN_K
+        )
+        assert 0.0 <= r["mean_purity"] <= 1.0
+
+
+# ------------------------------------------------------- JS divergence
+def test_jsd_matches_python_reference(spark, duck):
+    rows = duck.execute(
+        "SELECT source, lower(trim(text)) FROM documents"
+    ).fetchall()
+    import re as _re
+
+    src_counts: dict = defaultdict(Counter)
+    for s, t in rows:
+        src_counts[s].update(w for w in _re.split(r"\s+", t) if w)
+    corpus: Counter = Counter()
+    for c in src_counts.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_js_divergence_sources"](spark, SF).collect()
+    }
+    assert set(got) == set(src_counts)
+    for s, cnt in src_counts.items():
+        t = sum(cnt.values())
+        part1 = part2p = qsum = 0.0
+        for w, c in cnt.items():
+            p, q = c / t, corpus[w] / n
+            m = (p + q) / 2
+            part1 += p * math.log(p / m)
+            part2p += q * math.log(q / m)
+            qsum += q
+        jsd = 0.5 * part1 + 0.5 * (part2p + math.log(2) * (1 - qsum))
+        r = got[s]
+        assert r["n_words"] == len(cnt) and r["n_tokens"] == t
+        assert r["jsd_nats"] == pytest.approx(jsd, abs=1e-5), s
+        assert 0.0 <= r["jsd_normalized"] <= 1.0 + 1e-9

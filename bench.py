@@ -231,6 +231,11 @@ HEADLINE = [
     "events_session_duration_stats",
     "events_lorenz_deciles",
     "sample_effective_sample_size",
+    # round-10 closing wave: the prefix-sum binseg split search, the
+    # panel-broadcast kNN purity vote, and the sparse-frame source JSD
+    "ts_changepoint_binseg",
+    "embedding_knn_label_purity",
+    "text_js_divergence_sources",
 ]
 
 

@@ -902,3 +902,37 @@ def test_periodogram_single_rollup_read_per_consumer(spark, sf_dir):
     plan = physical_plan(QUERIES["ts_periodogram_power"](spark, sf_dir))
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binseg_single_exchange_joinless(spark, sf_dir):
+    """The split search scores every candidate from prefix-sum windows
+    over the pinned hourly rollup: zero parquet scans, ONE exchange
+    (the rollup's per-type window partitioning), no joins — the
+    n-candidate search never re-aggregates segments."""
+    plan = physical_plan(QUERIES["ts_changepoint_binseg"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_knn_purity_panel_broadcast_one_scan(spark, sf_dir):
+    """kNN purity scores the corpus ONCE against the broadcast pinned
+    probe panel (the retrieval family's audited geometry): a single
+    parquet scan, the panel join as a broadcast nested loop, no
+    cartesian."""
+    plan = physical_plan(QUERIES["embedding_knn_label_purity"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_jsd_vocab_equi_join_no_rescan(spark, sf_dir):
+    """Source JSD runs entirely on the pinned sparse (source, word)
+    frame: zero parquet rescans; the word-total join is a vocab-keyed
+    EQUI join (SortMergeJoin is the correct shape — a 100 TB corpus's
+    vocabulary must never broadcast), source totals and the 1-row N
+    broadcast; no cartesian."""
+    plan = physical_plan(QUERIES["text_js_divergence_sources"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1718,7 +1718,7 @@ ESS_CLIP = 300
     "events_session_duration_stats",
     oracle=f"""
     WITH s AS (
-      SELECT user_id, epoch(ts) AS sec,
+      SELECT user_id, event_id, epoch(ts) AS sec,
              CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id)
                     > {SESSION_GAP_SEC}
@@ -1731,7 +1731,7 @@ ESS_CLIP = 300
     sid AS (
       SELECT user_id, sec,
              sum(is_start) OVER (
-               PARTITION BY user_id ORDER BY sec
+               PARTITION BY user_id ORDER BY sec, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_no
       FROM s
@@ -1775,6 +1775,7 @@ def events_session_duration_stats(
     sec = F.col("ts").cast("double")
     s = ev.select(
         "user_id",
+        "event_id",
         sec.alias("sec"),
         F.when(
             F.lag("ts").over(wl).isNull()
@@ -1784,7 +1785,10 @@ def events_session_duration_stats(
         .otherwise(0)
         .alias("is_start"),
     )
-    wc = Window.partitionBy("user_id").orderBy("sec").rowsBetween(
+    # the running-sum order carries the event_id tiebreak: two same-
+    # user events at the SAME timestamp must fold in one deterministic
+    # order on both engines or the session numbering diverges at scale
+    wc = Window.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sid = s.select(

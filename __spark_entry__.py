@@ -131,8 +131,16 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    "events_markov_entropy_rate",
-    "events_cohort_half_life",
+    # r11 code-touched queries (tests/test_rotation_staleness.py):
+    # the two ADVICE-r10 numeric-guard fixes and the five multimodal
+    # queries whose chain re-ordered to fan->synth->decode.
+    "stats_kruskal_wallis",
+    "retrieval_average_precision",
+    "multimodal_decode_meta",
+    "multimodal_binary_stats",
+    "multimodal_audio_meta",
+    "multimodal_resize",
+    "multimodal_phash_bands",
 )
 
 

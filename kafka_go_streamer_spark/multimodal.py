@@ -137,17 +137,26 @@ def _meta(payload: bytes, fmt: str, width: int, height: int,
     }
 
 
-def decode_images(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+def decode_images(
+    df: DataFrame, key_col: str, blob_col: str, *, fan: bool = True
+) -> DataFrame:
     """Decode a binary column into typed metadata via mapInPandas.
 
     Arrow moves each partition to Python in columnar batches; the
     decode loop is per-batch, not per-row-serialized. Narrow transform:
-    partitioning and ordering of the input are preserved, no shuffle."""
+    partitioning and ordering of the input are preserved, no shuffle.
+    Pass ``fan=False`` when the input is already fanned out (e.g. the
+    output of ``synthetic_image_blobs``, which parallelizes BEFORE its
+    own Python stage) — repartitioning again would shuffle the blob
+    bytes a second time for no parallelism gain (A/B'd r11: the
+    fan-before-synth chain with fan=False here reads the same single
+    shuffle but moves it from the synthesized containers to the
+    smaller text rows AND unserializes the generator stage)."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    src = fan_out(
-        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
-    )
+    src = df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    if fan:
+        src = fan_out(src)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -194,7 +203,17 @@ def synthetic_image_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFra
                 )
             yield pd.DataFrame({"key": pdf["key"], "blob": blobs})
 
-    src = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    # Fan out BEFORE the Python stage: the test parquet ships one row
+    # group, so without this the container synthesis (sha256 + CRC per
+    # row) runs in a single task no matter how many cores the cluster
+    # has. Fanning here instead of in the downstream decoder keeps the
+    # chain at ONE shuffle, placed on the small text rows rather than
+    # the synthesized containers (A/B'd r11, see BASELINE.md).
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(batches, "key bigint, blob binary")
 
 
@@ -336,19 +355,28 @@ def synthetic_wav_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFrame
                 )
             yield pd.DataFrame({"key": pdf["key"], "blob": blobs})
 
-    src = df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    # Fan before the Python synthesis stage (see synthetic_image_blobs).
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(batches, "key bigint, blob binary")
 
 
-def decode_audio(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+def decode_audio(
+    df: DataFrame, key_col: str, blob_col: str, *, fan: bool = True
+) -> DataFrame:
     """Binary WAV payloads -> typed audio metadata via the same
     Arrow-batched mapInPandas path as ``decode_images`` — narrow
-    per-batch transform, no shuffle, linear in input splits."""
+    per-batch transform, no shuffle, linear in input splits. Pass
+    ``fan=False`` when the input is already fanned out (output of
+    ``synthetic_wav_blobs``) to keep the chain at one shuffle."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    src = fan_out(
-        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
-    )
+    src = df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    if fan:
+        src = fan_out(src)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -464,7 +492,9 @@ def byte_histogram(
     return src.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def perceptual_signatures(df: DataFrame, key_col: str, blob_col: str) -> DataFrame:
+def perceptual_signatures(
+    df: DataFrame, key_col: str, blob_col: str, *, fan: bool = True
+) -> DataFrame:
     """(key, sig) frame: a fixed-width 60-bit signature of each blob's
     DECODED content body, for banded near-duplicate blocking.
 
@@ -478,9 +508,9 @@ def perceptual_signatures(df: DataFrame, key_col: str, blob_col: str) -> DataFra
     only 8 bytes per blob leaving the scan — is the real shape."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    src = fan_out(
-        df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
-    )
+    src = df.select(F.col(key_col).alias("key"), F.col(blob_col).alias("blob"))
+    if fan:
+        src = fan_out(src)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -424,8 +424,8 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(nj)::BIGINT AS n, count(*)::BIGINT AS k FROM grp
     ),
     tie AS (
-      SELECT 1.0 - sum(v.t * v.t * v.t - v.t) * 1.0
-                   / (tot.n * tot.n * tot.n - tot.n) AS tie_c
+      SELECT 1.0 - sum(v.t * 1.0 * v.t * v.t - v.t)
+                   / (tot.n * 1.0 * tot.n * tot.n - tot.n) AS tie_c
       FROM v CROSS JOIN tot GROUP BY tot.n
     ),
     h AS (
@@ -491,13 +491,18 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nj").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
+    # Cubes run in DOUBLE on both engines (the `* 1.0` promotion the
+    # assortativity query uses): t**3 / n**3 in 64-bit integer space
+    # overflows beyond ~2.1M events (~sf2) — DuckDB would hard-error,
+    # Spark would silently wrap (the recorded r7 OLS HUGEINT class).
     tie = v.crossJoin(F.broadcast(tot)).agg(
         (
             1.0
-            - F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            * 1.0
+            - F.sum(
+                F.col("t") * 1.0 * F.col("t") * F.col("t") - F.col("t")
+            )
             / F.first(
-                F.col("n") * F.col("n") * F.col("n") - F.col("n")
+                F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n")
             )
         ).alias("tie_c")
     )
@@ -1565,7 +1570,7 @@ def _map_oracle() -> str:
     SELECT c.qid AS query_id,
            sum(c.rel)::BIGINT AS n_rel_at_k,
            round(sum(c.rel * c.cum_rel * 1.0 / c.rk)
-                 / least(n.n_rel, {RET_K}), 6) AS ap_at_k
+                 / nullif(least(n.n_rel, {RET_K}), 0), 6) AS ap_at_k
     FROM cum c JOIN nrel n USING (qid)
     GROUP BY 1, n.n_rel
     """
@@ -1618,9 +1623,14 @@ def retrieval_average_precision(
         .groupBy(F.col("qid").alias("query_id"), F.col("n_rel"))
         .agg(
             F.sum("rel").cast("long").alias("n_rel_at_k"),
+            # nullif guard (the mase/pacf/binseg convention): a panel
+            # query whose label is unique has n_rel = 0, and 0/0 is
+            # NaN in DuckDB but NULL in Spark — both report NULL now.
             stable_round(
                 F.sum(F.col("rel") * F.col("cum_rel") * 1.0 / F.col("rk"))
-                / F.least(F.col("n_rel"), F.lit(RET_K)),
+                / F.nullif(
+                    F.least(F.col("n_rel"), F.lit(RET_K)), F.lit(0)
+                ),
                 6,
             ).alias("ap_at_k"),
         )

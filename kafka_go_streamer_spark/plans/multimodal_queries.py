@@ -54,7 +54,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loop without changing the plan."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = synthetic_image_blobs(docs, "doc_id", "text")
-    meta = decode_images(blobs, "key", "blob")
+    meta = decode_images(blobs, "key", "blob", fan=False)
     return meta.withColumn("channels", F.col("channels").cast("int"))
 
 
@@ -75,7 +75,8 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup shape of a real media-ingest pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     meta = decode_images(
-        synthetic_image_blobs(docs, "doc_id", "text"), "key", "blob"
+        synthetic_image_blobs(docs, "doc_id", "text"), "key", "blob",
+        fan=False,
     )
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n"),
@@ -154,7 +155,10 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    meta = decode_audio(synthetic_wav_blobs(docs, "doc_id", "text"), "key", "blob")
+    meta = decode_audio(
+        synthetic_wav_blobs(docs, "doc_id", "text"), "key", "blob",
+        fan=False,
+    )
     return (
         meta.withColumn("byte_len", F.col("byte_len").cast("int"))
         .withColumn("sample_rate", F.col("sample_rate").cast("int"))
@@ -201,7 +205,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = synthetic_image_blobs(docs, "doc_id", "text")
     resized = resize_images(blobs, "key", "blob", max_side=256)
-    meta = decode_images(resized, "key", "blob")
+    meta = decode_images(resized, "key", "blob", fan=False)
     return meta.withColumn("channels", F.col("channels").cast("int"))
 
 
@@ -366,7 +370,8 @@ def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the 8-byte signatures materialize)
     sigs = pinned(
         perceptual_signatures(
-            synthetic_image_blobs(d, "doc_id", "text"), "key", "blob"
+            synthetic_image_blobs(d, "doc_id", "text"), "key", "blob",
+            fan=False,
         ).select(F.col("key").alias("doc_id"), "sig")
     )
     bands = sigs.select(

@@ -91,7 +91,16 @@ def stabilize_rounds(sql: str) -> str:
             expr = stabilize_rounds(sql[arg_start:comma])  # handle nesting
             scale = sql[comma + 1 : k]
             eps = eps_for_scale(int(scale.strip()))
-            out.append(f"round(({expr}) + {eps:.1e},{scale})")
+            if expr.rstrip().endswith(f"+ {eps:.1e}"):
+                # Idempotent: this arg already carries the injected eps
+                # for this scale (a composed oracle embedding another
+                # query's ALREADY-stabilized SQL — e.g. pacf embedding
+                # the ACF rounds). Re-injecting would double the eps on
+                # the DuckDB side only, re-opening the one-sided
+                # boundary asymmetry functions/rounding.py forbids.
+                out.append(f"round({expr},{scale})")
+            else:
+                out.append(f"round(({expr}) + {eps:.1e},{scale})")
         i = k + 1
     return "".join(out)
 

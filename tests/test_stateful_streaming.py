@@ -154,9 +154,54 @@ def test_transform_with_state_matches_legacy_and_batch(
     )
 
     if not tws_available():
-        pytest.skip(
-            "transformWithState needs google.protobuf (absent here)"
+        # No installed protobuf. The container may still carry a
+        # pure-Python runtime inside the (public) gcloud SDK; if the
+        # shim directory can serve it, re-run THIS test in a
+        # subprocess whose PYTHONPATH activates tests/tws_shim/
+        # sitecustomize.py — there tws_available() is True and the
+        # full in-session body runs against its own SparkSession.
+        # (PYTHONPATH must be set before the JVM starts so the TWS
+        # driver worker and the Python workers inherit it; the shared
+        # session fixture's JVM is already up, hence the subprocess.)
+        import os
+        import subprocess
+        import sys
+
+        shim_dir = os.path.join(os.path.dirname(__file__), "tws_shim")
+        candidate = os.environ.get(
+            "KGS_PUREPY_PROTOBUF_DIR",
+            "/usr/lib/google-cloud-sdk/platform/google_appengine",
         )
+        if not os.path.isdir(
+            os.path.join(candidate, "google", "protobuf")
+        ):
+            pytest.skip(
+                "transformWithState needs google.protobuf (absent, "
+                "and no pure-python runtime candidate in container)"
+            )
+        env = dict(os.environ, PYTHONPATH=shim_dir)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pytest",
+                f"{__file__}::"
+                "test_transform_with_state_matches_legacy_and_batch",
+                "-q",
+                "--no-header",
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, (
+            "shimmed tws subprocess failed:\n"
+            + proc.stdout[-4000:]
+            + proc.stderr[-4000:]
+        )
+        return
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )

@@ -936,3 +936,34 @@ def test_jsd_vocab_equi_join_no_rescan(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """The 13-gram contamination probe must broadcast the benchmark
+    gram set (1/97 of the corpus by construction, benchmark-suite-sized
+    in production) onto the exploded train grams — an equi-join on the
+    hashed gram, never a shuffle of the train side for the probe and
+    never anything pairwise."""
+    plan = physical_plan(QUERIES["text_contamination_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doremi_scalar_reference_broadcasts(spark, sf_dir):
+    """DoReMi reweighting folds the fact ONCE per statistic: the corpus
+    reference loss rides as a 1-row broadcast cross join (never a
+    collect), and the softmax normalizer windows over the ~20-row
+    source frame."""
+    plan = physical_plan(QUERIES["sample_doremi_reweight"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar bind
+    assert "CartesianProduct" not in plan
+
+
+def test_label_mmd_never_joins_the_fact(spark, sf_dir):
+    """Linear MMD's pairwise stage must run on the labels x dims mean
+    frame, not the fact: the self-join keys on dim (equi), and the
+    only parquet scans feed the one mean aggregate."""
+    plan = physical_plan(QUERIES["embedding_label_mmd"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -714,3 +714,766 @@ def sample_mixture_kl_to_target(
             6,
         ).alias("realized_perplexity"),
     )
+
+
+# ------------------------------------------------------ wave 2: ops etc.
+
+#: Code-detector thresholds: symbol density above this OR at least this
+#: many language keywords marks a document code-like.
+CODE_SYM_RE = r"[{}()\[\]<>;=]"
+CODE_SYM_CUT = 0.02
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "void", "int",
+    "function", "var", "const", "struct",
+)
+CODE_KW_MIN = 3
+
+#: Heavy-hitter drift panel size.
+HH_TOPK = 10
+
+#: RBO rank-overlap: query panel size, depth, persistence parameter.
+RBO_QUERIES = 5
+RBO_K = 10
+RBO_P = 0.9
+
+#: Rich-club degree thresholds.
+RICH_KS = (2, 4, 8)
+
+
+@query(
+    "text_code_detector",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{CODE_SYM_RE}'))
+               * 1.0 / greatest(n_chars, 1) AS sym_ratio,
+             len(list_filter({X.words_sql('text')},
+                 w -> list_contains([{", ".join(f"'{w}'" for w in CODE_KEYWORDS)}], w)))
+               AS kw_hits
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN sym_ratio > {CODE_SYM_CUT}
+                      OR kw_hits >= {CODE_KW_MIN}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_code_like,
+           round(sum(CASE WHEN sym_ratio > {CODE_SYM_CUT}
+                            OR kw_hits >= {CODE_KW_MIN}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS code_rate,
+           round(avg(sym_ratio), 6) AS avg_symbol_ratio
+    FROM per GROUP BY 1
+    """,
+)
+def text_code_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic gate per source: symbol density
+    (braces/brackets/semicolons per char) and programming-keyword hits
+    — the cheap first-pass classifier pretraining pipelines run before
+    routing documents to a code-specific pipeline (dedup by AST,
+    license scan) vs the prose pipeline. Thresholds are the classic
+    heuristic tier below a fastText model; the verdict logic is the
+    gate SHAPE, swap constants per corpus.
+
+    Scale: two codegen'd per-row counts (one regexp scan, one in-row
+    token filter over the already-split words), folded straight into a
+    source-sized aggregate; zero joins, zero shuffles beyond the
+    rollup. The symbol ratio is exact-integer-over-integer per row; the
+    per-source average rounds once."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = X.words(F.col("text"))
+    per = d.select(
+        "source",
+        (
+            F.regexp_count(F.col("text"), F.lit(CODE_SYM_RE))
+            * 1.0
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("sym_ratio"),
+        F.size(
+            F.filter(ws, lambda w: w.isin(*CODE_KEYWORDS))
+        ).alias("kw_hits"),
+    )
+    code_like = (F.col("sym_ratio") > CODE_SYM_CUT) | (
+        F.col("kw_hits") >= CODE_KW_MIN
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(code_like, 1).otherwise(0))
+        .cast("long")
+        .alias("n_code_like"),
+        stable_round(
+            F.sum(F.when(code_like, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("code_rate"),
+        stable_round(F.avg("sym_ratio"), 6).alias("avg_symbol_ratio"),
+    )
+
+
+@query(
+    "events_heavy_hitter_drift",
+    oracle=f"""
+    WITH act AS (
+      SELECT floor(epoch(ts) / 86400)::BIGINT AS day,
+             user_id, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT day, user_id FROM (
+        SELECT day, user_id,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY n DESC, user_id ASC) AS rk
+        FROM act
+      ) WHERE rk <= {HH_TOPK}
+    ),
+    sizes AS (
+      SELECT day, count(*)::BIGINT AS sz FROM top GROUP BY 1
+    ),
+    common AS (
+      SELECT b.day AS day, count(*)::BIGINT AS n_common
+      FROM top a JOIN top b
+        ON b.day = a.day + 1 AND b.user_id = a.user_id
+      GROUP BY 1
+    )
+    SELECT s.day, p.sz AS n_prev, s.sz AS n_curr,
+           coalesce(c.n_common, 0)::BIGINT AS n_common,
+           round(coalesce(c.n_common, 0) * 1.0
+                 / (p.sz + s.sz - coalesce(c.n_common, 0)), 6) AS jaccard
+    FROM sizes s
+    JOIN sizes p ON p.day = s.day - 1
+    LEFT JOIN common c ON c.day = s.day
+    """,
+)
+def events_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day heavy-hitter churn: the Jaccard overlap between
+    consecutive days' top-{HH_TOPK} most active users — the drift
+    monitor behind "did the workload's hot keys move", which decides
+    whether yesterday's salting / cache / partition-pruning choices
+    still hold today (composes with ``sketch_countmin_heavy_users``,
+    the streaming estimator of the same panel, and
+    ``quality_join_key_skew``).
+
+    Scale: activity collapses to the (day, user) frame in one
+    map-side-combinable aggregate; ranking windows partition BY DAY
+    (parallel, each partition is that day's user set); the drift join
+    matches consecutive-day panels of {HH_TOPK} rows each. Rank ties
+    break on user_id over exact counts, so both engines pick identical
+    panels."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    act = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400)
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    top = (
+        act.select("day", "user_id", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= HH_TOPK)
+        .select("day", "user_id")
+    )
+    sizes = top.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = top.select((F.col("day") + 1).alias("day"), "user_id")
+    common = (
+        a.join(top, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    # day-pair grid drives the output: a zero-overlap day REPORTS
+    # jaccard 0 (the alarm case) instead of vanishing from the monitor
+    return (
+        sizes.withColumnRenamed("sz", "n_curr")
+        .join(
+            sizes.select(
+                (F.col("day") + 1).alias("day"),
+                F.col("sz").alias("n_prev"),
+            ),
+            "day",
+        )
+        .join(common, "day", "left")
+        .select(
+            "day",
+            "n_prev",
+            "n_curr",
+            nc.cast("long").alias("n_common"),
+            stable_round(
+                nc * 1.0 / (F.col("n_prev") + F.col("n_curr") - nc),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+from kafka_go_streamer_spark.functions.vectors import cosine_sql as _cos_sql
+
+_COS_F = _cos_sql("e.emb", "q.qv")
+_COS_Q = _cos_sql("d.demb", "q.qv")
+
+
+def _dequant_sql() -> str:
+    """DuckDB int8 round-trip of the ``embedding_quantize_int8``
+    scheme: quantize to 0..255 on the per-vector min-max grid, then
+    dequantize back — floor(x + 0.5) (not round) for bit-stable ties."""
+    return (
+        "list_transform(emb, x -> CASE WHEN mx > mn THEN "
+        "mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5)"
+        " * (mx - mn) / 255.0 ELSE x END)"
+    )
+
+
+@query(
+    "retrieval_rbo_quantization",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id,
+             {_dequant_sql()} AS demb
+      FROM (SELECT vec_id, emb,
+                   list_aggregate(emb, 'min') AS mn,
+                   list_aggregate(emb, 'max') AS mx
+            FROM e)
+    ),
+    q AS (
+      SELECT vec_id AS qid, emb AS qv FROM e
+      WHERE vec_id < {RBO_QUERIES}
+    ),
+    rf AS (
+      SELECT qid, vec_id, rk FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_COS_F}, 6) DESC, e.vec_id ASC
+               ) AS rk
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+      ) WHERE rk <= {RBO_K}
+    ),
+    rq AS (
+      SELECT qid, vec_id, rk FROM (
+        SELECT q.qid, d.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_COS_Q}, 6) DESC, d.vec_id ASC
+               ) AS rk
+        FROM dq d CROSS JOIN q WHERE d.vec_id <> q.qid
+      ) WHERE rk <= {RBO_K}
+    ),
+    pairs AS (
+      SELECT rf.qid, greatest(rf.rk, rq.rk) AS m
+      FROM rf JOIN rq ON rf.qid = rq.qid AND rf.vec_id = rq.vec_id
+    ),
+    w AS (
+      SELECT qid,
+             sum((1.0 - {RBO_P}) * pow({RBO_P}, t.d - 1) / t.d) AS wt
+      FROM pairs, unnest(range(m, {RBO_K} + 1)) AS t(d)
+      GROUP BY 1
+    ),
+    ov AS (
+      SELECT qid, count(*)::BIGINT AS overlap_at_k FROM pairs GROUP BY 1
+    )
+    SELECT q.qid AS query_id,
+           coalesce(ov.overlap_at_k, 0)::BIGINT AS overlap_at_k,
+           round(coalesce(w.wt, 0.0), 6) AS rbo
+    FROM q LEFT JOIN ov USING (qid) LEFT JOIN w USING (qid)
+    """,
+)
+def retrieval_rbo_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p={RBO_P}) between the float-precision
+    cosine top-{RBO_K} and the int8-quantized cosine top-{RBO_K} for
+    the pinned query panel — the retrieval-side fidelity check for
+    ``embedding_quantize_int8``: recall@k says whether the right IDs
+    survive, RBO says whether their ORDER survives (top-weighted, so a
+    rank-1 swap costs more than a rank-9 swap). The decision number
+    for "can the ANN tier serve int8 and re-rank in float".
+
+    Scale: both rankings are the retrieval family's audited geometry —
+    corpus scanned once per ranking against a broadcast ≤{RBO_QUERIES}-row
+    panel, k-row frames after the rank filter; the dequantized vector
+    is an in-row transform (the corpus is never materialized twice).
+    The RBO weight explodes at most {RBO_K} depth rows per agreeing
+    pair — bounded by panel x k x k. Ranks break ties on vec_id over
+    6dp-rounded scores, so both engines pick identical lists."""
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    dq = e.select(
+        "vec_id",
+        "emb",
+        F.array_min("emb").alias("mn"),
+        F.array_max("emb").alias("mx"),
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.transform(
+                "emb",
+                lambda x: F.col("mn")
+                + F.floor(
+                    (x - F.col("mn"))
+                    * 255.0
+                    / (F.col("mx") - F.col("mn"))
+                    + 0.5
+                )
+                * (F.col("mx") - F.col("mn"))
+                / 255.0,
+            ),
+        )
+        .otherwise(F.col("emb"))
+        .alias("demb"),
+    )
+    q = pinned(
+        e.filter(F.col("vec_id") < RBO_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qv")
+        )
+    )
+
+    def ranked(side: DataFrame, vcol: str) -> DataFrame:
+        wr = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        return (
+            side.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                stable_round(
+                    cosine(F.col(vcol), F.col("qv")), 6
+                ).alias("score"),
+            )
+            .select(
+                "qid", "vec_id", F.row_number().over(wr).alias("rk")
+            )
+            .filter(F.col("rk") <= RBO_K)
+        )
+
+    rf = ranked(e, "emb")
+    rq = ranked(dq, "demb")
+    pairs = rf.join(
+        rq.withColumnRenamed("rk", "rkq"), ["qid", "vec_id"]
+    ).select(
+        "qid", F.greatest(F.col("rk"), F.col("rkq")).alias("m")
+    )
+    w = (
+        pairs.select(
+            "qid",
+            F.explode(
+                F.sequence(F.col("m"), F.lit(RBO_K))
+            ).alias("d"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (1.0 - RBO_P)
+                * F.pow(F.lit(RBO_P), F.col("d") - 1)
+                / F.col("d")
+            ).alias("wt")
+        )
+    )
+    ov = pairs.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_at_k")
+    )
+    return (
+        q.select(F.col("qid"))
+        .join(ov, "qid", "left")
+        .join(w, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("overlap_at_k"), F.lit(0))
+            .cast("long")
+            .alias("overlap_at_k"),
+            stable_round(
+                F.coalesce(F.col("wt"), F.lit(0.0)), 6
+            ).alias("rbo"),
+        )
+    )
+
+
+def _rich_club_oracle() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    wpairs = ORACLES["dedup_winnowing_pairs"]
+    ks = ", ".join(str(k) for k in RICH_KS)
+    return f"""
+    WITH wpairs AS ({wpairs}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM wpairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY 1
+    ),
+    ks AS (SELECT unnest([{ks}]) AS k),
+    nk AS (
+      SELECT ks.k, count(deg.node)::BIGINT AS n_nodes
+      FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY 1
+    ),
+    ek AS (
+      SELECT ks.k,
+             sum(CASE WHEN da.d > ks.k AND db.d > ks.k
+                      THEN 1 ELSE 0 END)::BIGINT AS n_edges
+      FROM ks CROSS JOIN e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+      GROUP BY 1
+    )
+    SELECT nk.k::BIGINT AS k, nk.n_nodes, ek.n_edges,
+           round(2.0 * ek.n_edges
+                 / nullif(nk.n_nodes * (nk.n_nodes - 1), 0), 6)
+             AS rich_club_coeff
+    FROM nk JOIN ek USING (k)
+    """
+
+
+@query("graph_rich_club", oracle=_rich_club_oracle)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the winnowing-overlap document graph at
+    degree thresholds k in {RICH_KS}: among nodes of degree > k, the
+    realized edge density 2E_k / (N_k (N_k - 1)) — "do the most
+    duplicated documents duplicate EACH OTHER" (a rich club in the
+    overlap graph means template families interlock, so cluster-level
+    dedup beats pairwise drops; composes with
+    ``graph_degree_assortativity``, the correlation version of the
+    same question, and ``dedup_cluster_manifest``).
+
+    Scale: runs entirely on the capped winnowing edge list (the
+    audited candidate geometry — never all pairs) and its degree
+    frame; the threshold sweep is a 3-row explode against node/edge
+    frames, every join equi- or broadcast. Counts are exact integers;
+    one rounded division per threshold."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    e = pinned(
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).distinct()
+    )
+    deg = pinned(
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ks = None
+    for k in RICH_KS:
+        row = (
+            deg.agg(
+                F.lit(k).alias("k"),
+                F.sum(F.when(F.col("d") > k, 1).otherwise(0))
+                .cast("long")
+                .alias("n_nodes"),
+            )
+        )
+        ks = row if ks is None else ks.unionByName(row)
+    ewd = (
+        e.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("db")),
+            "b",
+        )
+    )
+    ek = None
+    for k in RICH_KS:
+        row = ewd.agg(
+            F.lit(k).alias("k"),
+            F.sum(
+                F.when((F.col("da") > k) & (F.col("db") > k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_edges"),
+        )
+        ek = row if ek is None else ek.unionByName(row)
+    return (
+        ks.join(ek, "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            "n_edges",
+            stable_round(
+                2.0
+                * F.col("n_edges")
+                / F.nullif(
+                    F.col("n_nodes") * (F.col("n_nodes") - 1), F.lit(0)
+                ),
+                6,
+            ).alias("rich_club_coeff"),
+        )
+    )
+
+
+#: Cliff's delta value-binning scale (the Kruskal-Wallis convention:
+#: 2 decimals bounds the value vocabulary at any fact size).
+CLIFF_SCALE = 2
+
+
+@query(
+    "stats_cliffs_delta",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, round(value, {CLIFF_SCALE}) AS xr,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    vals AS (SELECT DISTINCT xr FROM g),
+    types AS (SELECT DISTINCT event_type FROM g),
+    dense AS (
+      SELECT t.event_type, v.xr, coalesce(g.c, 0)::BIGINT AS c
+      FROM types t CROSS JOIN vals v
+      LEFT JOIN g ON g.event_type = t.event_type AND g.xr = v.xr
+    ),
+    cum AS (
+      SELECT event_type, xr, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY xr
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cm
+      FROM dense
+    ),
+    tot AS (
+      SELECT event_type, sum(c)::BIGINT AS n FROM dense GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             sum(a.c * 1.0 * (b.cm - b.c)) AS gt,
+             sum(a.c * 1.0 * (tb.n - b.cm)) AS lt
+      FROM cum a
+      JOIN cum b ON b.xr = a.xr AND a.event_type < b.event_type
+      JOIN tot tb ON tb.event_type = b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b,
+           round((p.gt - p.lt) / (ta.n * 1.0 * tb.n), 6) AS cliffs_delta
+    FROM pair p
+    JOIN tot ta ON ta.event_type = p.type_a
+    JOIN tot tb ON tb.event_type = p.type_b
+    """,
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between every pair of event types: the ordinal
+    effect size P(X_a > X_b) - P(X_a < X_b) — the companion number to
+    ``stats_mannwhitney_u``'s p-value (significance says a shift
+    exists; delta says how big, on a -1..1 scale robust to any
+    monotone transform) and to ``stats_cohens_d`` (which assumes the
+    shift is a mean shift).
+
+    Scale: the Kruskal-Wallis discipline — values bin to {CLIFF_SCALE}
+    decimals (vocabulary-bounded), all pair counting happens on the
+    DENSE (type x distinct-value) grid via per-type cumulative counts,
+    so the pairwise stage is an equi-join on the value key (types x
+    types x vocabulary rows — never row-level pairs). Products promote
+    to double inside the sums on BOTH engines (the r11
+    Kruskal-Wallis overflow lesson: n_a x n_b crosses int64 at
+    petabyte scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from pyspark.sql import Window
+
+    g = pinned(
+        ev.groupBy(
+            "event_type",
+            stable_round(F.col("value"), CLIFF_SCALE).alias("xr"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vals = g.select("xr").distinct()
+    types = g.select("event_type").distinct()
+    dense = (
+        types.crossJoin(vals)
+        .join(g, ["event_type", "xr"], "left")
+        .select(
+            "event_type",
+            "xr",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wc = Window.partitionBy("event_type").orderBy("xr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pinned(
+        dense.select(
+            "event_type", "xr", "c", F.sum("c").over(wc).alias("cm")
+        )
+    )
+    tot = pinned(
+        dense.groupBy("event_type").agg(
+            F.sum("c").cast("long").alias("n")
+        )
+    )
+    a = cum.select(
+        F.col("event_type").alias("type_a"),
+        "xr",
+        F.col("c").alias("ca"),
+    )
+    b = cum.select(
+        F.col("event_type").alias("type_b"),
+        "xr",
+        F.col("c").alias("cb"),
+        F.col("cm").alias("cmb"),
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    pair = (
+        a.join(b, "xr")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(tb), "type_b")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.col("ca") * 1.0 * (F.col("cmb") - F.col("cb"))
+            ).alias("gt"),
+            F.sum(
+                F.col("ca") * 1.0 * (F.col("nb") - F.col("cmb"))
+            ).alias("lt"),
+        )
+    )
+    return (
+        pair.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            stable_round(
+                (F.col("gt") - F.col("lt"))
+                / (F.col("na") * 1.0 * F.col("nb")),
+                6,
+            ).alias("cliffs_delta"),
+        )
+    )
+
+
+@query(
+    "events_user_lifecycle_states",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             floor(epoch(ts) / 604800)::BIGINT AS week
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS prev_week
+      FROM uw
+    ),
+    states AS (
+      SELECT week,
+             sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_new,
+             sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_retained,
+             sum(CASE WHEN prev_week IS NOT NULL
+                       AND prev_week < week - 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_resurrected
+      FROM st GROUP BY 1
+    ),
+    churn AS (
+      SELECT a.week + 1 AS week, count(*)::BIGINT AS n_churned
+      FROM uw a LEFT JOIN uw b
+        ON b.user_id = a.user_id AND b.week = a.week + 1
+      WHERE b.user_id IS NULL
+      GROUP BY 1
+    )
+    SELECT s.week, s.n_new, s.n_retained, s.n_resurrected,
+           coalesce(c.n_churned, 0)::BIGINT AS n_churned
+    FROM states s LEFT JOIN churn c USING (week)
+    """,
+)
+def events_user_lifecycle_states(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first week ever), RETAINED (also active the prior week) or
+    RESURRECTED (active before, but not the prior week), plus CHURNED
+    (active the prior week, absent this week) — the standard
+    new/retained/resurrected/churned decomposition whose identity
+    (DAU_t = new + retained + resurrected) growth teams reconcile
+    before trusting any retention curve. Complements
+    ``events_retention_weekly`` (cohort view) and
+    ``events_dau_wau_stickiness`` (ratio view) with the flow view.
+
+    Scale: the fact collapses to the DISTINCT (user, week) frame in
+    one aggregate; the lifecycle label is a lag window partitioned by
+    user over that bounded frame (weeks-per-user rows); churn is a
+    self equi-join on (user, week+1). Output is one row per week.
+    The churned count lands on the week the user is ABSENT — note the
+    final corpus week therefore reports churn INTO it, while churn out
+    of it is unobservable (no week+1 data) — both engines agree
+    because the week grid comes from the same distinct frame."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800)
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    wl = Window.partitionBy("user_id").orderBy("week")
+    st = uw.select(
+        "user_id", "week", F.lag("week").over(wl).alias("prev_week")
+    )
+    states = st.groupBy("week").agg(
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.col("week") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    nxt = uw.select(
+        "user_id", (F.col("week") + 1).alias("week")
+    )
+    churn = (
+        nxt.join(uw, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        states.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )

@@ -294,3 +294,253 @@ def test_mixture_kl_matches_python_reference(spark, docs):
         math.exp(-ent), abs=2e-5
     )
     assert r["kl_nats"] >= 0.0
+
+
+# ------------------------------------------------------- wave 2 fixtures
+@pytest.fixture(scope="module")
+def duck_ev(duck):
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS events AS"
+        f" SELECT * FROM '{SF}/events.parquet'"
+    )
+    return duck
+
+
+# -------------------------------------------------------- code detector
+def test_code_detector_matches_python_reference(spark, docs):
+    sym = re.compile(r"[{}()\[\]<>;=]")
+    per: dict[str, list] = defaultdict(lambda: [0, 0, 0.0])
+    for _, text, _, source, n_chars in docs:
+        ratio = len(sym.findall(text)) / max(n_chars, 1)
+        kw = sum(1 for w in _words(text) if w in C.CODE_KEYWORDS)
+        a = per[source]
+        a[0] += 1
+        a[1] += 1 if (ratio > C.CODE_SYM_CUT or kw >= C.CODE_KW_MIN) else 0
+        a[2] += ratio
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_code_detector"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for s, (nd, nc, rsum) in per.items():
+        r = got[s]
+        assert r["n_docs"] == nd and r["n_code_like"] == nc, s
+        assert r["code_rate"] == pytest.approx(nc / nd, abs=2e-6), s
+        assert r["avg_symbol_ratio"] == pytest.approx(
+            rsum / nd, abs=2e-6
+        ), s
+
+
+# --------------------------------------------------- heavy-hitter drift
+def test_heavy_hitter_drift_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT floor(epoch(ts)/86400)::BIGINT, user_id, count(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    by_day: dict[int, list] = defaultdict(list)
+    for day, uid, n in rows:
+        by_day[day].append((-n, uid))
+    top = {
+        d: {uid for _, uid in sorted(v)[: C.HH_TOPK]}
+        for d, v in by_day.items()
+    }
+    got = {
+        r["day"]: r
+        for r in QUERIES["events_heavy_hitter_drift"](
+            spark, SF
+        ).collect()
+    }
+    days = sorted(top)
+    expect_days = {
+        d for i, d in enumerate(days[1:], 1) if days[i - 1] == d - 1
+    }
+    assert set(got) == expect_days  # every consecutive pair reports
+    for d in expect_days:
+        prev, curr = top[d - 1], top[d]
+        inter = len(prev & curr)
+        r = got[d]
+        assert (r["n_prev"], r["n_curr"], r["n_common"]) == (
+            len(prev),
+            len(curr),
+            inter,
+        ), d
+        assert r["jaccard"] == pytest.approx(
+            inter / (len(prev) + len(curr) - inter), abs=2e-6
+        ), d
+
+
+# -------------------------------------------------------- RBO quantized
+def test_rbo_quantization_matches_python_reference(spark, duck):
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings"
+    ).fetchall()
+    embs = {vid: [float(v) for v in e] for vid, e in rows}
+
+    def dequant(v):
+        mn, mx = min(v), max(v)
+        if mx <= mn:
+            return list(v)
+        return [
+            mn + math.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+            * (mx - mn) / 255.0
+            for x in v
+        ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    def topk(corpus, qid):
+        qv = embs[qid]
+        scored = sorted(
+            (
+                (-round(cos(v, qv), 6), vid)
+                for vid, v in corpus.items()
+                if vid != qid
+            ),
+        )[: C.RBO_K]
+        return {vid: i + 1 for i, (_, vid) in enumerate(scored)}
+
+    dq = {vid: dequant(v) for vid, v in embs.items()}
+    got = {
+        r["query_id"]: r
+        for r in QUERIES["retrieval_rbo_quantization"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(range(C.RBO_QUERIES))
+    for qid in range(C.RBO_QUERIES):
+        rf, rq = topk(embs, qid), topk(dq, qid)
+        shared = set(rf) & set(rq)
+        rbo = sum(
+            (1 - C.RBO_P) * C.RBO_P ** (d - 1) / d
+            for vid in shared
+            for d in range(max(rf[vid], rq[vid]), C.RBO_K + 1)
+        )
+        r = got[qid]
+        assert r["overlap_at_k"] == len(shared), qid
+        assert r["rbo"] == pytest.approx(rbo, abs=2e-6), qid
+        assert 0.0 <= r["rbo"] <= 1.0
+
+
+# ------------------------------------------------------------ rich club
+def test_rich_club_matches_python_reference(spark):
+    edges = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in QUERIES["dedup_winnowing_pairs"](spark, SF).collect()
+    }
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {
+        r["k"]: r for r in QUERIES["graph_rich_club"](spark, SF).collect()
+    }
+    assert set(got) == set(C.RICH_KS)
+    prev_nodes = None
+    for k in sorted(C.RICH_KS):
+        nodes = {n for n, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in edges if a in nodes and b in nodes)
+        r = got[k]
+        assert r["n_nodes"] == len(nodes), k
+        assert r["n_edges"] == e_k, k
+        if len(nodes) > 1:
+            phi = 2.0 * e_k / (len(nodes) * (len(nodes) - 1))
+            assert r["rich_club_coeff"] == pytest.approx(
+                phi, abs=2e-6
+            ), k
+            assert 0.0 <= r["rich_club_coeff"] <= 1.0
+        else:
+            assert r["rich_club_coeff"] is None
+        if prev_nodes is not None:
+            assert len(nodes) <= prev_nodes  # monotone shrinkage
+        prev_nodes = len(nodes)
+
+
+# --------------------------------------------------------- Cliff's delta
+def test_cliffs_delta_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT event_type, round(value, 2), count(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    per: dict[str, dict[float, int]] = defaultdict(dict)
+    for et, xr, c in rows:
+        per[et][xr] = c
+    types = sorted(per)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["stats_cliffs_delta"](spark, SF).collect()
+    }
+    expect = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    assert set(got) == expect
+    for a, b in expect:
+        gt = sum(
+            ca * cb
+            for xa, ca in per[a].items()
+            for xb, cb in per[b].items()
+            if xa > xb
+        )
+        lt = sum(
+            ca * cb
+            for xa, ca in per[a].items()
+            for xb, cb in per[b].items()
+            if xa < xb
+        )
+        na = sum(per[a].values())
+        nb = sum(per[b].values())
+        r = got[(a, b)]
+        assert (r["n_a"], r["n_b"]) == (na, nb), (a, b)
+        want = (gt - lt) / (na * nb)
+        assert r["cliffs_delta"] == pytest.approx(want, abs=2e-6), (a, b)
+        assert -1.0 <= r["cliffs_delta"] <= 1.0
+
+
+# ------------------------------------------------------ lifecycle states
+def test_lifecycle_states_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT DISTINCT user_id, floor(epoch(ts)/604800)::BIGINT"
+        " FROM events"
+    ).fetchall()
+    weeks_of: dict[int, set[int]] = defaultdict(set)
+    for uid, w in rows:
+        weeks_of[uid].add(w)
+    all_weeks = sorted({w for ws in weeks_of.values() for w in ws})
+    agg = {w: [0, 0, 0, 0] for w in all_weeks}
+    for uid, ws in weeks_of.items():
+        order = sorted(ws)
+        for i, w in enumerate(order):
+            if i == 0:
+                agg[w][0] += 1
+            elif order[i - 1] == w - 1:
+                agg[w][1] += 1
+            else:
+                agg[w][2] += 1
+        for w in order:
+            if (w + 1) not in ws and (w + 1) in agg:
+                agg[w + 1][3] += 1
+    got = {
+        r["week"]: r
+        for r in QUERIES["events_user_lifecycle_states"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for w, (nn, nr, nres, nch) in agg.items():
+        r = got[w]
+        assert (
+            r["n_new"],
+            r["n_retained"],
+            r["n_resurrected"],
+            r["n_churned"],
+        ) == (nn, nr, nres, nch), w
+    # growth-accounting identity: actives = new + retained + resurrected
+    actives = {
+        w: sum(1 for ws in weeks_of.values() if w in ws)
+        for w in all_weeks
+    }
+    for w in all_weeks:
+        assert actives[w] == sum(agg[w][:3]), w

@@ -7,6 +7,7 @@ from kafka_go_streamer_spark.plans.registry import ORACLES, QUERIES, query
 # populate the registry
 from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     analytics_ext,
+    corpus_health,
     curation,
     dedup,
     insights,

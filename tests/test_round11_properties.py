@@ -544,3 +544,239 @@ def test_lifecycle_states_matches_python_reference(spark, duck_ev):
     }
     for w in all_weeks:
         assert actives[w] == sum(agg[w][:3]), w
+
+
+# ------------------------------------------------------- wave 3 imports
+from kafka_go_streamer_spark.plans import corpus_health as H  # noqa: E402
+
+
+# ------------------------------------------------- dedup threshold sweep
+def test_threshold_sweep_matches_python_reference(spark):
+    pairs = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
+    ]
+    got = {
+        r["threshold"]: r
+        for r in QUERIES["dedup_threshold_sweep"](spark, SF).collect()
+    }
+    assert set(got) == set(H.SWEEP_THRESHOLDS)
+    prev_pairs = None
+    for t in sorted(H.SWEEP_THRESHOLDS):
+        hits = [(a, b) for a, b, j in pairs if j >= t]
+        r = got[t]
+        assert r["n_pairs"] == len(hits), t
+        assert r["n_docs_dropped"] == len({b for _, b in hits}), t
+        if prev_pairs is not None:
+            assert r["n_pairs"] <= prev_pairs  # monotone in threshold
+        prev_pairs = r["n_pairs"]
+
+
+# ------------------------------------------------------------ hapax rate
+def test_hapax_rate_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    per: dict[str, Counter] = defaultdict(Counter)
+    for _, text, _, source, _ in docs:
+        per[source].update(_words(text))
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_hapax_rate"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for s, cnt in per.items():
+        hap = sum(1 for c in cnt.values() if c == 1)
+        r = got[s]
+        assert r["vocab_size"] == len(cnt), s
+        assert r["n_hapax"] == hap, s
+        assert r["n_tokens"] == sum(cnt.values()), s
+        assert r["hapax_vocab_rate"] == pytest.approx(
+            hap / len(cnt), abs=2e-6
+        ), s
+        assert r["hapax_token_rate"] == pytest.approx(
+            hap / sum(cnt.values()), abs=2e-6
+        ), s
+
+
+# ------------------------------------------------------- mean word rank
+def test_mean_word_rank_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for _, text, _, _, _ in docs:
+        vocab.update(_words(text))
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    rank = {w: i + 1 for i, (w, _) in enumerate(ranked)}
+    per: dict[str, list[float]] = defaultdict(list)
+    for _, text, _, source, _ in docs:
+        ws = _words(text)
+        per[source].append(
+            round(sum(rank[w] for w in ws) / len(ws), 6)
+        )
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_mean_word_rank"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for s, means in per.items():
+        r = got[s]
+        assert r["n_docs"] == len(means), s
+        assert r["mean_word_rank"] == pytest.approx(
+            sum(means) / len(means), abs=2e-6
+        ), s
+        assert r["worst_doc_rank"] == pytest.approx(
+            max(means), abs=2e-6
+        ), s
+
+
+# -------------------------------------------------------- IDF stability
+def test_idf_stability_matches_python_reference(spark, docs):
+    mx = max(d[0] for d in docs)
+    halves: dict[int, list] = {1: [], 2: []}
+    for doc_id, text, _, _, _ in docs:
+        halves[1 if doc_id <= mx // 2 else 2].append(text)
+    idf = {}
+    for h, texts in halves.items():
+        n = len(texts)
+        df: dict[str, int] = defaultdict(int)
+        for t in texts:
+            for w in set(_words(t)):
+                df[w] += 1
+        idf[h] = {
+            w: round(math.log(n / c), 6)
+            for w, c in df.items()
+            if c >= H.IDF_MIN_DF
+        }
+    common = sorted(set(idf[1]) & set(idf[2]))
+    i1 = [idf[1][w] for w in common]
+    i2 = [idf[2][w] for w in common]
+    n = len(common)
+    s1, s2 = sum(i1), sum(i2)
+    s11 = sum(x * x for x in i1)
+    s22 = sum(x * x for x in i2)
+    s12 = sum(x * y for x, y in zip(i1, i2))
+    corr = (n * s12 - s1 * s2) / math.sqrt(
+        (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+    )
+    mad = sum(abs(x - y) for x, y in zip(i1, i2)) / n
+    r = QUERIES["text_idf_stability"](spark, SF).collect()[0]
+    assert r["n_common_words"] == n
+    assert r["idf_correlation"] == pytest.approx(corr, abs=2e-5)
+    assert r["mean_abs_idf_diff"] == pytest.approx(mad, abs=2e-6)
+    assert -1.0 <= r["idf_correlation"] <= 1.0
+
+
+# ------------------------------------------------------ weekly gini trend
+def test_weekly_gini_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT floor(epoch(ts)/604800)::BIGINT, user_id, count(*)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    per: dict[int, list[int]] = defaultdict(list)
+    for w, _, c in rows:
+        per[w].append(c)
+    got = {
+        r["week"]: r
+        for r in QUERIES["events_weekly_gini_trend"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for w, xs in per.items():
+        xs = sorted(xs)
+        n = len(xs)
+        gini = 2.0 * sum(
+            (i + 1) * x for i, x in enumerate(xs)
+        ) / (n * sum(xs)) - (n + 1.0) / n
+        r = got[w]
+        assert r["n_users"] == n and r["n_events"] == sum(xs), w
+        assert r["gini"] == pytest.approx(gini, abs=2e-6), w
+        assert 0.0 <= r["gini"] < 1.0
+
+
+# ------------------------------------------------------------- Hill tail
+def test_hill_tail_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT user_id, count(*) FROM events GROUP BY 1"
+    ).fetchall()
+    xs = sorted(((c, -u) for u, c in rows), reverse=True)
+    counts = [c for c, _ in xs]
+    n = len(counts)
+    m = min(max(H.HILL_MIN, n // H.HILL_FRAC_DEN), n)
+    x_m = counts[m - 1]
+    ssum = sum(math.log(counts[i] / x_m) for i in range(m - 1))
+    r = QUERIES["events_activity_tail_hill"](spark, SF).collect()[0]
+    assert r["n_users"] == n and r["m_tail"] == m
+    if ssum > 0:
+        assert r["hill_alpha"] == pytest.approx(
+            (m - 1) / ssum, abs=2e-5
+        )
+        assert r["hill_alpha"] > 0
+    else:
+        assert r["hill_alpha"] is None
+
+
+# --------------------------------------------------------------- hubness
+def test_hubness_matches_python_reference(spark, duck):
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings"
+    ).fetchall()
+    embs = {vid: [float(v) for v in e] for vid, e in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    occ: dict[int, int] = defaultdict(int)
+    qids = [v for v in embs if v % H.HUB_MOD == 0]
+    for qid in qids:
+        qv = embs[qid]
+        scored = sorted(
+            (-round(cos(v, qv), 6), vid)
+            for vid, v in embs.items()
+            if vid != qid
+        )[: H.HUB_K]
+        for _, vid in scored:
+            occ[vid] += 1
+    ks = [occ.get(v, 0) for v in embs]
+    n = len(ks)
+    m1 = sum(ks) / n
+    m2 = sum(k * k for k in ks) / n - m1 * m1
+    m3 = (
+        sum(k**3 for k in ks) / n
+        - 3 * m1 * (sum(k * k for k in ks) / n)
+        + 2 * m1**3
+    )
+    r = QUERIES["embedding_hubness_koccurrence"](spark, SF).collect()[0]
+    assert r["n_queries"] == len(qids)
+    assert r["n_vectors"] == n
+    assert r["max_k_occurrence"] == max(ks)
+    assert r["n_hubs"] == sum(1 for k in ks if k >= 2 * H.HUB_K)
+    assert r["k_occurrence_skew"] == pytest.approx(
+        m3 / m2**1.5, abs=2e-5
+    )
+
+
+# ------------------------------------------------------ spectral entropy
+def test_spectral_entropy_matches_python_reference(spark):
+    powers: dict[str, list[float]] = defaultdict(list)
+    for r in QUERIES["ts_periodogram_power"](spark, SF).collect():
+        powers[r["event_type"]].append(r["power"])
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_spectral_entropy"](spark, SF).collect()
+    }
+    assert set(got) == set(powers)
+    for et, ps in powers.items():
+        z = sum(ps)
+        qs = [round(p / z, 6) for p in ps]
+        h = sum(-q * math.log(q) for q in qs if q > 0) / math.log(
+            len(ps)
+        )
+        r = got[et]
+        assert r["n_periods"] == len(ps), et
+        assert r["spectral_entropy"] == pytest.approx(h, abs=2e-6), et
+        assert 0.0 <= r["spectral_entropy"] <= 1.0 + 1e-9

@@ -12,6 +12,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     dedup,
     insights,
     multimodal_queries,
+    ops_analytics,
     relational,
     routing_queries,
     scale_ops,

@@ -780,3 +780,296 @@ def test_spectral_entropy_matches_python_reference(spark):
         assert r["n_periods"] == len(ps), et
         assert r["spectral_entropy"] == pytest.approx(h, abs=2e-6), et
         assert 0.0 <= r["spectral_entropy"] <= 1.0 + 1e-9
+
+
+# ------------------------------------------------------- wave 4 imports
+from kafka_go_streamer_spark.plans import ops_analytics as O  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def duck_tpch(duck):
+    for t in ("lineitem", "orders"):
+        duck.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS"
+            f" SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return duck
+
+
+# ------------------------------------------------------ weighted median
+def test_weighted_median_matches_python_reference(spark, duck_tpch):
+    rows = duck_tpch.execute(
+        "SELECT l_returnflag, l_extendedprice::DOUBLE,"
+        " l_quantity::DOUBLE, l_orderkey, l_linenumber FROM lineitem"
+    ).fetchall()
+    per: dict[str, list] = defaultdict(list)
+    for flag, p, w, ok, ln in rows:
+        per[flag].append((p, ok, ln, w))
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_weighted_median"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for flag, items in per.items():
+        items.sort()
+        tot = sum(w for *_, w in items)
+        cw = 0.0
+        med = None
+        for p, _, _, w in items:
+            cw += w
+            if cw >= tot / 2.0:
+                med = p
+                break
+        r = got[flag]
+        assert r["n_rows"] == len(items), flag
+        assert r["total_weight"] == pytest.approx(tot, abs=1e-2), flag
+        assert r["weighted_median_price"] == pytest.approx(
+            med, abs=1e-2
+        ), flag
+
+
+# ---------------------------------------------------------- pareto 80/20
+def test_pareto_8020_matches_python_reference(spark, duck_tpch):
+    rows = duck_tpch.execute(
+        "SELECT o_custkey, sum(o_totalprice::DOUBLE)"
+        " FROM orders GROUP BY 1"
+    ).fetchall()
+    revs = sorted(((r, -ck) for ck, r in rows), reverse=True)
+    tot = sum(r for r, _ in revs)
+    cr, k = 0.0, 0
+    for r_, _ in revs:
+        cr += r_
+        k += 1
+        if cr >= O.PARETO_FRAC * tot:
+            break
+    r = QUERIES["agg_pareto_8020"](spark, SF).collect()[0]
+    assert r["n_customers"] == len(revs)
+    assert r["total_revenue"] == pytest.approx(tot, abs=1e-2)
+    assert r["customers_for_80pct"] == k
+    assert r["customer_share_for_80pct"] == pytest.approx(
+        k / len(revs), abs=2e-6
+    )
+    assert 0 < r["customer_share_for_80pct"] <= 1
+
+
+# ------------------------------------------------------- bot regularity
+def test_bot_regularity_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT user_id, epoch(ts), event_id FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    gaps: dict[int, list[float]] = defaultdict(list)
+    prev: dict[int, float] = {}
+    for uid, t, _ in rows:
+        if uid in prev:
+            gaps[uid].append(t - prev[uid])
+        prev[uid] = t
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["events_bot_regularity"](spark, SF).collect()
+    }
+    expect = {u for u, g in gaps.items() if len(g) >= O.BOT_MIN_GAPS}
+    assert set(got) == expect
+    for u in expect:
+        g = gaps[u]
+        n = len(g)
+        mean = sum(g) / n
+        sd = math.sqrt(sum((x - mean) ** 2 for x in g) / (n - 1))
+        r = got[u]
+        assert r["n_gaps"] == n, u
+        assert r["mean_gap"] == pytest.approx(mean, abs=2e-5), u
+        assert r["cv"] == pytest.approx(sd / mean, abs=2e-5), u
+        assert r["is_regular"] == (
+            1 if round(sd / mean, 6) < O.BOT_CV_CUT else 0
+        ), u
+
+
+# -------------------------------------------------------- overdispersion
+def test_overdispersion_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT event_type, user_id, count(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    per: dict[str, list[int]] = defaultdict(list)
+    for et, _, k in rows:
+        per[et].append(k)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["stats_overdispersion_index"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for et, ks in per.items():
+        n = len(ks)
+        mean = sum(ks) / n
+        var = sum((k - mean) ** 2 for k in ks) / (n - 1)
+        disp = round(var, 6) / round(mean, 6)
+        r = got[et]
+        assert r["n_users"] == n, et
+        assert r["dispersion"] == pytest.approx(disp, abs=2e-5), et
+        want = (
+            "overdispersed"
+            if round(disp, 6) > O.DISP_OVER
+            else "underdispersed"
+            if round(disp, 6) < O.DISP_UNDER
+            else "poisson"
+        )
+        assert r["verdict"] == want, et
+
+
+# ----------------------------------------------------------- drawdown
+def test_max_drawdown_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT event_type, value FROM events"
+        " ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    per: dict[str, list[float]] = defaultdict(list)
+    for et, v in rows:
+        per[et].append(v)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["ts_max_drawdown"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for et, vs in per.items():
+        cum, peak, dd, pk = 0.0, -math.inf, 0.0, -math.inf
+        for v in vs:
+            cum += v
+            peak = max(peak, cum)
+            dd = max(dd, peak - cum)
+            pk = max(pk, peak)
+        r = got[et]
+        assert r["n_events"] == len(vs), et
+        assert r["max_drawdown"] == pytest.approx(dd, abs=2e-4), et
+        assert r["peak_value"] == pytest.approx(pk, abs=2e-4), et
+        assert r["max_drawdown"] >= 0.0
+
+
+# ----------------------------------------------------- quantization MSE
+def test_quantization_mse_matches_python_reference(spark, duck):
+    rows = duck.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    per: dict[int, list[float]] = defaultdict(list)
+    for _, label, emb in rows:
+        v = [float(x) for x in emb]
+        mn, mx = min(v), max(v)
+        if mx > mn:
+            vq = [
+                mn + math.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+                * (mx - mn) / 255.0
+                for x in v
+            ]
+        else:
+            vq = v
+        per[label].append(
+            round(
+                sum((a - b) ** 2 for a, b in zip(v, vq)) / len(v), 8
+            )
+        )
+    got = {
+        r["label"]: r
+        for r in QUERIES["embedding_quantization_mse"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for lab, mses in per.items():
+        r = got[lab]
+        assert r["n_vecs"] == len(mses), lab
+        assert r["mean_mse"] == pytest.approx(
+            sum(mses) / len(mses), abs=2e-7
+        ), lab
+        assert r["max_mse"] == pytest.approx(max(mses), abs=2e-7), lab
+        assert r["max_mse"] >= 0.0
+
+
+# ------------------------------------------------------ silhouette proxy
+def test_silhouette_proxy_matches_python_reference(spark, duck):
+    rows = duck.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    by_label: dict[int, list[list[float]]] = defaultdict(list)
+    vecs = {}
+    labels = {}
+    for vid, label, emb in rows:
+        v = [float(x) for x in emb]
+        vecs[vid] = v
+        labels[vid] = label
+        by_label[label].append(v)
+    mu = {
+        lab: [
+            round(sum(v[i] for v in vs) / len(vs), 6)
+            for i in range(len(vs[0]))
+        ]
+        for lab, vs in by_label.items()
+    }
+    sils: dict[int, list[float]] = defaultdict(list)
+    for vid, v in vecs.items():
+        d2 = {
+            lab: round(sum((x - m) ** 2 for x, m in zip(v, c)), 6)
+            for lab, c in mu.items()
+        }
+        a = math.sqrt(d2[labels[vid]])
+        b = math.sqrt(
+            min(d for lab, d in d2.items() if lab != labels[vid])
+        )
+        sils[labels[vid]].append(
+            round((b - a) / max(a, b), 6) if max(a, b) > 0 else None
+        )
+    got = {
+        r["label"]: r
+        for r in QUERIES["embedding_silhouette_proxy"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(sils)
+    for lab, ss in sils.items():
+        r = got[lab]
+        assert r["n_vecs"] == len(ss), lab
+        vals = [s for s in ss if s is not None]
+        assert r["mean_silhouette"] == pytest.approx(
+            sum(vals) / len(vals), abs=2e-5
+        ), lab
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+# ------------------------------------------------------- route masking
+def test_route_masking_matches_python_reference(spark, docs):
+    from kafka_go_streamer_spark.plans.routing_queries import DOCS_SPLITER
+
+    preds = []
+    for rs in DOCS_SPLITER.resolved_splits():
+        if rs.use_regex:
+            rx = re.compile(rs.pattern)
+            preds.append(lambda t, rx=rx: rx.search(t) is not None)
+        else:
+            preds.append(lambda t, p=rs.pattern: p in t)
+    match = [0] * len(preds)
+    routed = [0] * len(preds)
+    for _, text, _, _, _ in docs:
+        hit_earlier = False
+        for i, pred in enumerate(preds):
+            if pred(text):
+                match[i] += 1
+                if not hit_earlier:
+                    routed[i] += 1
+            hit_earlier = hit_earlier or pred(text)
+    got = {
+        r["split_idx"]: r
+        for r in QUERIES["route_masking_analysis"](spark, SF).collect()
+    }
+    assert set(got) == set(range(1, len(preds) + 1))
+    for i in range(len(preds)):
+        r = got[i + 1]
+        assert r["n_match"] == match[i], i
+        assert r["n_routed"] == routed[i], i
+        assert r["n_masked"] == match[i] - routed[i], i
+        assert r["n_routed"] <= r["n_match"]
+    # identity: total routed across splits == docs matching any pattern
+    any_match = sum(
+        1
+        for _, text, _, _, _ in docs
+        if any(p(text) for p in preds)
+    )
+    assert sum(r["n_routed"] for r in got.values()) == any_match

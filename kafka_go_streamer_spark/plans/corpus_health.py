@@ -700,3 +700,400 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spectral_entropy")
     )
+
+
+# --------------------------------------------------------------- wave 5
+
+#: Null-like placeholder tokens (lower-cased match over the word array).
+NULL_LIKE = ("null", "none", "nan", "n/a", "undefined", "missing", "na")
+#: Heaps-law fit runs over the same ingestion buckets as novelty decay.
+HEAPS_BUCKETS = 20
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+    w AS (
+      SELECT (d.doc_id * {HEAPS_BUCKETS}) // (mx.mx + 1) AS bucket,
+             unnest({X.words_sql('d.text')}) AS word
+      FROM documents d CROSS JOIN mx
+    ),
+    tok AS (
+      SELECT bucket, count(*)::BIGINT AS n_tok FROM w GROUP BY 1
+    ),
+    nv AS (
+      SELECT bucket, count(*)::BIGINT AS n_new
+      FROM (SELECT word, min(bucket) AS bucket FROM w GROUP BY 1)
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT t.bucket,
+             round(ln(sum(t.n_tok) OVER (ORDER BY t.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) * 1.0), 6) AS x,
+             round(ln(sum(coalesce(nv.n_new, 0)) OVER (ORDER BY t.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) * 1.0), 6) AS y
+      FROM tok t LEFT JOIN nv USING (bucket)
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM cum
+    )
+    SELECT n AS n_buckets,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+             AS heaps_beta,
+           round(exp((sy - (n * sxy - sx * sy)
+                           / nullif(n * sxx - sx * sx, 0) * sx) / n), 4)
+             AS heaps_k,
+           round(pow(n * sxy - sx * sy, 2)
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0),
+                 6) AS r_squared
+    FROM m
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^beta of vocabulary growth over the
+    {HEAPS_BUCKETS} ingestion buckets: log-log OLS of cumulative
+    distinct words against cumulative tokens. beta ~ 0.5 is healthy
+    natural text; beta near 1 means the vocabulary never saturates
+    (identifiers/noise — tokenizer trouble ahead), beta near 0 means
+    the crawl is recycling itself. The parametric summary of what
+    ``text_ngram_novelty_decay`` shows point-by-point, and the
+    vocabulary-side companion of ``text_zipf_fit`` (the two exponents
+    are theoretically linked).
+
+    Scale: one exploded scan; first-seen is a min-aggregate per word;
+    the regression runs on a {HEAPS_BUCKETS}-row frame with
+    6dp-rounded log inputs, so both engines fold identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").cast("long").alias("mx"))
+    w = d.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(doc_id * {HEAPS_BUCKETS}) div (mx + 1)").alias(
+            "bucket"
+        ),
+        F.explode(X.words(F.col("text"))).alias("word"),
+    )
+    tok = w.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    nv = (
+        w.groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        tok.join(nv, "bucket", "left")
+        .select(
+            "bucket",
+            stable_round(
+                F.log(F.sum("n_tok").over(wcum) * 1.0), 6
+            ).alias("x"),
+            stable_round(
+                F.log(
+                    F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(wcum)
+                    * 1.0
+                ),
+                6,
+            ).alias("y"),
+        )
+    )
+    m = cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("n").alias("n_buckets"),
+        stable_round(slope, 6).alias("heaps_beta"),
+        stable_round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 4
+        ).alias("heaps_k"),
+        stable_round(
+            F.pow(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.lit(2.0),
+            )
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r_squared"),
+    )
+
+
+@query(
+    "text_simpson_diversity",
+    oracle=f"""
+    WITH wc AS (
+      SELECT source, word, count(*)::BIGINT AS c
+      FROM (
+        SELECT source, unnest({X.words_sql('text')}) AS word
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT source,
+           sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS vocab_size,
+           round(sum(c * 1.0 * c) / (sum(c) * 1.0 * sum(c)), 6) AS hhi,
+           round(sum(c) * 1.0 * sum(c) / sum(c * 1.0 * c), 4)
+             AS effective_vocab
+    FROM wc GROUP BY 1
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson/Herfindahl concentration of the word distribution per
+    source: HHI = Σ p_w² (the probability two random tokens coincide)
+    and its reciprocal, the EFFECTIVE vocabulary — "this source
+    behaves like one with N equally-likely words". The concentration
+    end of the diversity spectrum whose richness end is
+    ``text_hapax_rate`` and whose information-theoretic middle is
+    ``text_char_entropy``; boilerplate-heavy or templated sources show
+    tiny effective vocabularies long before eyeballing catches it.
+
+    Scale: one exploded scan to the (source, word) count frame, one
+    source-sized rollup. HHI folds from exact integer sums with the
+    double promotion INSIDE the products (Σc² at web scale crosses
+    int64 — the r11 overflow rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "source", F.explode(X.words(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        stable_round(
+            F.sum(F.col("c") * 1.0 * F.col("c"))
+            / (F.sum("c") * 1.0 * F.sum("c")),
+            6,
+        ).alias("hhi"),
+        stable_round(
+            F.sum("c") * 1.0 * F.sum("c")
+            / F.sum(F.col("c") * 1.0 * F.col("c")),
+            4,
+        ).alias("effective_vocab"),
+    )
+
+
+@query(
+    "quality_null_like_tokens",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             {X.word_count_sql('text')} AS n_words,
+             len(list_filter({X.words_sql('text')},
+                 w -> list_contains([{", ".join(f"'{w}'" for w in NULL_LIKE)}], w)))
+               AS hits
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS n_words,
+           sum(hits)::BIGINT AS n_null_like,
+           round(sum(hits) * 1.0 / nullif(sum(n_words), 0), 6)
+             AS null_token_rate,
+           sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_affected,
+           round(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS doc_rate
+    FROM per GROUP BY 1
+    """,
+)
+def quality_null_like_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placeholder-leak gate: how much of each source is literally the
+    words {NULL_LIKE} — the signature of broken ETL upstream (a NULL
+    column stringified into the text, a failed scrape saving error
+    pages). Token rate prices the contamination; doc rate sizes the
+    blast radius. The data-engineering sibling of
+    ``quality_encoding_check`` (mojibake) and ``text_pii_redact``
+    (sensitive strings) — all three are one-scan lexical tripwires a
+    pipeline runs on every ingest batch.
+
+    Scale: one narrow scan, two in-row counts over the already-split
+    word array, one source-sized rollup; zero joins."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = X.words(F.col("text"))
+    per = d.select(
+        "source",
+        F.size(ws).alias("n_words"),
+        F.size(
+            F.filter(ws, lambda w: w.isin(*NULL_LIKE))
+        ).alias("hits"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("hits").cast("long").alias("n_null_like"),
+        stable_round(
+            F.sum("hits") * 1.0 / F.nullif(F.sum("n_words"), F.lit(0)),
+            6,
+        ).alias("null_token_rate"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+        stable_round(
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("doc_rate"),
+    )
+
+
+@query(
+    "events_cumulative_reach",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT floor(epoch(ts) / 86400)::BIGINT AS day
+      FROM events
+    ),
+    fd AS (
+      SELECT user_id, min(floor(epoch(ts) / 86400)::BIGINT) AS day
+      FROM events GROUP BY 1
+    ),
+    nu AS (
+      SELECT day, count(*)::BIGINT AS n_new FROM fd GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n_total FROM fd)
+    SELECT d.day,
+           coalesce(nu.n_new, 0)::BIGINT AS n_new_users,
+           sum(coalesce(nu.n_new, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)::BIGINT AS cum_users,
+           round(sum(coalesce(nu.n_new, 0)) OVER (ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) * 1.0 / tot.n_total, 6) AS reach_rate
+    FROM days d LEFT JOIN nu USING (day) CROSS JOIN tot
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative audience reach curve: per day, how many users were
+    seen for the FIRST time and what fraction of the eventual audience
+    has been reached — the saturation curve growth teams read next to
+    the flow view (``events_user_lifecycle_states``) and that crawl
+    scheduling reads as "are we still discovering new entities". A
+    flattening reach curve with steady volume means pure repetition.
+
+    Scale: first-touch is a min-aggregate per user (no window over the
+    fact); the cumulative pass runs on the DAY grid (calendar-sized);
+    the audience total rides as a 1-row cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    days = ev.select(day.alias("day")).distinct()
+    fd = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    nu = fd.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    tot = fd.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nn = F.coalesce(F.col("n_new"), F.lit(0))
+    return (
+        days.join(nu, "day", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            nn.cast("long").alias("n_new_users"),
+            F.sum(nn).over(wcum).cast("long").alias("cum_users"),
+            stable_round(
+                F.sum(nn).over(wcum) * 1.0 / F.col("n_total"), 6
+            ).alias("reach_rate"),
+        )
+    )
+
+
+@query(
+    "events_transition_lift",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS b
+      FROM events
+    ),
+    big AS (
+      SELECT a, b, count(*)::BIGINT AS n_ab
+      FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_ab)::BIGINT AS n FROM big),
+    ma AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM big GROUP BY 1),
+    mb AS (SELECT b, sum(n_ab)::BIGINT AS n_b FROM big GROUP BY 1)
+    SELECT big.a AS from_type, big.b AS to_type, big.n_ab AS n,
+           round(big.n_ab * 1.0 * tot.n / (ma.n_a * 1.0 * mb.n_b), 6)
+             AS lift,
+           round(ln(big.n_ab * 1.0 * tot.n / (ma.n_a * 1.0 * mb.n_b)), 6)
+             AS log_lift
+    FROM big JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    """,
+)
+def events_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence lift of behavioral transitions: for each (from, to)
+    event-type bigram, P(a→b) / (P(a·)·P(·b)) — how much more (or
+    less) often the pair occurs than independent marginals predict.
+    ``events_transition_matrix`` reports the conditional probability
+    (dominated by the marginals); lift isolates genuine SEQUENTIAL
+    affinity — the event-stream analogue of ``text_pmi_cooccurrence``,
+    and the statistic that actually finds error→retry and
+    signup→purchase chains.
+
+    Scale: one lag window partitioned by user for the bigrams, then
+    everything on the k×k type-pair frame with marginals joined by
+    type key and the grand total as a 1-row cross join. Integer
+    products promote to double inside the ratio (the overflow rule);
+    lift > 0 always (n_ab >= 1), so ln is safe."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    big = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    big = pinned(big)
+    tot = big.agg(F.sum("n_ab").cast("long").alias("n"))
+    ma = big.groupBy("a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    mb = big.groupBy("b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    lift = (
+        F.col("n_ab")
+        * 1.0
+        * F.col("n")
+        / (F.col("n_a") * 1.0 * F.col("n_b"))
+    )
+    return (
+        big.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("to_type"),
+            F.col("n_ab").alias("n"),
+            stable_round(lift, 6).alias("lift"),
+            stable_round(F.log(lift), 6).alias("log_lift"),
+        )
+    )

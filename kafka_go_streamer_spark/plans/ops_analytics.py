@@ -657,3 +657,66 @@ def route_masking_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "agg_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_nations,
+           round(sum(r), 2) AS total_revenue,
+           round(sum(r * r) / (sum(r) * sum(r)), 6) AS hhi,
+           round(sum(r) * sum(r) / sum(r * r), 4)
+             AS effective_competitors
+    FROM rev
+    """,
+)
+def agg_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue across
+    customer nations: Σ share² and the effective number of competing
+    markets — the market-concentration statistic antitrust and BD
+    teams compute, here over the TPC-H star (the concentration cousin
+    of ``join_revenue_by_nation``'s raw rollup, and the
+    revenue-dimension sibling of ``text_simpson_diversity``'s
+    token-dimension HHI).
+
+    Scale: the classic Q5 join geometry — nation broadcasts
+    everywhere, customer broadcasts under the threshold or AQE picks
+    sort-merge, the only unavoidable shuffle is lineitem→orders on
+    orderkey; HHI then folds on the 25-row nation frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    return rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        stable_round(F.sum("r"), 2).alias("total_revenue"),
+        stable_round(
+            F.sum(F.col("r") * F.col("r"))
+            / (F.sum("r") * F.sum("r")),
+            6,
+        ).alias("hhi"),
+        stable_round(
+            F.sum("r") * F.sum("r") / F.sum(F.col("r") * F.col("r")),
+            4,
+        ).alias("effective_competitors"),
+    )

@@ -1073,3 +1073,193 @@ def test_route_masking_matches_python_reference(spark, docs):
         if any(p(text) for p in preds)
     )
     assert sum(r["n_routed"] for r in got.values()) == any_match
+
+
+# ------------------------------------------------------------- Heaps fit
+def test_heaps_law_matches_python_reference(spark, docs):
+    mx = max(d[0] for d in docs)
+    tok: dict[int, int] = defaultdict(int)
+    first: dict[str, int] = {}
+    for doc_id, text, _, _, _ in sorted(docs):
+        b = (doc_id * H.HEAPS_BUCKETS) // (mx + 1)
+        ws = _words(text)
+        tok[b] += len(ws)
+        for w in ws:
+            first.setdefault(w, b)
+    new: dict[int, int] = defaultdict(int)
+    for w, b in first.items():
+        new[b] += 1
+    xs, ys = [], []
+    ct, cv = 0, 0
+    for b in sorted(tok):
+        ct += tok[b]
+        cv += new.get(b, 0)
+        xs.append(round(math.log(ct), 6))
+        ys.append(round(math.log(cv), 6))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    r = QUERIES["text_heaps_law_fit"](spark, SF).collect()[0]
+    assert r["n_buckets"] == n
+    assert r["heaps_beta"] == pytest.approx(beta, abs=2e-5)
+    assert r["heaps_k"] == pytest.approx(k, abs=2e-3)
+    assert r["r_squared"] == pytest.approx(r2, abs=2e-5)
+    # the sf0.001 fixture's synthetic vocabulary saturates in bucket 0,
+    # so beta == 0.0 there is the CORRECT fit (real text gives ~0.5)
+    assert 0.0 <= r["heaps_beta"] <= 1.5
+    assert 0.0 <= r["r_squared"] <= 1.0
+
+
+# ------------------------------------------------------ Simpson diversity
+def test_simpson_diversity_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    per: dict[str, Counter] = defaultdict(Counter)
+    for _, text, _, source, _ in docs:
+        per[source].update(_words(text))
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_simpson_diversity"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for s, cnt in per.items():
+        n = sum(cnt.values())
+        s2 = sum(c * c for c in cnt.values())
+        r = got[s]
+        assert r["n_tokens"] == n and r["vocab_size"] == len(cnt), s
+        assert r["hhi"] == pytest.approx(s2 / n / n, abs=2e-6), s
+        assert r["effective_vocab"] == pytest.approx(
+            n * n / s2, abs=2e-3
+        ), s
+        assert 1.0 <= r["effective_vocab"] <= len(cnt) + 1e-6
+
+
+# --------------------------------------------------------- null-like gate
+def test_null_like_tokens_matches_python_reference(spark, docs):
+    per: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for _, text, _, source, _ in docs:
+        ws = _words(text)
+        hits = sum(1 for w in ws if w in H.NULL_LIKE)
+        a = per[source]
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += hits
+        a[3] += 1 if hits else 0
+    got = {
+        r["source"]: r
+        for r in QUERIES["quality_null_like_tokens"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for s, (nd, nw, nh, na) in per.items():
+        r = got[s]
+        assert (
+            r["n_docs"],
+            r["n_words"],
+            r["n_null_like"],
+            r["n_docs_affected"],
+        ) == (nd, nw, nh, na), s
+        assert r["null_token_rate"] == pytest.approx(
+            nh / nw, abs=2e-6
+        ), s
+        assert r["doc_rate"] == pytest.approx(na / nd, abs=2e-6), s
+
+
+# ------------------------------------------------------- cumulative reach
+def test_cumulative_reach_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT user_id, floor(epoch(ts)/86400)::BIGINT FROM events"
+    ).fetchall()
+    first: dict[int, int] = {}
+    all_days = set()
+    for uid, d in rows:
+        all_days.add(d)
+        first[uid] = min(first.get(uid, d), d)
+    new: dict[int, int] = defaultdict(int)
+    for _, d in first.items():
+        new[d] += 1
+    got = {
+        r["day"]: r
+        for r in QUERIES["events_cumulative_reach"](spark, SF).collect()
+    }
+    assert set(got) == all_days
+    cum = 0
+    for d in sorted(all_days):
+        cum += new.get(d, 0)
+        r = got[d]
+        assert r["n_new_users"] == new.get(d, 0), d
+        assert r["cum_users"] == cum, d
+        assert r["reach_rate"] == pytest.approx(
+            cum / len(first), abs=2e-6
+        ), d
+    assert got[max(all_days)]["reach_rate"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------- transition lift
+def test_transition_lift_matches_python_reference(spark, duck_ev):
+    rows = duck_ev.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts,"
+        " event_id"
+    ).fetchall()
+    bigrams: dict[tuple, int] = defaultdict(int)
+    prev: dict[int, str] = {}
+    for uid, et in rows:
+        if uid in prev:
+            bigrams[(prev[uid], et)] += 1
+        prev[uid] = et
+    n = sum(bigrams.values())
+    ma: dict[str, int] = defaultdict(int)
+    mb: dict[str, int] = defaultdict(int)
+    for (a, b), c in bigrams.items():
+        ma[a] += c
+        mb[b] += c
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in QUERIES["events_transition_lift"](spark, SF).collect()
+    }
+    assert set(got) == set(bigrams)
+    for (a, b), c in bigrams.items():
+        lift = c * n / (ma[a] * mb[b])
+        r = got[(a, b)]
+        assert r["n"] == c, (a, b)
+        assert r["lift"] == pytest.approx(lift, abs=2e-5), (a, b)
+        assert r["log_lift"] == pytest.approx(
+            math.log(lift), abs=2e-5
+        ), (a, b)
+
+
+# --------------------------------------------------------- HHI by nation
+def test_hhi_by_nation_matches_python_reference(spark, duck_tpch):
+    duck_tpch.execute(
+        f"CREATE VIEW IF NOT EXISTS customer AS"
+        f" SELECT * FROM '{SF}/customer.parquet'"
+    )
+    duck_tpch.execute(
+        f"CREATE VIEW IF NOT EXISTS nation AS"
+        f" SELECT * FROM '{SF}/nation.parquet'"
+    )
+    rows = duck_tpch.execute(
+        "SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount))"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+    ).fetchall()
+    rs = [float(r_) for _, r_ in rows]
+    tot = sum(rs)
+    s2 = sum(x * x for x in rs)
+    r = QUERIES["agg_hhi_by_nation"](spark, SF).collect()[0]
+    assert r["n_nations"] == len(rs)
+    assert r["total_revenue"] == pytest.approx(tot, rel=1e-9)
+    assert r["hhi"] == pytest.approx(s2 / tot / tot, abs=2e-6)
+    assert r["effective_competitors"] == pytest.approx(
+        tot * tot / s2, abs=2e-3
+    )
+    assert 1.0 <= r["effective_competitors"] <= len(rs) + 1e-6

@@ -236,6 +236,29 @@ HEADLINE = [
     "ts_changepoint_binseg",
     "embedding_knn_label_purity",
     "text_js_divergence_sources",
+    # round-11 additions (appended, common prefix still comparable) —
+    # the perf-interesting representatives of the 36-query r11 set:
+    # the double-explode 13-gram contamination probe (the heaviest
+    # per-byte stage of the wave), the distinct-(gram,bucket) novelty
+    # frame, the two-ranking RBO comparison (corpus scanned once per
+    # ranking against a broadcast panel), the dense-grid Cliff's delta
+    # (types x vocabulary equi-join), the sampled-panel hubness scan,
+    # the vocabulary-rank join (global window on the vocab frame), the
+    # winnowing-edge rich club, the single-window weighted median and
+    # drawdown, the exploded int8 round-trip MSE, the k-centroid
+    # silhouette join, and the one-scan DoReMi reweight
+    "text_contamination_ngrams",
+    "text_ngram_novelty_decay",
+    "retrieval_rbo_quantization",
+    "stats_cliffs_delta",
+    "embedding_hubness_koccurrence",
+    "text_mean_word_rank",
+    "graph_rich_club",
+    "agg_weighted_median",
+    "ts_max_drawdown",
+    "embedding_quantization_mse",
+    "embedding_silhouette_proxy",
+    "sample_doremi_reweight",
 ]
 
 

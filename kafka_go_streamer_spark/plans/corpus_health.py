@@ -569,11 +569,17 @@ def embedding_hubness_koccurrence(
     from kafka_go_streamer_spark.functions.vectors import cosine
     from kafka_go_streamer_spark.operators.iterate import pinned
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    e0 = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # fan the corpus before the panel cross join: the cosine fold is
+    # per-dimension CPU over every (vector, query) pair and the test
+    # parquet scans in one task (the r11 gram-explode lesson)
+    e = fan_out(e0)
     q = pinned(
-        e.filter(F.col("vec_id") % HUB_MOD == 0).select(
+        e0.filter(F.col("vec_id") % HUB_MOD == 0).select(
             F.col("vec_id").alias("qid"), F.col("emb").alias("qv")
         )
     )

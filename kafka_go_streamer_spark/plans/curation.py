@@ -75,6 +75,9 @@ def _loss_proxy_sql() -> str:
 
 
 def _loss_proxy(d: DataFrame) -> DataFrame:
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    d = fan_out(d.select("source", "n_chars", "text"))
     return d.select(
         "source",
         F.log(
@@ -193,7 +196,12 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one narrow scan, three codegen'd per-row counts folded into
     a lang-sized hash aggregate (map-side combinable); ratios on exact
-    BIGINT sums — the only doubles are the two final divisions."""
+    BIGINT sums — the only doubles are the two final divisions.
+    Deliberately NOT fanned out: A/B'd r11 at sf0.1 (min-of-3, same
+    session) — fan_out LOST 0.328 -> 0.396 s because the three regexp
+    counts fold map-side into 5 rows and the shuffle of the raw text
+    costs more than the parallelism buys; contrast _grams/hubness,
+    where fanning won 2-4x because the per-byte stage dominates."""
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -246,7 +254,14 @@ def _grams(d: DataFrame, n: int) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.explode(grams).alias("gram"))
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    # fan BEFORE the explode: gram hashing is per-byte CPU and the
+    # test parquet scans in one task — without this the md5 stage is
+    # single-threaded (A/B r11 at sf0.1: contamination 3.67 -> 1.51 s)
+    return fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
 
 
 @query(
@@ -1005,10 +1020,16 @@ def retrieval_rbo_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_go_streamer_spark.operators.iterate import pinned
     from pyspark.sql import Window
 
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
+    # fan once: both rankings fold a cosine per (vector, query) pair —
+    # per-dimension CPU that must not run in the scan's single task
+    e = fan_out(
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
     )
     dq = e.select(
         "vec_id",

@@ -52,9 +52,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: decode is a narrow per-batch pandas transform — linear in
     input splits, no shuffle; a pixel-level decoder drops into the same
     batch loop without changing the plan."""
+    from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+
     docs = load_table(spark, sf_dir, "documents")
-    blobs = synthetic_image_blobs(docs, "doc_id", "text")
-    meta = decode_images(blobs, "key", "blob", fan=False)
+    meta = synthesize_and_decode(docs, "doc_id", "text")
     return meta.withColumn("channels", F.col("channels").cast("int"))
 
 
@@ -73,11 +74,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over decoded metadata: the decode -> shuffle-light
     rollup shape of a real media-ingest pipeline."""
+    from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+
     docs = load_table(spark, sf_dir, "documents")
-    meta = decode_images(
-        synthetic_image_blobs(docs, "doc_id", "text"), "key", "blob",
-        fan=False,
-    )
+    meta = synthesize_and_decode(docs, "doc_id", "text")
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("byte_len").cast("bigint").alias("total_bytes"),

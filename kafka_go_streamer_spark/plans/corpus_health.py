@@ -40,8 +40,12 @@ IDF_MIN_DF = 3
 #: Hill estimator: tail size = max(HILL_MIN, n_users // HILL_FRAC_DEN).
 HILL_MIN = 10
 HILL_FRAC_DEN = 10
-#: Hubness: sampled query panel (every 10th vector) and list depth.
+#: Hubness: sampled query panel (every 10th vector, CAPPED at a fixed
+#: panel size so the probe stays O(corpus x panel) — an uncapped
+#: percentage panel is O(n^2/mod), super-linear by construction: the
+#: r11 scale-up measured x14.5 at x10 data before the cap) and depth.
 HUB_MOD = 10
+HUB_PANEL = 200
 HUB_K = 10
 
 
@@ -505,6 +509,7 @@ def events_activity_tail_hill(
     q AS (
       SELECT vec_id AS qid, emb AS qv FROM e
       WHERE vec_id % {HUB_MOD} = 0
+        AND vec_id < {HUB_MOD} * {HUB_PANEL}
     ),
     topk AS (
       SELECT qid, vec_id FROM (
@@ -558,7 +563,10 @@ def embedding_hubness_koccurrence(
     ``ann_ivf_*`` index at a new dimensionality; composes with
     ``embedding_isotropy_score`` (hubness tracks anisotropy).
 
-    Scale: the sampled panel (every {HUB_MOD}th vector) is the
+    Scale: the sampled panel (every {HUB_MOD}th vector, capped at
+    {HUB_PANEL} queries — a FIXED panel keeps the probe O(corpus x
+    panel); the uncapped percentage panel was measured SUPER-linear,
+    x14.5 at x10 data, and killed) is the
     retrieval family's audited geometry — corpus scanned once against
     a broadcast panel, rank windows per query, k-row lists; the
     k-occurrence frame is corpus-sized with tiny integer counts, and
@@ -579,9 +587,10 @@ def embedding_hubness_koccurrence(
     # parquet scans in one task (the r11 gram-explode lesson)
     e = fan_out(e0)
     q = pinned(
-        e0.filter(F.col("vec_id") % HUB_MOD == 0).select(
-            F.col("vec_id").alias("qid"), F.col("emb").alias("qv")
-        )
+        e0.filter(
+            (F.col("vec_id") % HUB_MOD == 0)
+            & (F.col("vec_id") < HUB_MOD * HUB_PANEL)
+        ).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qv"))
     )
     wr = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()

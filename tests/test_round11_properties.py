@@ -731,7 +731,10 @@ def test_hubness_matches_python_reference(spark, duck):
         )
 
     occ: dict[int, int] = defaultdict(int)
-    qids = [v for v in embs if v % H.HUB_MOD == 0]
+    qids = [
+        v for v in embs
+        if v % H.HUB_MOD == 0 and v < H.HUB_MOD * H.HUB_PANEL
+    ]
     for qid in qids:
         qv = embs[qid]
         scored = sorted(

@@ -192,8 +192,12 @@ def text_mean_word_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups. Ranks are exact integers; only the two means round."""
     d = load_table(spark, sf_dir, "documents")
     from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.sources.tables import fan_out
 
-    w = d.select(
+    # fan before the explode (the r11 single-task-scan rule; measured
+    # x1.16 at sf1 — the residual cost is the vocabulary-rank window,
+    # a BOUNDED single-partition frame by design)
+    w = fan_out(d.select("doc_id", "source", "text")).select(
         "doc_id", "source", F.explode(X.words(F.col("text"))).alias("word")
     )
     vocab = w.groupBy("word").agg(

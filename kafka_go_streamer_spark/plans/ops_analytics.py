@@ -40,24 +40,23 @@ PARETO_FRAC = 0.8
 @query(
     "agg_weighted_median",
     oracle="""
-    WITH l AS (
+    WITH g AS (
       SELECT l_returnflag AS flag,
              l_extendedprice::DOUBLE AS price,
-             l_quantity::DOUBLE AS w,
-             l_orderkey, l_linenumber
-      FROM lineitem
+             sum(l_quantity::DOUBLE) AS wsum,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1, 2
     ),
     c AS (
-      SELECT flag, price, w,
-             sum(w) OVER (PARTITION BY flag
-                          ORDER BY price, l_orderkey, l_linenumber
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS cw,
-             sum(w) OVER (PARTITION BY flag) AS tot,
-             count(*) OVER (PARTITION BY flag)::BIGINT AS n
-      FROM l
+      SELECT flag, price,
+             sum(wsum) OVER (PARTITION BY flag ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw,
+             sum(wsum) OVER (PARTITION BY flag) AS tot,
+             sum(n) OVER (PARTITION BY flag) AS nr
+      FROM g
     )
-    SELECT flag AS l_returnflag, max(n) AS n_rows,
+    SELECT flag AS l_returnflag, max(nr)::BIGINT AS n_rows,
            round(max(tot), 2) AS total_weight,
            round(min(price), 2) AS weighted_median_price
     FROM c WHERE cw >= tot / 2.0
@@ -73,34 +72,41 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile``/``percentile_cont``, hence the explicit cumulative
     form.
 
-    Scale: ONE window shuffle on the group key (cumulative weight,
-    group total, and count share the partitioning), then a same-keyed
-    aggregate. The prefix sum's order is fully tie-broken (price,
-    orderkey, linenumber), so both engines fold the identical
-    double sequence and the >= crossing lands on the identical row."""
+    Scale: the Kruskal-Wallis discipline applied to a weighted order
+    statistic — the fact collapses to the (flag, DISTINCT price) count
+    frame in one map-side-combinable aggregate, and the cumulative
+    window runs over THAT (price-vocabulary-bounded) frame, never over
+    rows. A row-level window partitioned by 3 flags serializes the
+    whole fact into 3 tasks; measured r11 same-session at sf1
+    (min-of-3): row-window 5.51 s -> binned 1.57 s (x3.5),
+    byte-identical results (the crossing price is a group boundary
+    either way). Prefix order over distinct prices is fully
+    deterministic without any tiebreak."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").cast("double").alias("price"),
         F.col("l_quantity").cast("double").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    wc = Window.partitionBy("flag").orderBy(
-        "price", "l_orderkey", "l_linenumber"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = li.groupBy("flag", "price").agg(
+        F.sum("w").alias("wsum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wc = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     wt = Window.partitionBy("flag")
-    c = li.select(
+    c = g.select(
         "flag",
         "price",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tot"),
-        F.count(F.lit(1)).over(wt).cast("long").alias("n"),
+        F.sum("wsum").over(wc).alias("cw"),
+        F.sum("wsum").over(wt).alias("tot"),
+        F.sum("n").over(wt).alias("nr"),
     )
     return (
         c.filter(F.col("cw") >= F.col("tot") / 2.0)
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
-            F.max("n").alias("n_rows"),
+            F.max("nr").alias("n_rows"),
             stable_round(F.max("tot"), 2).alias("total_weight"),
             stable_round(F.min("price"), 2).alias(
                 "weighted_median_price"

@@ -967,3 +967,44 @@ def test_label_mmd_never_joins_the_fact(spark, sf_dir):
     plan = physical_plan(QUERIES["embedding_label_mmd"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_windows_on_binned_frame(spark, sf_dir):
+    """The weighted median must aggregate to the (flag, DISTINCT price)
+    frame BEFORE any window — a row-level window partitioned by 3
+    flags serializes the fact (measured ×3.5 at sf1). Shape: exactly
+    one pre-window hash aggregate feeding the window, no cartesian."""
+    plan = physical_plan(QUERIES["agg_weighted_median"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    # the window input is the binned frame: the partial_sum aggregate
+    # appears below the Window node in the plan text
+    assert plan.index("HashAggregate", plan.index("Window")) > 0
+    assert "CartesianProduct" not in plan
+
+
+def test_hubness_panel_broadcasts_and_caps(spark, sf_dir):
+    """Hubness scans the corpus once against a BROADCAST fixed-size
+    panel (an uncapped panel made the probe O(n²) — measured ×14.5 at
+    ×10 data before the cap); nothing pairwise beyond it."""
+    plan = physical_plan(
+        QUERIES["embedding_hubness_koccurrence"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # panel × corpus scoring
+    assert "CartesianProduct" not in plan
+
+
+def test_drawdown_single_window_partitioning(spark, sf_dir):
+    """Max drawdown stacks its two windows (prefix sum, running peak)
+    on ONE partitioning and ordering of the series key — a second
+    exchange between them would double the shuffle for nothing."""
+    plan = physical_plan(QUERIES["ts_max_drawdown"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+
+
+def test_rich_club_joins_stay_equi(spark, sf_dir):
+    """The rich-club threshold sweep runs on the capped winnowing edge
+    list and its degree frame — every join equi- or broadcast, never a
+    pairwise node stage."""
+    plan = physical_plan(QUERIES["graph_rich_club"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

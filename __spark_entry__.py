@@ -131,16 +131,20 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    # r11 code-touched queries (tests/test_rotation_staleness.py):
-    # the two ADVICE-r10 numeric-guard fixes and the five multimodal
-    # queries whose chain re-ordered to fan->synth->decode.
-    "stats_kruskal_wallis",
-    "retrieval_average_precision",
-    "multimodal_decode_meta",
-    "multimodal_binary_stats",
-    "multimodal_audio_meta",
-    "multimodal_resize",
+    # r12 code-touched queries (tests/test_rotation_staleness.py; the
+    # r11 seven landed green in CORRECTNESS_r11 and rotate out):
+    #   multimodal_phash_bands — signature stage fused into ONE Arrow
+    #     synth+parse+sign hop (the r11 regression's A/B'd fix)
+    #   graph_rich_club — per-k Python loop folded to one exploded
+    #     threshold grid (VERDICT r11 task 4)
+    # plus the two ADVICE-r11 belt-and-suspenders refronts: r11's
+    # fan_out move into synthetic_image_blobs changed these queries'
+    # PHYSICAL plans via helper drift, which the ast-span staleness
+    # test cannot see, so their driver verdicts predate the change.
     "multimodal_phash_bands",
+    "graph_rich_club",
+    "multimodal_byte_histogram",
+    "multimodal_dedup_blobs",
 )
 
 

@@ -345,8 +345,21 @@ def main() -> None:
         "calibration_sec": calibration,
         "calibration_median_sec": calib_median,
     }
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+    # Keyed by sf (ADVICE r11): runs at different scale factors merge
+    # into one dict instead of clobbering each other, so both SFs'
+    # per-query detail persists across a closing sweep.
+    detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    detail: dict = {}
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        # migrate the pre-r12 single-run layout {metric,...,queries}
+        detail = prior if "metric" not in prior else {str(prior["sf"]): prior}
+    except (OSError, ValueError):
+        pass
+    detail[str(sf)] = {**summary, "queries": timings}
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(summary))
 
 

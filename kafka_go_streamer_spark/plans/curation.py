@@ -1175,9 +1175,11 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: runs entirely on the capped winnowing edge list (the
     audited candidate geometry — never all pairs) and its degree
-    frame; the threshold sweep is a 3-row explode against node/edge
-    frames, every join equi- or broadcast. Counts are exact integers;
-    one rounded division per threshold."""
+    frame; the threshold sweep is ONE explode of the 3-element k grid
+    against each frame and ONE hash aggregate per frame (VERDICT r11
+    task 4 folded the former per-k Python loop — 6 aggregate passes —
+    into these 2), every join equi- or broadcast. Counts are exact
+    integers; one rounded division per threshold."""
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
 
@@ -1194,17 +1196,18 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    ks = None
-    for k in RICH_KS:
-        row = (
-            deg.agg(
-                F.lit(k).alias("k"),
-                F.sum(F.when(F.col("d") > k, 1).otherwise(0))
-                .cast("long")
-                .alias("n_nodes"),
-            )
+    k_grid = F.explode(
+        F.array(*[F.lit(k) for k in RICH_KS])
+    ).alias("k")
+    ks = (
+        deg.select(k_grid, "d")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nodes")
         )
-        ks = row if ks is None else ks.unionByName(row)
+    )
     ewd = (
         e.join(
             deg.select(F.col("node").alias("a"), F.col("d").alias("da")),
@@ -1215,17 +1218,20 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
         )
     )
-    ek = None
-    for k in RICH_KS:
-        row = ewd.agg(
-            F.lit(k).alias("k"),
+    ek = (
+        ewd.select(k_grid, "da", "db")
+        .groupBy("k")
+        .agg(
             F.sum(
-                F.when((F.col("da") > k) & (F.col("db") > k), 1).otherwise(0)
+                F.when(
+                    (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
+                    1,
+                ).otherwise(0)
             )
             .cast("long")
-            .alias("n_edges"),
+            .alias("n_edges")
         )
-        ek = row if ek is None else ek.unionByName(row)
+    )
     return (
         ks.join(ek, "k")
         .select(

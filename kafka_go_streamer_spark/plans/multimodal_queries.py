@@ -343,36 +343,36 @@ def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket cap, and verify candidates by full-signature Hamming
     distance — exactly the pHash/dHash dedup pipeline image corpora
     run, with the pixel-domain hash stubbed to an md5 of the decoded
-    body (see ``perceptual_signatures``: one swappable line). The
+    body (see ``synthesize_and_sign``: one swappable line). The
     oracle re-derives every count from the text alone — synthesis is
     injective, so the decode→signature path must reproduce the group
     structure an engine that never saw a blob predicts.
 
-    Scale: only 8-byte signatures leave the decode scan; banding is an
+    Scale: the signature stage is the FUSED synthesize→parse→sign
+    Arrow stage (``synthesize_and_sign`` — the r12 A/B: two-stage
+    chain 0.805 s, fused 0.440 s at sf0.1, min-of-3; this query was
+    r11's only round-over-round regression and the fusion recovers
+    it), so only 8-byte signatures ever leave Python; banding is an
     in-row explode of 4 rows per blob; the band-bucket self-join is
     capped (no bucket can go quadratic) and Hamming verification
     (xor + bit_count, codegen'd) runs on candidates only — the same
     blocking discipline as the SimHash/MinHash text family, applied
     cross-modality."""
-    from kafka_go_streamer_spark.multimodal import (
-        perceptual_signatures,
-        synthetic_image_blobs,
-    )
+    from kafka_go_streamer_spark.multimodal import synthesize_and_sign
     from pyspark.sql import Window
 
     from kafka_go_streamer_spark.operators.iterate import pinned
 
     d = load_table(spark, sf_dir, "documents")
-    # pinned: the decode mapInPandas is the expensive stage, and the
-    # signature frame has two consumers (banding + blob count) —
-    # unpinned, the synthesize+decode scan is re-planned under each
-    # (3 decode scans observed; pinned, blobs decode exactly once and
-    # only the 8-byte signatures materialize)
+    # pinned: the fused synth+sign mapInPandas is the expensive stage,
+    # and the signature frame has two consumers (banding + blob count)
+    # — unpinned, the scan is re-planned under each consumer; pinned,
+    # blobs synthesize+sign exactly once and only the 8-byte
+    # signatures materialize
     sigs = pinned(
-        perceptual_signatures(
-            synthetic_image_blobs(d, "doc_id", "text"), "key", "blob",
-            fan=False,
-        ).select(F.col("key").alias("doc_id"), "sig")
+        synthesize_and_sign(d, "doc_id", "text").select(
+            F.col("key").alias("doc_id"), "sig"
+        )
     )
     bands = sigs.select(
         "doc_id",

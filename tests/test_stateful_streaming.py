@@ -179,7 +179,20 @@ def test_transform_with_state_matches_legacy_and_batch(
                 "transformWithState needs google.protobuf (absent, "
                 "and no pure-python runtime candidate in container)"
             )
-        env = dict(os.environ, PYTHONPATH=shim_dir)
+        if os.environ.get("KGS_TWS_SHIM_ACTIVE"):
+            # Recursion guard (ADVICE r11): we ARE the shimmed
+            # subprocess, yet the shim failed to deliver a working
+            # protobuf (e.g. the bundle is missing a dependency, or
+            # sitecustomize swallowed an import error). Without this
+            # guard the branch would re-spawn an identical subprocess
+            # forever until timeout/resource exhaustion.
+            pytest.skip(
+                "tws shim active but google.protobuf still unusable "
+                "in the shimmed subprocess — not re-spawning"
+            )
+        env = dict(
+            os.environ, PYTHONPATH=shim_dir, KGS_TWS_SHIM_ACTIVE="1"
+        )
         proc = subprocess.run(
             [
                 sys.executable,

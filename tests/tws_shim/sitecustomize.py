@@ -38,8 +38,23 @@ if os.path.isdir(os.path.join(_CANDIDATE, "google", "protobuf")):
         from google.protobuf import runtime_version as _rv
 
         # Gencode 6.33 vs runtime 6.32: the strict check would raise
-        # VersionError; the tws test's output-equality assertions are
-        # the real compatibility check here.
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        # VersionError even though the wire format and generated API
+        # are compatible across a one-minor skew. Bound the override
+        # (ADVICE r11): only bypass the validator when the gencode the
+        # caller declares is the SAME major and within one minor of
+        # this runtime — any wider skew (where wire behavior could
+        # genuinely differ) falls through to the strict check and
+        # fails loudly instead of being silently waved past.
+        _orig_validate = _rv.ValidateProtobufRuntimeVersion
+
+        def _validate_within_window(domain, major, minor, patch,
+                                     suffix, location):
+            if major == _rv.MAJOR and abs(minor - _rv.MINOR) <= 1:
+                return None
+            return _orig_validate(
+                domain, major, minor, patch, suffix, location
+            )
+
+        _rv.ValidateProtobufRuntimeVersion = _validate_within_window
     except Exception:
         pass

@@ -259,6 +259,15 @@ HEADLINE = [
     "embedding_quantization_mse",
     "embedding_silhouette_proxy",
     "sample_doremi_reweight",
+    # r12 wave: semantic dedup / cluster diagnostics / line boilerplate
+    "semdedup_prune_manifest",
+    "semdedup_eps_sweep",
+    "cluster_assignment_margin",
+    "cluster_balance_profile",
+    "dedup_line_doc_retention",
+    "dedup_line_cleaned_md5",
+    "pii_density_by_source",
+    "pipeline_semdedup_corpus",
 ]
 
 

@@ -16,6 +16,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     relational,
     routing_queries,
     scale_ops,
+    semdedup,
     similarity,
     sketches,
     sql_api,

@@ -1008,3 +1008,34 @@ def test_rich_club_joins_stay_equi(spark, sf_dir):
     plan = physical_plan(QUERIES["graph_rich_club"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_centroid_joins_broadcast(spark, sf_dir):
+    """The SemDeDup score joins the exploded corpus against the k×dims
+    centroid frame: both the (cell, pos) dot-product join and the
+    cell-norm join must BROADCAST (centroids are tiny at any corpus
+    size) and nothing may go cartesian — the family's whole claim is
+    n×dims streamed work with zero pairwise stages."""
+    plan = physical_plan(QUERIES["semdedup_prune_manifest"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assignment_margin_broadcasts_centroids(spark, sf_dir):
+    """The full distance frame streams the corpus against BROADCAST
+    centroids (one Lloyd-assignment-shaped pass); no cartesian."""
+    plan = physical_plan(QUERIES["cluster_assignment_margin"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_boilerplate_set_broadcasts(spark, sf_dir):
+    """The boilerplate line set (above the absolute doc-frequency
+    threshold, small by construction) must broadcast back onto the
+    exploded line scan — the fact side never shuffles for the flag."""
+    plan = physical_plan(QUERIES["dedup_line_doc_retention"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

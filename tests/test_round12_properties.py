@@ -1,0 +1,410 @@
+"""Pure-Python references for the round-12 semantic-dedup /
+corpus-clustering / line-boilerplate wave — independent of both Spark
+and DuckDB, so a shared engine misunderstanding cannot cancel out in
+the oracle parity check.
+
+The SemDeDup family's keep rule, sweep, bias, balance, and purity are
+re-derived in plain Python FROM the collected manifest (and, for the
+margin query, from the persisted IVF store artifact read via pyarrow),
+so the windowed min / count-distinct / entropy algebra is checked
+against hand-rolled dict arithmetic. The line family is re-derived
+end-to-end from the raw parquet text (seeding, splitting, df counting,
+retention, md5 reassembly) — the strongest form, no shared code at
+all."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from kafka_go_streamer_spark.plans import QUERIES
+from kafka_go_streamer_spark.plans import semdedup as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def docs(duck):
+    return duck.execute(
+        "SELECT doc_id, text, source FROM documents"
+    ).fetchall()
+
+
+@pytest.fixture(scope="module")
+def labels(duck):
+    return dict(
+        duck.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+
+
+@pytest.fixture(scope="module")
+def manifest(spark):
+    rows = QUERIES["semdedup_prune_manifest"](spark, SF).collect()
+    return [(r["vec_id"], r["cell"], r["cos_c"], r["kept"]) for r in rows]
+
+
+def _half_up(x: float, s: int) -> float:
+    """stable_round emulation: add the scale-proportional epsilon then
+    round half-up (the eps removes exact ties, where half-up and
+    floor(+0.5) conventions could differ)."""
+    eps = 0.5 * 10.0 ** -(s + 2)
+    return math.floor((x + eps) * 10**s + 0.5) / 10**s
+
+
+# --------------------------------------------------- keep rule algebra
+def test_manifest_keep_rule_matches_python(manifest):
+    """kept == 1 iff cos_c is NULL or vec_id is the minimum of its
+    (cell, 3dp-bucket) group — recomputed with dict arithmetic."""
+    groups: dict[tuple, int] = {}
+    for vec_id, cell, cos_c, _ in manifest:
+        if cos_c is None:
+            continue
+        key = (cell, _half_up(cos_c, S.SEMDEDUP_SCALE))
+        groups[key] = min(groups.get(key, vec_id), vec_id)
+    for vec_id, cell, cos_c, kept in manifest:
+        if cos_c is None:
+            assert kept == 1, vec_id
+        else:
+            key = (cell, _half_up(cos_c, S.SEMDEDUP_SCALE))
+            assert kept == (1 if groups[key] == vec_id else 0), vec_id
+    # every vector appears exactly once, cos in [-1, 1]
+    ids = [v for v, *_ in manifest]
+    assert len(ids) == len(set(ids))
+    assert all(
+        -1.0 - 1e-9 <= c <= 1.0 + 1e-9
+        for _, _, c, _ in manifest
+        if c is not None
+    )
+
+
+def test_prune_stats_aggregate_manifest(spark, manifest):
+    per = defaultdict(lambda: [0, 0, 0, 0.0])  # n, scored, kept, cos_sum
+    for _, cell, cos_c, kept in manifest:
+        row = per[cell]
+        row[0] += 1
+        if cos_c is not None:
+            row[1] += 1
+            row[3] += cos_c
+        row[2] += kept
+    got = {
+        r["cell"]: r
+        for r in QUERIES["semdedup_prune_stats"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for cell, (n, scored, kept, cos_sum) in per.items():
+        g = got[cell]
+        assert g["n_members"] == n
+        assert g["n_scored"] == scored
+        assert g["n_kept"] == kept
+        assert g["n_dropped"] == n - kept
+        assert g["prune_rate"] == pytest.approx(
+            (n - kept) / n, abs=2e-6
+        )
+        if scored:
+            assert g["mean_cos"] == pytest.approx(
+                cos_sum / scored, abs=2e-6
+            )
+
+
+def test_eps_sweep_recomputed_from_manifest(spark, manifest):
+    n_total = len(manifest)
+    scored = [(c, x) for _, c, x, _ in manifest if x is not None]
+    got = {
+        r["scale"]: r
+        for r in QUERIES["semdedup_eps_sweep"](spark, SF).collect()
+    }
+    assert set(got) == set(S.SEMDEDUP_SWEEP)
+    prev_dropped = None
+    for s in sorted(S.SEMDEDUP_SWEEP):
+        buckets = {(cell, _half_up(x, s)) for cell, x in scored}
+        kept = len(buckets) + (n_total - len(scored))
+        g = got[s]
+        assert g["n_total"] == n_total
+        assert g["n_kept"] == kept
+        assert g["n_dropped"] == len(scored) - len(buckets)
+        assert g["prune_rate"] == pytest.approx(
+            g["n_dropped"] / n_total, abs=2e-6
+        )
+    # coarser bucket (smaller scale) can only drop MORE
+    d = [got[s]["n_dropped"] for s in sorted(S.SEMDEDUP_SWEEP)]
+    assert d == sorted(d, reverse=True)
+
+
+def test_drop_bias_aggregates_manifest_by_label(spark, manifest, labels):
+    per = defaultdict(lambda: [0, 0])
+    for vec_id, _, _, kept in manifest:
+        row = per[labels[vec_id]]
+        row[0] += 1
+        row[1] += 1 - kept
+    got = {
+        r["label"]: r
+        for r in QUERIES["semdedup_drop_bias"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for lbl, (n, dropped) in per.items():
+        assert got[lbl]["n_members"] == n
+        assert got[lbl]["n_dropped"] == dropped
+        assert got[lbl]["drop_rate"] == pytest.approx(
+            dropped / n, abs=2e-6
+        )
+
+
+# --------------------------------------------------- cluster diagnostics
+def test_balance_profile_entropy_gini_python(spark, manifest):
+    sizes = Counter(cell for _, cell, _, _ in manifest)
+    k = len(sizes)
+    tot = sum(sizes.values())
+    ent = -sum(
+        (n / tot) * math.log(n / tot) for n in sizes.values()
+    ) / math.log(k)
+    ordered = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    gini = 2.0 * sum(
+        (i + 1) * n for i, (_, n) in enumerate(ordered)
+    ) / (k * tot) - (k + 1.0) / k
+    row = QUERIES["cluster_balance_profile"](spark, SF).collect()[0]
+    assert row["k_cells"] == k
+    assert row["n_vectors"] == tot
+    assert row["max_cell"] == max(sizes.values())
+    assert row["min_cell"] == min(sizes.values())
+    assert row["entropy_norm"] == pytest.approx(ent, abs=2e-6)
+    assert row["gini"] == pytest.approx(gini, abs=2e-6)
+    assert 0.0 <= row["gini"] < 1.0
+    assert 0.0 < row["entropy_norm"] <= 1.0
+
+
+def test_label_purity_python(spark, manifest, labels):
+    per = defaultdict(Counter)
+    for vec_id, cell, _, _ in manifest:
+        per[cell][labels[vec_id]] += 1
+    got = {
+        r["cell"]: r
+        for r in QUERIES["cluster_label_purity"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for cell, cnts in per.items():
+        size = sum(cnts.values())
+        top = min(
+            cnts.items(), key=lambda kv: (-kv[1], kv[0])
+        )  # max count, min label
+        g = got[cell]
+        assert g["size"] == size
+        assert g["top_label"] == top[0]
+        assert g["purity"] == pytest.approx(top[1] / size, abs=2e-6)
+
+
+def test_assignment_margin_against_store_artifact(spark):
+    """Recompute every vector's two nearest centroids from the
+    PERSISTED index artifact (pyarrow read, numpy distances, the same
+    6dp boundary rounding) and check the margin summary."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        centroids_path,
+        default_index_base,
+        vectors_path,
+    )
+
+    # the query itself ensures the index exists
+    row = QUERIES["cluster_assignment_margin"](spark, SF).collect()[0]
+    base = default_index_base(SF)
+    cents = pq.read_table(centroids_path(base)).to_pydict()
+    vecs = pq.read_table(
+        vectors_path(base), columns=["vec_id", "embedding"]
+    ).to_pydict()
+    k_ids = sorted(set(cents["cid"]))
+    dims = max(cents["pos"]) + 1
+    C = np.zeros((len(k_ids), dims))
+    idx = {cid: i for i, cid in enumerate(k_ids)}
+    for cid, pos, c in zip(cents["cid"], cents["pos"], cents["c"]):
+        C[idx[cid], pos] = c
+    margins = []
+    for emb in vecs["embedding"]:
+        v = np.asarray(emb, dtype=np.float64)
+        d2 = np.round(((C - v) ** 2).sum(axis=1) + 5e-9, 6)
+        top2 = np.sort(d2)[:2]
+        margins.append(round(top2[1] - top2[0] + 5e-9, 6))
+    assert row["n_vectors"] == len(margins)
+    assert row["mean_margin"] == pytest.approx(
+        sum(margins) / len(margins), abs=2e-6
+    )
+    assert row["min_margin"] == pytest.approx(min(margins), abs=2e-6)
+    s = sorted(margins)
+
+    def pct(q):
+        i = (len(s) - 1) * q
+        lo, hi = int(math.floor(i)), int(math.ceil(i))
+        return s[lo] + (s[hi] - s[lo]) * (i - lo)
+
+    assert row["p50_margin"] == pytest.approx(pct(0.5), abs=2e-6)
+    assert row["p90_margin"] == pytest.approx(pct(0.9), abs=2e-6)
+
+
+# --------------------------------------------------- line boilerplate
+def _lined(doc_id: int, text: str) -> list[str]:
+    lines = []
+    if doc_id % 3 == 0:
+        lines.append(S.BP_HEADER)
+    lines.append(text)
+    if doc_id % 4 == 0:
+        lines.append(S.BP_FOOTER)
+    if doc_id % 5 == 1:
+        lines.append(S.BP_COOKIE)
+    return [ln for ln in lines if ln != ""]
+
+
+def _bp_set(docs) -> set[str]:
+    df = defaultdict(set)
+    for doc_id, text, _ in docs:
+        for ln in set(_lined(doc_id, text)):
+            df[ln].add(doc_id)
+    return {ln for ln, ds in df.items() if len(ds) >= S.BP_MIN_DF}
+
+
+def test_line_boilerplate_python(spark, docs):
+    df = defaultdict(set)
+    for doc_id, text, _ in docs:
+        for ln in _lined(doc_id, text):
+            df[ln].add(doc_id)
+    expect = sorted(
+        ((ln, len(ds)) for ln, ds in df.items() if len(ds) >= S.BP_MIN_DF),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    got = [
+        (r["line"], r["n_docs"])
+        for r in QUERIES["dedup_line_boilerplate"](spark, SF).collect()
+    ]
+    assert got == expect
+    # all three seeded templates must be detected at this fixture
+    lines = {ln for ln, _ in got}
+    assert {S.BP_HEADER, S.BP_FOOTER, S.BP_COOKIE} <= lines
+
+
+def test_line_retention_python(spark, docs):
+    bp = _bp_set(docs)
+    per = defaultdict(lambda: [set(), 0, 0, 0, 0])
+    for doc_id, text, source in docs:
+        row = per[source]
+        for ln in _lined(doc_id, text):
+            row[0].add(doc_id)
+            row[1] += 1
+            row[3] += len(ln)
+            if ln in bp:
+                row[2] += 1
+            else:
+                row[4] += len(ln)
+    got = {
+        r["source"]: r
+        for r in QUERIES["dedup_line_doc_retention"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for src, (ids, n_lines, n_bp, chars, kept_chars) in per.items():
+        g = got[src]
+        assert g["n_docs"] == len(ids)
+        assert g["n_lines"] == n_lines
+        assert g["n_bp_lines"] == n_bp
+        assert g["line_retention"] == pytest.approx(
+            (n_lines - n_bp) / n_lines, abs=2e-6
+        )
+        assert g["char_retention"] == pytest.approx(
+            kept_chars / chars, abs=2e-6
+        )
+
+
+def test_line_cleaned_md5_python(spark, docs):
+    bp = _bp_set(docs)
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_line_cleaned_md5"](spark, SF).collect()
+    }
+    assert set(got) == {d for d, _, _ in docs}
+    for doc_id, text, _ in docs:
+        lines = _lined(doc_id, text)
+        kept = [ln for ln in lines if ln not in bp]
+        g = got[doc_id]
+        assert g["n_lines"] == len(lines)
+        assert g["n_bp_lines"] == len(lines) - len(kept)
+        assert g["cleaned_md5"] == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest()
+
+
+# --------------------------------------------------- pii density
+def test_pii_density_python(spark, docs):
+    email = re.compile(r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]+")
+    phone = re.compile(r"\+1-555-[0-9]{4}")
+    per = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for doc_id, text, source in docs:
+        t = text
+        if doc_id % 7 == 0:
+            t += f" contact_{doc_id}@example.com"
+        if doc_id % 5 == 0:
+            t += f" call +1-555-{doc_id % 10000:04d}"
+        ne = len(email.findall(t))
+        np_ = len(phone.findall(t))
+        row = per[source]
+        row[0] += 1
+        row[1] += 1 if ne + np_ > 0 else 0
+        row[2] += ne
+        row[3] += np_
+        row[4] += len(t)
+    got = {
+        r["source"]: r
+        for r in QUERIES["pii_density_by_source"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    any_pii = False
+    for src, (n, with_pii, ne, np_, chars) in per.items():
+        g = got[src]
+        assert g["n_docs"] == n
+        assert g["docs_with_pii"] == with_pii
+        assert g["n_emails"] == ne
+        assert g["n_phones"] == np_
+        assert g["pii_per_10kchars"] == pytest.approx(
+            (ne + np_) * 10000.0 / chars, abs=2e-5
+        )
+        any_pii = any_pii or with_pii > 0
+    assert any_pii  # the seeding provably fires
+
+
+# --------------------------------------------------- composed pipeline
+def test_pipeline_consistent_with_parts(spark, docs, manifest):
+    row = QUERIES["pipeline_semdedup_corpus"](spark, SF).collect()[0]
+    bp = _bp_set(docs)
+    n_lines = n_bp = chars = kept_chars = 0
+    for doc_id, text, _ in docs:
+        for ln in _lined(doc_id, text):
+            n_lines += 1
+            chars += len(ln)
+            if ln in bp:
+                n_bp += 1
+            else:
+                kept_chars += len(ln)
+    assert row["n_docs"] == len(docs)
+    assert row["n_lines"] == n_lines
+    assert row["n_bp_lines"] == n_bp
+    assert row["char_retention"] == pytest.approx(
+        kept_chars / chars, abs=2e-6
+    )
+    kept = sum(k for *_, k in manifest)
+    assert row["n_vectors"] == len(manifest)
+    assert row["n_sem_kept"] == kept
+    assert row["n_sem_dropped"] == len(manifest) - kept
+    assert row["sem_keep_rate"] == pytest.approx(
+        kept / len(manifest), abs=2e-6
+    )

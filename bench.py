@@ -268,6 +268,12 @@ HEADLINE = [
     "dedup_line_cleaned_md5",
     "pii_density_by_source",
     "pipeline_semdedup_corpus",
+    "semdedup_vs_minhash_agreement",
+    "semdedup_centroid_shift",
+    "cluster_source_mix",
+    "pipeline_gate_funnel",
+    "text_doc_prefix_dup",
+    "route_rule_coverage_overlap",
 ]
 
 

@@ -8,6 +8,7 @@ from kafka_go_streamer_spark.plans.registry import ORACLES, QUERIES, query
 from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     analytics_ext,
     corpus_health,
+    corpus_ops,
     curation,
     dedup,
     insights,

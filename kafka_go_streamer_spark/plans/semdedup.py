@@ -1041,3 +1041,340 @@ def pipeline_semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sem_keep_rate",
         )
     )
+
+
+# --------------------------------------------------------------------
+# wave 2: cross-family agreement, centroid shift, source alignment
+# --------------------------------------------------------------------
+
+def _agreement_sql() -> str:
+    from kafka_go_streamer_spark.operators.dedup import (
+        minhash_lsh_pairs_sql,
+    )
+
+    pairs = minhash_lsh_pairs_sql(
+        "documents", "doc_id", "text", min_intersection=2
+    )
+    return (
+        _semdedup_prefix()
+        + ","
+        + _keep_cte(SEMDEDUP_SCALE)
+        + f""",
+    pairs AS ({pairs}),
+    tdrop AS (
+      SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+      JOIN embeddings e ON e.vec_id = p.id_b
+    ),
+    sdrop AS (SELECT vec_id FROM keepx WHERE kept = 0),
+    m AS (
+      SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_universe,
+             (SELECT count(*) FROM tdrop)::BIGINT AS n_text_drops,
+             (SELECT count(*) FROM sdrop)::BIGINT AS n_sem_drops,
+             (SELECT count(*) FROM tdrop JOIN sdrop USING (vec_id))::BIGINT
+               AS n_both
+    )
+    SELECT n_universe, n_text_drops, n_sem_drops, n_both,
+           round(n_both * 1.0
+                 / nullif(n_text_drops + n_sem_drops - n_both, 0), 6)
+             AS drop_jaccard
+    FROM m
+    """
+    )
+
+
+@query("semdedup_vs_minhash_agreement", oracle=_agreement_sql)
+def semdedup_vs_minhash_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-family dedup agreement: over the embedded subset of the
+    corpus (doc_id = vec_id, the repo's hard-negatives convention),
+    how much do the TEXT near-dup drop set (MinHash-LSH monotone rule,
+    ids appearing as the larger side of a verified pair) and the
+    SEMANTIC prune drop set overlap? Low Jaccard is the expected —
+    and informative — production reading: surface dedup and embedding
+    dedup remove DIFFERENT redundancy, which is why pipelines run
+    both; a sudden jump toward 1.0 says the embedding space collapsed
+    to lexical identity.
+
+    Scale: both drop sets come from their audited capped/blocked
+    generators; the agreement is two semi-joins and four counts on
+    id-only frames."""
+    from kafka_go_streamer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    tdrop = pinned(
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .join(emb_ids, "vec_id", "left_semi")
+    )
+    vecs, cents = _store_frames(spark, sf_dir)
+    kept = _kept(_cells(vecs), _scored(vecs, cents), SEMDEDUP_SCALE)
+    sdrop = pinned(kept.filter(F.col("kept") == 0).select("vec_id"))
+    m = (
+        emb_ids.agg(F.count(F.lit(1)).cast("long").alias("n_universe"))
+        .crossJoin(
+            F.broadcast(
+                tdrop.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_text_drops")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                sdrop.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_sem_drops")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tdrop.join(sdrop, "vec_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_both")
+                )
+            )
+        )
+    )
+    return m.select(
+        "n_universe",
+        "n_text_drops",
+        "n_sem_drops",
+        "n_both",
+        stable_round(
+            F.col("n_both")
+            * 1.0
+            / F.nullif(
+                F.col("n_text_drops")
+                + F.col("n_sem_drops")
+                - F.col("n_both"),
+                F.lit(0),
+            ),
+            6,
+        ).alias("drop_jaccard"),
+    )
+
+
+def _centroid_shift_sql() -> str:
+    return (
+        _semdedup_prefix()
+        + ","
+        + _keep_cte(SEMDEDUP_SCALE)
+        + """,
+    kex AS (
+      SELECT k.cell, e.pos, e.v
+      FROM ex e JOIN keepx k USING (vec_id) WHERE k.kept = 1
+    ),
+    nm AS (
+      SELECT cell, pos, round(avg(v), 6) AS m FROM kex GROUP BY 1, 2
+    ),
+    kc AS (
+      SELECT cell, count(*)::BIGINT AS n_members,
+             sum(kept)::BIGINT AS n_kept
+      FROM keepx GROUP BY 1
+    ),
+    sh AS (
+      SELECT n.cell,
+             round(sqrt(sum((n.m - c.c) * (n.m - c.c))), 6) AS shift
+      FROM nm n JOIN cent2 c ON c.cid = n.cell AND c.pos = n.pos
+      GROUP BY 1
+    )
+    SELECT k.cell::BIGINT AS cell, k.n_members, k.n_kept, s.shift
+    FROM kc k JOIN sh s USING (cell)
+    """
+    )
+
+
+@query("semdedup_centroid_shift", oracle=_centroid_shift_sql)
+def semdedup_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the semantic prune MOVE the clusters? Per cell: the L2
+    distance between the stored (pre-prune) centroid and the centroid
+    recomputed over prune survivors. Large shift = the prune deleted
+    a one-sided mass of near-dups and the quantizer no longer sits on
+    the surviving distribution — the signal to retrain the IVF index
+    after a prune rather than serving the stale one.
+
+    Scale: survivor means are one (cell, pos) hash aggregate over the
+    store scan (same boundary rounding as Lloyd's update step), then
+    a k×dims-sized join against the broadcast stored centroids."""
+    vecs, cents = _store_frames(spark, sf_dir)
+    kept = _kept(_cells(vecs), _scored(vecs, cents), SEMDEDUP_SCALE)
+    ex = vecs.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    kex = ex.join(
+        kept.filter(F.col("kept") == 1).select("vec_id", "cell"), "vec_id"
+    )
+    nm = kex.groupBy("cell", "pos").agg(
+        stable_round(F.avg("v"), 6).alias("m")
+    )
+    c = cents.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("pos").alias("cpos"),
+        "c",
+    )
+    sh = (
+        nm.join(
+            F.broadcast(c),
+            (F.col("cell") == F.col("cid")) & (F.col("pos") == F.col("cpos")),
+        )
+        .groupBy("cell")
+        .agg(
+            stable_round(
+                F.sqrt(
+                    F.sum((F.col("m") - F.col("c")) * (F.col("m") - F.col("c")))
+                ),
+                6,
+            ).alias("shift")
+        )
+    )
+    kc = kept.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("kept").cast("long").alias("n_kept"),
+    )
+    return kc.join(sh, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_members",
+        "n_kept",
+        "shift",
+    )
+
+
+def _source_mix_sql() -> str:
+    return (
+        _semdedup_prefix()
+        + """,
+    cs AS (
+      SELECT c.cell, d.source, count(*)::BIGINT AS cnt
+      FROM cellsq c JOIN documents d ON d.doc_id = c.vec_id
+      GROUP BY 1, 2
+    ),
+    tops AS (
+      SELECT cell, source, cnt,
+             sum(cnt) OVER (PARTITION BY cell) AS size,
+             count(*) OVER (PARTITION BY cell) AS n_sources,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cnt DESC, source) AS rn
+      FROM cs
+    )
+    SELECT cell::BIGINT AS cell, size::BIGINT AS size,
+           n_sources::BIGINT AS n_sources, source AS top_source,
+           round(cnt * 1.0 / size, 6) AS top_share
+    FROM tops WHERE rn = 1
+    """
+    )
+
+
+@query("cluster_source_mix", oracle=_source_mix_sql)
+def cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster ↔ source alignment: per trained cell, the dominant
+    document SOURCE and its share (via the doc_id = vec_id embedded
+    subset). If top_share ≈ 1 everywhere the "semantic" clusters are
+    just re-discovering the feeds — and cluster-stratified sampling
+    would silently duplicate source-stratified sampling; diffuse
+    mixes mean the embedding space is adding real structure. The
+    source-side complement of ``cluster_label_purity``.
+
+    Scale: one (cell, source) aggregate, then windows over ≤|sources|
+    rows per cell."""
+    vecs, _ = _store_frames(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    cs = (
+        _cells(vecs)
+        .join(docs, "vec_id")
+        .groupBy("cell", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wc = Window.partitionBy("cell")
+    wrk = Window.partitionBy("cell").orderBy(
+        F.col("cnt").desc(), F.col("source")
+    )
+    return (
+        cs.withColumn("size", F.sum("cnt").over(wc))
+        .withColumn("n_sources", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wrk))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("size").cast("long").alias("size"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("source").alias("top_source"),
+            stable_round(F.col("cnt") * 1.0 / F.col("size"), 6).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
+def _source_shift_sql() -> str:
+    return (
+        _semdedup_prefix()
+        + ","
+        + _keep_cte(SEMDEDUP_SCALE)
+        + """,
+    js AS (
+      SELECT k.kept, d.source
+      FROM keepx k JOIN documents d ON d.doc_id = k.vec_id
+    ),
+    t AS (
+      SELECT count(*)::BIGINT AS total, sum(kept)::BIGINT AS tot_kept
+      FROM js
+    )
+    SELECT j.source,
+           count(*)::BIGINT AS n_before,
+           sum(j.kept)::BIGINT AS n_after,
+           round(count(*) * 1.0 / max(t.total), 6) AS share_before,
+           round(sum(j.kept) * 1.0 / max(t.tot_kept), 6) AS share_after,
+           round(sum(j.kept) * 1.0 / max(t.tot_kept)
+                 - count(*) * 1.0 / max(t.total), 6) AS share_delta
+    FROM js j CROSS JOIN t
+    GROUP BY 1
+    """
+    )
+
+
+@query("semdedup_source_shift", oracle=_source_shift_sql)
+def semdedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the semantic prune does to the data MIXTURE: per source,
+    corpus share before vs after the prune (embedded subset). Dedup
+    is a silent re-weighting — template-heavy feeds shrink — and any
+    downstream temperature/DoReMi mixture computed on pre-dedup counts
+    is stale by exactly share_delta; this emits the correction table.
+
+    Scale: kept flags joined to the source column (equi-join), one
+    aggregate; the totals row is a broadcast scalar bind."""
+    vecs, cents = _store_frames(spark, sf_dir)
+    kept = _kept(_cells(vecs), _scored(vecs, cents), SEMDEDUP_SCALE)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    js = pinned(kept.join(docs, "vec_id").select("kept", "source"))
+    t = js.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("kept").cast("long").alias("tot_kept"),
+    )
+    per = js.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum("kept").cast("long").alias("n_after"),
+    )
+    return per.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_before",
+        "n_after",
+        stable_round(F.col("n_before") * 1.0 / F.col("total"), 6).alias(
+            "share_before"
+        ),
+        stable_round(F.col("n_after") * 1.0 / F.col("tot_kept"), 6).alias(
+            "share_after"
+        ),
+        stable_round(
+            F.col("n_after") * 1.0 / F.col("tot_kept")
+            - F.col("n_before") * 1.0 / F.col("total"),
+            6,
+        ).alias("share_delta"),
+    )

@@ -1039,3 +1039,38 @@ def test_line_boilerplate_set_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gate_funnel_single_scan_no_join(spark, sf_dir):
+    """All five funnel counters fold in ONE conditional aggregate over
+    one corpus scan, unstacked in-plan — no rescans, no joins."""
+    plan = physical_plan(QUERIES["pipeline_gate_funnel"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_rule_overlap_single_scan_no_join(spark, sf_dir):
+    """The k + k(k-1)/2 overlap counters fold in ONE narrow scan (the
+    masking-analysis discipline), pair rows unstacked from the single
+    aggregate row."""
+    plan = physical_plan(
+        QUERIES["route_rule_coverage_overlap"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_prefix_dup_no_cartesian(spark, sf_dir):
+    """The prefix screen joins the doc frame to group sizes on the SAME
+    md5 key it aggregated on — equi only, never pairwise docs."""
+    plan = physical_plan(QUERIES["text_doc_prefix_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_shift_broadcasts_centroids(spark, sf_dir):
+    """Post-prune means join the stored centroid frame BROADCAST; no
+    pairwise stage anywhere in the shift computation."""
+    plan = physical_plan(QUERIES["semdedup_centroid_shift"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

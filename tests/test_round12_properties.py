@@ -408,3 +408,275 @@ def test_pipeline_consistent_with_parts(spark, docs, manifest):
     assert row["sem_keep_rate"] == pytest.approx(
         kept / len(manifest), abs=2e-6
     )
+
+
+# =====================================================================
+# wave 2: cross-family agreement, centroid shift, source alignment,
+# gate funnel, prefix dup, rule overlap
+# =====================================================================
+
+def test_agreement_consistent_with_both_drop_sets(spark, manifest, duck):
+    """The agreement counters must equal the composition of the two
+    already-verified drop sets: text drops = corpus − greedy-rule
+    survivors (restricted to embedded ids), semantic drops = manifest
+    kept == 0."""
+    emb_ids = {v for v, *_ in manifest}
+    survivors = {
+        r["doc_id"]
+        for r in QUERIES["dedup_greedy_drop_rule"](spark, SF).collect()
+    }
+    all_docs = {
+        r[0] for r in duck.execute("SELECT doc_id FROM documents").fetchall()
+    }
+    tdrop = (all_docs - survivors) & emb_ids
+    sdrop = {v for v, _, _, k in manifest if k == 0}
+    row = QUERIES["semdedup_vs_minhash_agreement"](spark, SF).collect()[0]
+    assert row["n_universe"] == len(emb_ids)
+    assert row["n_text_drops"] == len(tdrop)
+    assert row["n_sem_drops"] == len(sdrop)
+    assert row["n_both"] == len(tdrop & sdrop)
+    union = len(tdrop | sdrop)
+    if union:
+        assert row["drop_jaccard"] == pytest.approx(
+            len(tdrop & sdrop) / union, abs=2e-6
+        )
+    else:
+        assert row["drop_jaccard"] is None
+
+
+def test_centroid_shift_numpy_reference(spark, manifest):
+    """Survivor means recomputed with numpy from the persisted store
+    artifact; shift vs the stored centroids, same boundary rounding."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        centroids_path,
+        default_index_base,
+        vectors_path,
+    )
+
+    got = {
+        r["cell"]: r
+        for r in QUERIES["semdedup_centroid_shift"](spark, SF).collect()
+    }
+    base = default_index_base(SF)
+    cents = pq.read_table(centroids_path(base)).to_pydict()
+    vecs = pq.read_table(
+        vectors_path(base), columns=["vec_id", "embedding"]
+    ).to_pydict()
+    emb = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(vecs["vec_id"], vecs["embedding"])
+    }
+    C = defaultdict(dict)
+    for cid, pos, c in zip(cents["cid"], cents["pos"], cents["c"]):
+        C[cid][pos] = c
+    kept_members = defaultdict(list)
+    members = Counter()
+    for vec_id, cell, _, kept in manifest:
+        members[cell] += 1
+        if kept:
+            kept_members[cell].append(emb[vec_id])
+    assert set(got) == set(members)
+    for cell, r in got.items():
+        assert r["n_members"] == members[cell]
+        assert r["n_kept"] == len(kept_members[cell])
+        m = np.mean(np.stack(kept_members[cell]), axis=0)
+        m = np.round(m + 5e-9, 6)  # Lloyd boundary rounding
+        cvec = np.array(
+            [C[cell][p] for p in range(len(m))], dtype=np.float64
+        )
+        shift = round(math.sqrt(((m - cvec) ** 2).sum()) + 5e-9, 6)
+        assert r["shift"] == pytest.approx(shift, abs=2e-6)
+
+
+def test_source_mix_python(spark, manifest, docs):
+    src = {d: s for d, _, s in docs}
+    per = defaultdict(Counter)
+    for vec_id, cell, _, _ in manifest:
+        per[cell][src[vec_id]] += 1
+    got = {
+        r["cell"]: r
+        for r in QUERIES["cluster_source_mix"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for cell, cnts in per.items():
+        size = sum(cnts.values())
+        top = min(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        g = got[cell]
+        assert g["size"] == size
+        assert g["n_sources"] == len(cnts)
+        assert g["top_source"] == top[0]
+        assert g["top_share"] == pytest.approx(top[1] / size, abs=2e-6)
+
+
+def test_source_shift_python(spark, manifest, docs):
+    src = {d: s for d, _, s in docs}
+    before, after = Counter(), Counter()
+    for vec_id, _, _, kept in manifest:
+        before[src[vec_id]] += 1
+        after[src[vec_id]] += kept
+    tot, tot_kept = sum(before.values()), sum(after.values())
+    got = {
+        r["source"]: r
+        for r in QUERIES["semdedup_source_shift"](spark, SF).collect()
+    }
+    assert set(got) == set(before)
+    for s in before:
+        g = got[s]
+        assert g["n_before"] == before[s]
+        assert g["n_after"] == after[s]
+        assert g["share_before"] == pytest.approx(
+            before[s] / tot, abs=2e-6
+        )
+        assert g["share_after"] == pytest.approx(
+            after[s] / tot_kept, abs=2e-6
+        )
+        assert g["share_delta"] == pytest.approx(
+            after[s] / tot_kept - before[s] / tot, abs=2e-6
+        )
+    # shares each sum to 1 => deltas sum to ~0
+    assert sum(g["share_delta"] for g in got.values()) == pytest.approx(
+        0.0, abs=1e-4
+    )
+
+
+# ------------------------------------------------------- gate funnel
+STOP = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "y", "es", "un", "en", "que"),
+    "fr": ("le", "la", "de", "et", "est", "un", "dans", "que"),
+}
+
+
+def _py_words(text: str) -> list[str]:
+    t = text.strip().lower()
+    return re.split(r"\s+", t) if t else [""]
+
+
+def _py_lang(ws: list[str]) -> str:
+    h = {
+        lang: sum(1 for w in ws if w in sw) for lang, sw in STOP.items()
+    }
+    if h["en"] > 0 and h["en"] >= h["de"] and h["en"] >= h["es"] and h["en"] >= h["fr"]:
+        return "en"
+    if h["de"] > 0 and h["de"] >= h["es"] and h["de"] >= h["fr"]:
+        return "de"
+    if h["es"] > 0 and h["es"] >= h["fr"]:
+        return "es"
+    if h["fr"] > 0:
+        return "fr"
+    return "und"
+
+
+def test_gate_funnel_python(spark, docs_full):
+    c = [0, 0, 0, 0]
+    fps = set()
+    for _, text, _ in docs_full:
+        ws = _py_words(text)
+        alpha = round(
+            sum(ch.isalpha() and ch.isascii() for ch in text)
+            / max(len(text), 1)
+            + 5e-7,
+            4,
+        )
+        c[0] += 1
+        if len(ws) < 20:
+            continue
+        c[1] += 1
+        if not alpha > 0.6:
+            continue
+        c[2] += 1
+        if _py_lang(ws) != "en":
+            continue
+        c[3] += 1
+        fps.add(
+            hashlib.md5(" ".join(sorted(set(ws))).encode()).hexdigest()
+        )
+    expect = c + [len(fps)]
+    got = {
+        r["stage"]: r
+        for r in QUERIES["pipeline_gate_funnel"](spark, SF).collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    for i in range(5):
+        assert got[i]["survivors"] == expect[i], i
+        assert got[i]["dropped_here"] == (
+            0 if i == 0 else expect[i - 1] - expect[i]
+        )
+    # the funnel is monotone and stage 4 <= stage 3
+    surv = [got[i]["survivors"] for i in range(5)]
+    assert surv == sorted(surv, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def docs_full(duck):
+    return duck.execute(
+        "SELECT doc_id, text, source FROM documents"
+    ).fetchall()
+
+
+def test_prefix_dup_python(spark, docs_full):
+    from kafka_go_streamer_spark.plans.corpus_ops import PREFIX_CHARS
+
+    grp = Counter()
+    for _, text, _ in docs_full:
+        grp[text[:PREFIX_CHARS]] += 1
+    per = defaultdict(lambda: [0, 0])
+    for _, text, source in docs_full:
+        row = per[source]
+        row[0] += 1
+        if grp[text[:PREFIX_CHARS]] > 1:
+            row[1] += 1
+    got = {
+        r["source"]: r
+        for r in QUERIES["text_doc_prefix_dup"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for s, (n, dup) in per.items():
+        assert got[s]["n_docs"] == n
+        assert got[s]["docs_in_dup_groups"] == dup
+        assert got[s]["prefix_dup_rate"] == pytest.approx(
+            dup / n, abs=2e-6
+        )
+
+
+def test_rule_overlap_python(spark, docs_full):
+    from kafka_go_streamer_spark.plans.routing_queries import DOCS_SPLITER
+
+    splits = DOCS_SPLITER.resolved_splits()
+    matchers = []
+    for rs in splits:
+        if rs.use_regex:
+            matchers.append(re.compile(rs.pattern).search)
+        else:
+            matchers.append(lambda t, p=rs.pattern: p in t)
+    hits = [
+        [bool(m(text)) for m in matchers] for _, text, _ in docs_full
+    ]
+    got = {
+        (r["idx_a"], r["idx_b"]): r
+        for r in QUERIES["route_rule_coverage_overlap"](spark, SF).collect()
+    }
+    n = len(splits)
+    assert set(got) == {
+        (i + 1, j + 1) for i in range(n) for j in range(i + 1, n)
+    }
+    for i in range(n):
+        for j in range(i + 1, n):
+            mi = sum(h[i] for h in hits)
+            mj = sum(h[j] for h in hits)
+            both = sum(h[i] and h[j] for h in hits)
+            g = got[(i + 1, j + 1)]
+            assert g["n_match_a"] == mi
+            assert g["n_match_b"] == mj
+            assert g["n_both"] == both
+            union = mi + mj - both
+            if union:
+                assert g["overlap_jaccard"] == pytest.approx(
+                    both / union, abs=2e-6
+                )
+            else:
+                assert g["overlap_jaccard"] is None

@@ -145,6 +145,10 @@ ROTATE_FRONT = (
     "graph_rich_club",
     "multimodal_byte_histogram",
     "multimodal_dedup_blobs",
+    # graph_label_propagation — label chain extracted to
+    # lpa_label_frame/lpa_label_ctes (r12) so graph_modularity_lpa can
+    # compose it; same plan, but the span changed.
+    "graph_label_propagation",
 )
 
 

@@ -274,6 +274,10 @@ HEADLINE = [
     "pipeline_gate_funnel",
     "text_doc_prefix_dup",
     "route_rule_coverage_overlap",
+    "pack_fill_rate_stats",
+    "graph_modularity_lpa",
+    "ann_nprobe_recall_curve",
+    "sample_quality_budget_curve",
 ]
 
 

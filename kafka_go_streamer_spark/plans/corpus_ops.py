@@ -308,3 +308,463 @@ def route_rule_coverage_overlap(
             6,
         ).alias("overlap_jaccard"),
     )
+
+
+# --------------------------------------------------------------------
+# wave 3: packing economics, community quality, ANN tuning curve,
+# quality-vs-quantity frontier
+# --------------------------------------------------------------------
+
+def _fill_rate_sql() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+    from kafka_go_streamer_spark.plans.training_ops import PACK_CAP
+
+    pack = ORACLES["pack_sequences_greedy"]
+    return f"""
+    WITH packed AS MATERIALIZED ({pack}),
+    seqs AS (
+      SELECT source, shard, seq_id,
+             sum(n_tokens)::BIGINT AS seq_tokens,
+             count(*)::BIGINT AS n_docs
+      FROM packed GROUP BY 1, 2, 3
+    )
+    SELECT count(*)::BIGINT AS n_seqs,
+           sum(n_docs)::BIGINT AS n_docs,
+           sum(seq_tokens)::BIGINT AS total_tokens,
+           round(avg(seq_tokens * 1.0 / {PACK_CAP}), 6) AS mean_fill,
+           round(percentile_cont(0.5) WITHIN GROUP
+                 (ORDER BY seq_tokens * 1.0 / {PACK_CAP}), 6) AS p50_fill,
+           round(min(seq_tokens * 1.0 / {PACK_CAP}), 6) AS min_fill,
+           sum(CASE WHEN seq_tokens > {PACK_CAP}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_oversize,
+           sum(greatest({PACK_CAP} - seq_tokens, 0))::BIGINT
+             AS padding_waste
+    FROM seqs
+    """
+
+
+@query("pack_fill_rate_stats", oracle=_fill_rate_sql)
+def pack_fill_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing economics: the fill-rate distribution of the greedy
+    packer's output — mean/median/min fill against the PACK_CAP token
+    budget, the count of oversized single-document sequences, and the
+    total padding waste in tokens. Padding waste is compute burned on
+    pad tokens at training time; this is the number that justifies (or
+    kills) a smarter packer.
+
+    Scale: composes ``pack_sequences_greedy`` (audited: hard-bounded
+    shard groups) with one (source, shard, seq_id) aggregate and one
+    global roll-up — nothing touches text."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+    from kafka_go_streamer_spark.plans.training_ops import PACK_CAP
+
+    packed = _Q["pack_sequences_greedy"](spark, sf_dir)
+    seqs = packed.groupBy("source", "shard", "seq_id").agg(
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    fill = F.col("seq_tokens") * 1.0 / PACK_CAP
+    return seqs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("seq_tokens").cast("long").alias("total_tokens"),
+        stable_round(F.avg(fill), 6).alias("mean_fill"),
+        stable_round(F.percentile(fill, F.lit(0.5)), 6).alias("p50_fill"),
+        stable_round(F.min(fill), 6).alias("min_fill"),
+        F.sum(F.when(F.col("seq_tokens") > PACK_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize"),
+        F.sum(F.greatest(PACK_CAP - F.col("seq_tokens"), F.lit(0)))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+def _modularity_sql() -> str:
+    from kafka_go_streamer_spark.plans.timeseries import lpa_label_ctes
+
+    body, final = lpa_label_ctes()
+    return f"""
+    WITH {body},
+    ue AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e
+    ),
+    lbls AS MATERIALIZED (SELECT node, lbl FROM {final}),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM ue UNION ALL SELECT b AS node FROM ue
+      ) GROUP BY 1
+    ),
+    m AS (SELECT count(*)::BIGINT AS m FROM ue),
+    intra AS (
+      SELECT la.lbl, count(*)::BIGINT AS mc
+      FROM ue JOIN lbls la ON la.node = ue.a
+              JOIN lbls lb ON lb.node = ue.b
+      WHERE la.lbl = lb.lbl GROUP BY 1
+    ),
+    dc AS (
+      SELECT l.lbl, sum(d.d)::BIGINT AS dc
+      FROM lbls l JOIN deg d USING (node) GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM lbls)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM dc)::BIGINT AS n_communities,
+           max(m.m)::BIGINT AS n_edges,
+           round(sum(coalesce(i.mc, 0) * 1.0 / m.m
+                     - (d.dc * 1.0 / (2 * m.m))
+                       * (d.dc * 1.0 / (2 * m.m))), 6) AS modularity
+    FROM dc d LEFT JOIN intra i USING (lbl) CROSS JOIN m
+    """
+
+
+@query("graph_modularity_lpa", oracle=_modularity_sql)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities on the winnowing
+    near-dup graph: Q = Σ_c [m_c/m − (d_c/2m)²]. LPA emits community
+    SIZES; this scores whether those communities are actually denser
+    than chance — the accept/reject check before using them for
+    cluster-level dedup (Q near 0 = the "template families" are an
+    artifact; Q ≫ 0 = real block structure worth deduping at the
+    cluster grain).
+
+    Scale: runs entirely on the capped edge list, its degree frame,
+    and the node-cardinality label frame (the SAME ``lpa_label_frame``
+    chain the LPA query runs — extracted r12); intra-community edge
+    counting is two equi-joins of the edge list against labels; the
+    final fold is |communities| rows."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+    from kafka_go_streamer_spark.plans.timeseries import lpa_label_frame
+
+    pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
+    ue = pinned(
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        ).distinct()
+    )
+    lbls = pinned(lpa_label_frame(spark, sf_dir))
+    deg = (
+        ue.select(F.col("a").alias("node"))
+        .unionAll(ue.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m = ue.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = lbls.select(F.col("node").alias("a"), F.col("lbl").alias("la"))
+    lb = lbls.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))
+    intra = (
+        ue.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("mc"))
+    )
+    dc = (
+        lbls.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    n_nodes = lbls.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    terms = (
+        dc.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                F.coalesce(F.col("mc"), F.lit(0)) * 1.0 / F.col("m")
+                - (F.col("dc") * 1.0 / (2 * F.col("m")))
+                * (F.col("dc") * 1.0 / (2 * F.col("m")))
+            ).alias("t"),
+            "m",
+        )
+    )
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("m").cast("long").alias("n_edges"),
+            stable_round(F.sum("t"), 6).alias("modularity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_nodes", "n_communities", "n_edges", "modularity")
+    )
+
+
+#: nprobe settings swept by the recall curve (4 = every seed cell —
+#: the exhaustive anchor where recall must hit 1.0).
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def _nprobe_curve_sql() -> str:
+    from kafka_go_streamer_spark.functions.vectors import cosine_sql
+    from kafka_go_streamer_spark.plans.scale_ops import _ivf_cells_sql
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    branches = []
+    for p in NPROBE_SWEEP:
+        branches.append(f"""
+    SELECT {p}::INTEGER AS nprobe,
+           (SELECT count(*) FROM qs)::BIGINT AS n_queries,
+           round(sum(hits) * 1.0 / (10 * (SELECT count(*) FROM qs)), 6)
+             AS mean_recall_at_10
+    FROM (
+      SELECT g.q_id, count(c.vec_id) AS hits
+      FROM gt g LEFT JOIN (
+        SELECT q_id, vec_id FROM (
+          SELECT s.q_id, s.vec_id,
+                 row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY s.sim DESC, s.vec_id ASC) AS rn
+          FROM cand_scored s WHERE s.crank <= {p}
+        ) WHERE rn <= 10
+      ) c ON c.q_id = g.q_id AND c.vec_id = g.vec_id
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH {_ivf_cells_sql()},
+    qs AS MATERIALIZED (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {PANEL_MAX_ID}
+    ),
+    gt AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    qc AS MATERIALIZED (
+      SELECT q_id, qv, cent_id,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY round({cosine_sql('cv', 'qv')}, 6) DESC,
+                        cent_id ASC) AS crank
+      FROM cents CROSS JOIN qs
+    ),
+    cand_scored AS MATERIALIZED (
+      SELECT qc.q_id, cl.vec_id, qc.crank,
+             round({cosine_sql('cl.embedding', 'qc.qv')}, 6) AS sim
+      FROM cells cl JOIN qc ON cl.cell = qc.cent_id
+      WHERE cl.vec_id <> qc.q_id
+    )
+    {" UNION ALL ".join(branches)}
+    """
+
+
+@query("ann_nprobe_recall_curve", oracle=_nprobe_curve_sql)
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: mean recall@10 of the seeded-cell IVF
+    search at nprobe ∈ {NPROBE_SWEEP}, against brute-force ground
+    truth over the fixed deterministic query panel.
+    ``ann_recall_multiprobe`` reports the nprobe=2 point; this sweeps
+    the knob — the table an operator reads to pick the latency/recall
+    trade, with the all-cells anchor (nprobe = k) pinned at exactly
+    1.0 by construction.
+
+    Scale: ground truth and candidate scores each computed ONCE
+    (panel × corpus and panel × probed-cells, panel FIXED by
+    PANEL_MAX_ID — the hubness-cap discipline); the per-nprobe cuts
+    re-rank the pinned panel-sized candidate frame, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.scale_ops import (
+        IVF_CENTROID_IDS,
+        _ivf_cells,
+    )
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    wq = Window.partitionBy("q_id")
+    gt = pinned(
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    cents = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    qc = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "qv",
+            "cent_id",
+            stable_round(cosine(F.col("cv"), F.col("qv")), 6).alias("qsim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                wq.orderBy(F.col("qsim").desc(), F.col("cent_id").asc())
+            ),
+        )
+        .select("q_id", "qv", "cent_id", "crank")
+    )
+    cells = _ivf_cells(spark, sf_dir)
+    scored = pinned(
+        cells.join(F.broadcast(qc), cells.cell == qc.cent_id)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "crank",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    out = None
+    for p in NPROBE_SWEEP:
+        cand = (
+            scored.filter(F.col("crank") <= p)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+                ),
+            )
+            .filter(F.col("rn") <= 10)
+            .select("q_id", F.col("vec_id").alias("cand_id"))
+        )
+        hits = (
+            gt.join(
+                cand,
+                (gt.q_id == cand.q_id) & (gt.vec_id == cand.cand_id),
+                "left",
+            )
+            .groupBy(gt.q_id)
+            .agg(F.count("cand_id").alias("hits"))
+        )
+        row = (
+            hits.agg(F.sum("hits").alias("tot_hits"))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                stable_round(
+                    F.col("tot_hits") * 1.0 / (10 * F.col("n_queries")), 6
+                ).alias("mean_recall_at_10"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+#: Stopword-ratio thresholds swept by the quality-budget frontier.
+QUALITY_CUTS = (0.0, 0.05, 0.1, 0.15, 0.2)
+
+
+def _quality_budget_sql() -> str:
+    cases = []
+    for i, t in enumerate(QUALITY_CUTS):
+        cases.append(
+            f"sum(CASE WHEN swr >= {t} THEN 1 ELSE 0 END)::BIGINT AS d{i},"
+            f" sum(CASE WHEN swr >= {t} THEN n_tokens ELSE 0 END)::BIGINT"
+            f" AS t{i}"
+        )
+    rows = []
+    for i, t in enumerate(QUALITY_CUTS):
+        rows.append(
+            f"SELECT {t} AS threshold, d{i} AS n_docs, t{i} AS n_tokens,"
+            f" round(d{i} * 1.0 / d0, 6) AS doc_share,"
+            f" round(t{i} * 1.0 / t0, 6) AS token_share FROM agg"
+        )
+    return f"""
+    WITH scored AS (
+      SELECT round({X.stopword_hits_sql('text', 'en')} * 1.0
+                   / greatest({X.word_count_sql('text')}, 1), 4) AS swr,
+             {X.token_count_sql('text')} AS n_tokens
+      FROM documents
+    ),
+    agg AS (SELECT {", ".join(cases)} FROM scored)
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@query("sample_quality_budget_curve", oracle=_quality_budget_sql)
+def sample_quality_budget_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quality-vs-quantity frontier: surviving documents and TOKENS
+    at increasing stopword-ratio floors (the fluency proxy the quality
+    gate uses) — the curve a data-budget decision actually reads:
+    "filtering at 0.15 costs 40% of tokens, is the quality worth it?"
+    Token accounting (not just doc counts) is the point: quality
+    filters bite unevenly by length.
+
+    Scale: all cut counters fold in ONE conditional aggregate over one
+    scan (score bound once per row), unstacked in-plan to the
+    threshold rows — the funnel discipline."""
+    from kafka_go_streamer_spark.functions.text import (
+        stopword_hits,
+        word_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        stable_round(
+            stopword_hits(F.col("text"), "en")
+            * 1.0
+            / F.greatest(word_count(F.col("text")), F.lit(1)),
+            4,
+        ).alias("swr"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    aggs = []
+    for i, t in enumerate(QUALITY_CUTS):
+        keep = F.col("swr") >= t
+        aggs.append(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    agg = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, t in enumerate(QUALITY_CUTS)
+        ]
+    )
+    return agg.select(
+        F.explode(rows).alias("r"), F.col("d0"), F.col("t0")
+    ).select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.n_docs").cast("long").alias("n_docs"),
+        F.col("r.n_tokens").cast("long").alias("n_tokens"),
+        stable_round(F.col("r.n_docs") * 1.0 / F.col("d0"), 6).alias(
+            "doc_share"
+        ),
+        stable_round(F.col("r.n_tokens") * 1.0 / F.col("t0"), 6).alias(
+            "token_share"
+        ),
+    )

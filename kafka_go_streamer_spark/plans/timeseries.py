@@ -2342,7 +2342,10 @@ LPA_ROUNDS = 2
 LPA_TOP = 10
 
 
-def _lpa_oracle() -> str:
+def lpa_label_ctes() -> tuple[str, str]:
+    """The LPA label chain as a reusable ``(with_body, final_name)``
+    pair: ``wpairs`` → symmetric edge list ``e`` → ``l0..lN``. Shared
+    by the LPA query's oracle and composites (modularity)."""
     from kafka_go_streamer_spark.plans.registry import ORACLES
 
     wpairs = ORACLES["dedup_winnowing_pairs"]
@@ -2365,33 +2368,14 @@ def _lpa_oracle() -> str:
       JOIN l{r - 1} nl ON nl.node = e.dst
       GROUP BY l.node, l.lbl
     )""")
-    return (
-        f"WITH wpairs AS MATERIALIZED ({wpairs}),"
-        + ",".join(parts)
-        + f"""
-    SELECT lbl AS community, count(*)::BIGINT AS size
-    FROM l{LPA_ROUNDS}
-    GROUP BY 1 ORDER BY size DESC, community ASC LIMIT {LPA_TOP}
-    """
-    )
+    body = f"wpairs AS MATERIALIZED ({wpairs})," + ",".join(parts)
+    return body, f"l{LPA_ROUNDS}"
 
 
-@query("graph_label_propagation", oracle=_lpa_oracle)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous min-label propagation over the winnowing near-dup
-    graph (two rounds): every node starts as its own label and adopts
-    the minimum label in its closed neighborhood each round; the top
-    communities by size fall out — the cheap community detector that
-    groups template FAMILIES (not just connected pairs) after a
-    bounded number of shuffles, where full connected-components runs
-    its contraction to convergence.
-
-    Scale: each round is one equi-join of the label frame with the
-    pinned symmetric edge list plus a min-aggregate — label frames are
-    node-cardinality, edges capped-sparse; rounds reuse the edge
-    partitioning. Bounded rounds = bounded shuffles: LPA is the
-    operator of choice when one pass of "good enough" clustering must
-    fit a fixed stage budget at 100 TB."""
+def lpa_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, lbl) after LPA_ROUNDS of synchronous min-label
+    propagation over the winnowing graph — the Spark twin of
+    :func:`lpa_label_ctes`, reused by the LPA query and modularity."""
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
 
@@ -2421,6 +2405,40 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.least(F.first("lbl"), F.min("nlbl")).alias("new_lbl"))
             .select("node", F.col("new_lbl").alias("lbl"))
         )
+    return lbl
+
+
+def _lpa_oracle() -> str:
+    body, final = lpa_label_ctes()
+    return (
+        f"WITH {body}"
+        + f"""
+    SELECT lbl AS community, count(*)::BIGINT AS size
+    FROM {final}
+    GROUP BY 1 ORDER BY size DESC, community ASC LIMIT {LPA_TOP}
+    """
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the winnowing near-dup
+    graph (two rounds): every node starts as its own label and adopts
+    the minimum label in its closed neighborhood each round; the top
+    communities by size fall out — the cheap community detector that
+    groups template FAMILIES (not just connected pairs) after a
+    bounded number of shuffles, where full connected-components runs
+    its contraction to convergence.
+
+    Scale: each round is one equi-join of the label frame with the
+    pinned symmetric edge list plus a min-aggregate — label frames are
+    node-cardinality, edges capped-sparse; rounds reuse the edge
+    partitioning. Bounded rounds = bounded shuffles: LPA is the
+    operator of choice when one pass of "good enough" clustering must
+    fit a fixed stage budget at 100 TB. The label chain itself lives
+    in :func:`lpa_label_frame` (r12: extracted so
+    ``graph_modularity_lpa`` can score the same communities)."""
+    lbl = lpa_label_frame(spark, sf_dir)
     return (
         lbl.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("size"))

@@ -1074,3 +1074,28 @@ def test_centroid_shift_broadcasts_centroids(spark, sf_dir):
     plan = physical_plan(QUERIES["semdedup_centroid_shift"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_budget_single_scan_no_join(spark, sf_dir):
+    """All threshold counters fold in ONE conditional aggregate over
+    one corpus scan (the funnel discipline)."""
+    plan = physical_plan(
+        QUERIES["sample_quality_budget_curve"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_modularity_no_cartesian(spark, sf_dir):
+    """Modularity runs on the capped edge list, its degree frame, and
+    the node-cardinality label frame — equi-joins plus the broadcast
+    1-row edge-count bind; never a pairwise node stage."""
+    plan = physical_plan(QUERIES["graph_modularity_lpa"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_nprobe_curve_no_cartesian_beyond_panel(spark, sf_dir):
+    """The sweep's only non-equi joins are the broadcast FIXED query
+    panel binds (the hubness-cap discipline); no CartesianProduct."""
+    plan = physical_plan(QUERIES["ann_nprobe_recall_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -680,3 +680,167 @@ def test_rule_overlap_python(spark, docs_full):
                 )
             else:
                 assert g["overlap_jaccard"] is None
+
+
+# =====================================================================
+# wave 3: packing economics, modularity, nprobe curve, quality frontier
+# =====================================================================
+
+def test_fill_rate_stats_recomputed_from_packer(spark):
+    from kafka_go_streamer_spark.plans.training_ops import PACK_CAP
+
+    packed = QUERIES["pack_sequences_greedy"](spark, SF).collect()
+    seqs = defaultdict(lambda: [0, 0])  # tokens, docs
+    for r in packed:
+        key = (r["source"], r["shard"], r["seq_id"])
+        seqs[key][0] += r["n_tokens"]
+        seqs[key][1] += 1
+    fills = sorted(t / PACK_CAP for t, _ in seqs.values())
+    row = QUERIES["pack_fill_rate_stats"](spark, SF).collect()[0]
+    assert row["n_seqs"] == len(seqs)
+    assert row["n_docs"] == sum(d for _, d in seqs.values())
+    assert row["total_tokens"] == sum(t for t, _ in seqs.values())
+    assert row["mean_fill"] == pytest.approx(
+        sum(fills) / len(fills), abs=2e-6
+    )
+    assert row["min_fill"] == pytest.approx(min(fills), abs=2e-6)
+    i = (len(fills) - 1) * 0.5
+    lo, hi = int(math.floor(i)), int(math.ceil(i))
+    p50 = fills[lo] + (fills[hi] - fills[lo]) * (i - lo)
+    assert row["p50_fill"] == pytest.approx(p50, abs=2e-6)
+    assert row["n_oversize"] == sum(
+        1 for t, _ in seqs.values() if t > PACK_CAP
+    )
+    assert row["padding_waste"] == sum(
+        max(PACK_CAP - t, 0) for t, _ in seqs.values()
+    )
+
+
+def test_modularity_recomputed_from_lpa_and_edges(spark):
+    from kafka_go_streamer_spark.plans.timeseries import lpa_label_frame
+
+    pairs = QUERIES["dedup_winnowing_pairs"](spark, SF).collect()
+    edges = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in pairs
+    }
+    lbl = {
+        r["node"]: r["lbl"]
+        for r in lpa_label_frame(spark, SF).collect()
+    }
+    m = len(edges)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    mc = Counter()
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            mc[lbl[a]] += 1
+    dc = Counter()
+    for node, d in deg.items():
+        dc[lbl[node]] += d
+    q = sum(
+        mc.get(c, 0) / m - (dc[c] / (2 * m)) ** 2 for c in dc
+    )
+    row = QUERIES["graph_modularity_lpa"](spark, SF).collect()[0]
+    assert row["n_nodes"] == len(lbl)
+    assert row["n_communities"] == len(dc)
+    assert row["n_edges"] == m
+    assert row["modularity"] == pytest.approx(q, abs=2e-6)
+    assert -0.5 <= row["modularity"] <= 1.0
+
+
+def test_nprobe_curve_numpy_reference(spark, duck):
+    import numpy as np
+
+    from kafka_go_streamer_spark.plans.corpus_ops import NPROBE_SWEEP
+    from kafka_go_streamer_spark.plans.scale_ops import IVF_CENTROID_IDS
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    emb = {v: np.asarray(e, dtype=np.float64) for v, e in rows}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    cents = {c: emb[c] for c in IVF_CENTROID_IDS}
+    # cell assignment: max rounded cosine, centroid-id tiebreak
+    cell = {}
+    for v, e in emb.items():
+        best = max(
+            cents,
+            key=lambda c: (round(cos(emb[v], cents[c]) + 5e-9, 6), -c),
+        )
+        cell[v] = best
+    qs = [v for v in emb if v % 100 == 0 and v < PANEL_MAX_ID]
+    got = {
+        r["nprobe"]: r
+        for r in QUERIES["ann_nprobe_recall_curve"](spark, SF).collect()
+    }
+    assert set(got) == set(NPROBE_SWEEP)
+    for p in NPROBE_SWEEP:
+        hits_tot = 0
+        for q in qs:
+            sims = sorted(
+                ((round(cos(emb[v], emb[q]) + 5e-9, 6), v) for v in emb
+                 if v != q),
+                key=lambda sv: (-sv[0], sv[1]),
+            )
+            gt = {v for _, v in sims[:10]}
+            crank = sorted(
+                cents,
+                key=lambda c: (-round(cos(cents[c], emb[q]) + 5e-9, 6), c),
+            )[:p]
+            cand_pool = [
+                (s, v) for s, v in sims if cell[v] in set(crank)
+            ]
+            cand = {v for _, v in cand_pool[:10]}
+            hits_tot += len(gt & cand)
+        g = got[p]
+        assert g["n_queries"] == len(qs)
+        assert g["mean_recall_at_10"] == pytest.approx(
+            hits_tot / (10 * len(qs)), abs=2e-6
+        )
+    # monotone in nprobe; all-cells anchor is exact
+    rec = [got[p]["mean_recall_at_10"] for p in sorted(NPROBE_SWEEP)]
+    assert rec == sorted(rec)
+    assert got[max(NPROBE_SWEEP)]["mean_recall_at_10"] == pytest.approx(
+        1.0, abs=1e-9
+    )
+
+
+def test_quality_budget_curve_python(spark, docs_full):
+    from kafka_go_streamer_spark.plans.corpus_ops import QUALITY_CUTS
+
+    tok_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    per_doc = []
+    for _, text, _ in docs_full:
+        ws = _py_words(text)
+        swr = round(
+            sum(1 for w in ws if w in STOP["en"]) / max(len(ws), 1)
+            + 5e-7,
+            4,
+        )
+        per_doc.append((swr, len(tok_re.findall(text))))
+    got = {
+        round(r["threshold"], 6): r
+        for r in QUERIES["sample_quality_budget_curve"](spark, SF).collect()
+    }
+    d0 = len(per_doc)
+    t0 = sum(t for _, t in per_doc)
+    assert set(got) == {round(t, 6) for t in QUALITY_CUTS}
+    for t in QUALITY_CUTS:
+        nd = sum(1 for s, _ in per_doc if s >= t)
+        nt = sum(tk for s, tk in per_doc if s >= t)
+        g = got[round(t, 6)]
+        assert g["n_docs"] == nd
+        assert g["n_tokens"] == nt
+        assert g["doc_share"] == pytest.approx(nd / d0, abs=2e-6)
+        assert g["token_share"] == pytest.approx(nt / t0, abs=2e-6)
+    # monotone decreasing in the threshold
+    nds = [got[round(t, 6)]["n_docs"] for t in sorted(QUALITY_CUTS)]
+    assert nds == sorted(nds, reverse=True)

@@ -278,6 +278,9 @@ HEADLINE = [
     "graph_modularity_lpa",
     "ann_nprobe_recall_curve",
     "sample_quality_budget_curve",
+    "multimodal_format_mix",
+    "semdedup_retrieval_impact",
+    "dedup_span_coverage_by_source",
 ]
 
 

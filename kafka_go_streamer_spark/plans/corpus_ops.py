@@ -768,3 +768,61 @@ def sample_quality_budget_curve(
             "token_share"
         ),
     )
+
+
+def _span_coverage_sql() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    spans = ORACLES["dedup_substring_spans"]
+    return f"""
+    WITH per_doc AS MATERIALIZED ({spans})
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN p.n_dup_spans > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_dup_span,
+           sum(p.n_spans)::BIGINT AS n_spans,
+           sum(p.n_dup_spans)::BIGINT AS n_dup_spans,
+           round(sum(p.n_dup_spans) * 1.0
+                 / greatest(sum(p.n_spans), 1), 6) AS span_dup_share,
+           round(avg(p.dup_ratio), 6) AS mean_dup_ratio
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@query("dedup_span_coverage_by_source", oracle=_span_coverage_sql)
+def dedup_span_coverage_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source duplicated-span load: what fraction of each feed's
+    8-word spans occur in other documents too (the Lee et al.
+    "Deduplicating Training Data" coverage number, at triage grain).
+    Read with ``text_doc_prefix_dup``: high span share + low prefix
+    dup = interleaved template reuse; both high = snapshot overlap —
+    they pick DIFFERENT remediations.
+
+    Scale: composes the audited per-doc span stats (span keys only,
+    doc pairs never materialize) with one source-grain rollup."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    per_doc = _Q["dedup_substring_spans"](spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_dup_span"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_dup_spans").cast("long").alias("n_dup_spans"),
+            stable_round(
+                F.sum("n_dup_spans")
+                * 1.0
+                / F.greatest(F.sum("n_spans"), F.lit(1)),
+                6,
+            ).alias("span_dup_share"),
+            stable_round(F.avg("dup_ratio"), 6).alias("mean_dup_ratio"),
+        )
+    )

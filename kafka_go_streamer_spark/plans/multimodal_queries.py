@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.multimodal import (
     CONTAINER_OVERHEAD,
     decode_images,
@@ -430,3 +431,45 @@ def multimodal_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_near"),
     ).select("n_blobs", "n_candidates", "n_exact", "n_near")
+
+
+def _format_mix_sql() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    meta = ORACLES["multimodal_decode_meta"]
+    return f"""
+    WITH meta AS MATERIALIZED ({meta})
+    SELECT format,
+           count(*)::BIGINT AS n_blobs,
+           round(avg(width), 2) AS mean_width,
+           round(avg(height), 2) AS mean_height,
+           round(avg(byte_len), 2) AS mean_bytes,
+           max(byte_len)::INTEGER AS max_bytes
+    FROM meta GROUP BY 1
+    """
+
+
+@query("multimodal_format_mix", oracle=_format_mix_sql)
+def multimodal_format_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format mix of the binary corpus: per format, blob
+    count, mean decoded dimensions, and byte sizes — the ingest
+    dashboard that sizes decoder pools and flags format drift (a new
+    crawl suddenly 80% GIF is a pipeline bug, not a data shift). Runs
+    on the REAL fused synthesize→parse stage, so the numbers come from
+    structural decode, not metadata trust.
+
+    Scale: the decode scan is the audited one-Arrow-stage path
+    (``synthesize_and_decode``); the mix is one tiny aggregate over
+    its (format, dims, bytes) projection — formats are single-digit
+    cardinality."""
+    from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    meta = synthesize_and_decode(d, "doc_id", "text")
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        stable_round(F.avg("width"), 2).alias("mean_width"),
+        stable_round(F.avg("height"), 2).alias("mean_height"),
+        stable_round(F.avg("byte_len"), 2).alias("mean_bytes"),
+        F.max("byte_len").cast("int").alias("max_bytes"),
+    )

@@ -1378,3 +1378,103 @@ def semdedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_delta"),
     )
+
+
+def _retrieval_impact_sql() -> str:
+    from kafka_go_streamer_spark.functions.vectors import cosine_sql
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    return (
+        _semdedup_prefix()
+        + ","
+        + _keep_cte(SEMDEDUP_SCALE)
+        + f""",
+    qs AS MATERIALIZED (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {PANEL_MAX_ID}
+    ),
+    gt AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    surv AS (
+      SELECT g.q_id, sum(k.kept)::BIGINT AS n_kept
+      FROM gt g JOIN keepx k ON k.vec_id = g.vec_id
+      GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_queries,
+           round(avg(n_kept / 10.0), 6) AS mean_gt_survival,
+           min(n_kept)::BIGINT AS worst_kept,
+           sum(CASE WHEN n_kept < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_degraded
+    FROM surv
+    """
+    )
+
+
+@query("semdedup_retrieval_impact", oracle=_retrieval_impact_sql)
+def semdedup_retrieval_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the semantic prune costs RETRIEVAL: for the fixed query
+    panel, how much of each query's exact cosine top-10 survives the
+    prune (mean survival, the worst query, queries losing half their
+    neighborhood). Dedup that deletes retrieval neighborhoods degrades
+    any RAG/ANN serving built on the pruned corpus — this is the
+    check that a prune threshold is safe to ship, read together with
+    ``semdedup_eps_sweep``.
+
+    Scale: ground truth is the audited panel × corpus single pass
+    (FIXED panel, the hubness-cap discipline); the survival join is
+    panel×10 rows against the manifest."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    wq = Window.partitionBy("q_id")
+    gt = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    vecs, cents = _store_frames(spark, sf_dir)
+    kept = _kept(_cells(vecs), _scored(vecs, cents), SEMDEDUP_SCALE)
+    surv = (
+        gt.join(kept.select("vec_id", "kept"), "vec_id")
+        .groupBy("q_id")
+        .agg(F.sum("kept").cast("long").alias("n_kept"))
+    )
+    return surv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        stable_round(F.avg(F.col("n_kept") / 10.0), 6).alias(
+            "mean_gt_survival"
+        ),
+        F.min("n_kept").cast("long").alias("worst_kept"),
+        F.sum(F.when(F.col("n_kept") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_degraded"),
+    )

@@ -844,3 +844,95 @@ def test_quality_budget_curve_python(spark, docs_full):
     # monotone decreasing in the threshold
     nds = [got[round(t, 6)]["n_docs"] for t in sorted(QUALITY_CUTS)]
     assert nds == sorted(nds, reverse=True)
+
+
+# =====================================================================
+# wave 4: format mix, retrieval impact of the prune, span coverage
+# =====================================================================
+
+def test_format_mix_aggregates_decode_meta(spark):
+    meta = QUERIES["multimodal_decode_meta"](spark, SF).collect()
+    per = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in meta:
+        row = per[r["format"]]
+        row[0] += 1
+        row[1] += r["width"]
+        row[2] += r["height"]
+        row[3] += r["byte_len"]
+        row[4] = max(row[4], r["byte_len"])
+    got = {
+        r["format"]: r
+        for r in QUERIES["multimodal_format_mix"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for fmt, (n, w, h, b, mb) in per.items():
+        g = got[fmt]
+        assert g["n_blobs"] == n
+        assert g["mean_width"] == pytest.approx(w / n, abs=2e-2)
+        assert g["mean_height"] == pytest.approx(h / n, abs=2e-2)
+        assert g["mean_bytes"] == pytest.approx(b / n, abs=2e-2)
+        assert g["max_bytes"] == mb
+
+
+def test_retrieval_impact_numpy_reference(spark, duck, manifest):
+    import numpy as np
+
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    emb = {v: np.asarray(e, dtype=np.float64) for v, e in rows}
+    kept = {v: k for v, _, _, k in manifest}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    qs = [v for v in emb if v % 100 == 0 and v < PANEL_MAX_ID]
+    survivals = []
+    for q in qs:
+        sims = sorted(
+            ((round(cos(emb[v], emb[q]) + 5e-9, 6), v) for v in emb
+             if v != q),
+            key=lambda sv: (-sv[0], sv[1]),
+        )
+        gt = [v for _, v in sims[:10]]
+        survivals.append(sum(kept[v] for v in gt))
+    row = QUERIES["semdedup_retrieval_impact"](spark, SF).collect()[0]
+    assert row["n_queries"] == len(qs)
+    assert row["mean_gt_survival"] == pytest.approx(
+        sum(survivals) / (10 * len(qs)), abs=2e-6
+    )
+    assert row["worst_kept"] == min(survivals)
+    assert row["n_degraded"] == sum(1 for s in survivals if s < 5)
+
+
+def test_span_coverage_aggregates_span_stats(spark, docs_full):
+    src = {d: s for d, _, s in docs_full}
+    per_doc = QUERIES["dedup_substring_spans"](spark, SF).collect()
+    per = defaultdict(lambda: [0, 0, 0, 0, 0.0])
+    for r in per_doc:
+        row = per[src[r["doc_id"]]]
+        row[0] += 1
+        row[1] += 1 if r["n_dup_spans"] > 0 else 0
+        row[2] += r["n_spans"]
+        row[3] += r["n_dup_spans"]
+        row[4] += r["dup_ratio"]
+    got = {
+        r["source"]: r
+        for r in QUERIES["dedup_span_coverage_by_source"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for s, (n, dw, ns, nd, drsum) in per.items():
+        g = got[s]
+        assert g["n_docs"] == n
+        assert g["docs_with_dup_span"] == dw
+        assert g["n_spans"] == ns
+        assert g["n_dup_spans"] == nd
+        assert g["span_dup_share"] == pytest.approx(
+            nd / max(ns, 1), abs=2e-6
+        )
+        assert g["mean_dup_ratio"] == pytest.approx(drsum / n, abs=2e-6)

@@ -443,7 +443,9 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("b"),
         ).distinct()
     )
-    lbls = pinned(lpa_label_frame(spark, sf_dir))
+    # share the pinned pairs: without this the winnowing pipeline
+    # executes twice (once for ue/deg, once inside the label chain)
+    lbls = pinned(lpa_label_frame(spark, sf_dir, pairs=pairs))
     deg = (
         ue.select(F.col("a").alias("node"))
         .unionAll(ue.select(F.col("b").alias("node")))

@@ -7,6 +7,7 @@ from kafka_go_streamer_spark.plans.registry import ORACLES, QUERIES, query
 # populate the registry
 from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     analytics_ext,
+    audit_ops,
     corpus_health,
     corpus_ops,
     curation,
@@ -14,6 +15,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     insights,
     multimodal_queries,
     ops_analytics,
+    pipeline_econ,
     relational,
     routing_queries,
     scale_ops,

@@ -1,0 +1,711 @@
+"""Round-12 wave 4: trust-the-pipeline audits — classifier calibration,
+privacy risk, estimator fidelity, cross-source structure, and the
+mixture planner.
+
+* ``quality_calibration_bins`` — reliability table for the frozen
+  quality classifier (``text_quality_classifier``): decile score bins
+  vs the observed rate of the gate-chain label. A filtering model is
+  only as trustworthy as its calibration; this is the table that says
+  whether "score 0.8" means 80%.
+
+* ``privacy_k_anonymity`` — k-anonymity profile of the document
+  corpus under the (lang, source, length-bin) quasi-identifier: the
+  share of documents sitting in equivalence classes smaller than k
+  for k ∈ {2, 5, 10} — the re-identification risk screen run before
+  releasing corpus metadata.
+
+* ``text_cross_source_overlap`` — pairwise vocabulary Jaccard between
+  sources: which feeds are near-mirrors of each other (candidates for
+  source-level dedup) and which contribute genuinely new text.
+
+* ``dedup_minhash_estimator_error`` — fidelity of the K=4 MinHash
+  Jaccard estimator on the LSH candidate pairs: signature-agreement
+  estimate vs exact shingle Jaccard, binned by true similarity — the
+  bias/MAE table that justifies (or grows) the signature width.
+
+* ``dedup_component_size_histogram`` — duplicate-cluster size
+  distribution from the connected-components assignment: singletons
+  through the largest cluster, with corpus share — the one-glance
+  "is duplication pairwise or viral" answer that picks between
+  keep-one-per-pair and cluster-canonical dedup.
+
+* ``sample_language_budget`` — per-language token allocation against
+  a 50%-of-corpus training budget with a uniform language target:
+  first-pass allocation capped by availability, then ONE closed-form
+  proportional-headroom refill of the resulting deficit (never
+  overflows: the deficit is at most the total headroom by
+  construction). The multilingual mixture planner's worksheet.
+
+* ``multimodal_aspect_ratio_buckets`` — aspect-ratio bucket mix of
+  the decoded image corpus (ultra_tall … ultra_wide, exact integer
+  cross-multiplication — no float ratios), per container format: the
+  bucketed-batching plan for vision-encoder training, straight off
+  the real fused decode.
+
+Scale discipline: everything aggregates small — score bins (10),
+k grid (3), source pairs (≤ S²/2 with single-digit-to-dozens S),
+language rows (5), component-size rows (≤ max cluster size). The
+estimator audit inherits the banded+capped candidate discipline, and
+the vocabulary join fans each word by at most the source count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.functions import text as X
+from kafka_go_streamer_spark.functions.rounding import stable_round
+from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.sources.tables import load_table
+
+#: k-anonymity thresholds reported by the privacy profile.
+K_ANON_GRID = (2, 5, 10)
+
+#: Character-length bin width for the quasi-identifier.
+QI_LEN_BIN = 100
+
+#: Training-budget share of total corpus tokens for the language
+#: mixture planner.
+LANG_BUDGET_SHARE = 0.5
+
+
+def _calibration_sql() -> str:
+    from kafka_go_streamer_spark.plans.text import (
+        QC_W0,
+        QC_W_ALPHA,
+        QC_W_LOGWC,
+        QC_W_MWL,
+        QC_W_STOP,
+    )
+
+    return f"""
+    WITH f AS (
+      SELECT ln({X.word_count_sql('text')} + 1) AS logwc,
+             {X.mean_word_len_sql(X.words_sql('text'))} AS mwl,
+             {X.alpha_ratio_sql('text')} AS alpha,
+             {X.stopword_hits_sql('text', 'en')} * 1.0 /
+               greatest({X.word_count_sql('text')}, 1) AS stopshare,
+             CASE WHEN {X.word_count_sql('text')} >= 20
+                   AND {X.alpha_ratio_sql('text')} > 0.6
+                   AND {X.lang_id_sql('text')} = 'en'
+                  THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-({QC_W0} + {QC_W_LOGWC} * logwc
+               + {QC_W_MWL} * mwl + {QC_W_ALPHA} * alpha
+               + {QC_W_STOP} * stopshare))), 4) AS score,
+             gold
+      FROM f
+    )
+    SELECT least(floor(score * 10), 9)::INTEGER AS bin,
+           count(*)::BIGINT AS n_docs,
+           round(avg(score), 4) AS mean_score,
+           round(avg(gold * 1.0), 4) AS pos_rate,
+           round(avg(gold * 1.0) - avg(score), 4) AS gap
+    FROM scored GROUP BY 1
+    """
+
+
+@query("quality_calibration_bins", oracle=_calibration_sql)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the frozen logistic quality classifier:
+    documents binned by predicted score decile, each bin reporting its
+    size, mean predicted score, observed positive rate of the
+    gate-chain label (word-count + alpha-ratio + language — the weak
+    gold a heuristic filter is actually deployed against), and the
+    signed calibration gap. A well-calibrated filter has gap ≈ 0
+    everywhere; a bin with mean score 0.8 and positive rate 0.4 means
+    the threshold the pipeline ships is lying about its precision —
+    the per-bin view an expected-calibration-error summary hides.
+
+    Scale: features, sigmoid, and the gold label are one narrow
+    codegen projection (the classifier's own audited inference path);
+    the reliability table is one map-side-combined aggregate on a
+    10-value key. The score is rounded at 4dp on both engines BEFORE
+    the decile floor, so bin edges are deterministic."""
+    from kafka_go_streamer_spark.plans.text import (
+        QC_W0,
+        QC_W_ALPHA,
+        QC_W_LOGWC,
+        QC_W_MWL,
+        QC_W_STOP,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = X.word_count(F.col("text"))
+    f = d.select(
+        F.log(wc + F.lit(1)).alias("logwc"),
+        X.mean_word_len(X.words(F.col("text"))).alias("mwl"),
+        X.alpha_ratio(F.col("text")).alias("alpha"),
+        (
+            X.stopword_hits(F.col("text"), "en")
+            * 1.0
+            / F.greatest(wc, F.lit(1))
+        ).alias("stopshare"),
+        F.when(
+            (wc >= 20)
+            & (X.alpha_ratio(F.col("text")) > 0.6)
+            & (X.lang_id(F.col("text")) == "en"),
+            1,
+        )
+        .otherwise(0)
+        .alias("gold"),
+    )
+    z = (
+        F.lit(QC_W0)
+        + QC_W_LOGWC * F.col("logwc")
+        + QC_W_MWL * F.col("mwl")
+        + QC_W_ALPHA * F.col("alpha")
+        + QC_W_STOP * F.col("stopshare")
+    )
+    scored = f.select(
+        stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias(
+            "score"
+        ),
+        "gold",
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        stable_round(F.avg("score"), 4).alias("mean_score"),
+        stable_round(F.avg(F.col("gold") * 1.0), 4).alias("pos_rate"),
+        stable_round(
+            F.avg(F.col("gold") * 1.0) - F.avg("score"), 4
+        ).alias("gap"),
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT lang, source, n_chars // {QI_LEN_BIN} AS len_bin,
+             count(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    totals AS (
+      SELECT sum(c) AS n_total FROM classes
+    ),
+    grid AS (
+      SELECT unnest([{", ".join(str(k) for k in K_ANON_GRID)}]) AS k
+    )
+    SELECT g.k::INTEGER AS k,
+           sum(CASE WHEN c < g.k THEN 1 ELSE 0 END)::BIGINT
+             AS n_classes_below,
+           sum(CASE WHEN c < g.k THEN c ELSE 0 END)::BIGINT
+             AS n_docs_below,
+           round(sum(CASE WHEN c < g.k THEN c ELSE 0 END) * 1.0
+                 / (SELECT n_total FROM totals), 6) AS doc_share
+    FROM classes CROSS JOIN grid g
+    GROUP BY g.k
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile of the corpus metadata under the
+    (lang, source, 100-char length bin) quasi-identifier: for each k
+    in the grid, how many equivalence classes are smaller than k and
+    what share of documents they hold. A document alone in its class
+    is re-identifiable from metadata alone; this is the screen a
+    release process runs BEFORE publishing per-document metadata —
+    the corpus-scale version of the classic k-anonymity audit.
+
+    Scale: one map-side-combined aggregate collapses the corpus to
+    its equivalence classes (bounded by lang × source × length-bin
+    cardinality, thousands at most), then a constant-size grid fan
+    over the tiny class frame — the fact table is scanned exactly
+    once and never joined."""
+    d = load_table(spark, sf_dir, "documents")
+    classes = d.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {QI_LEN_BIN}").alias("len_bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    fanned = classes.select(
+        "c",
+        F.explode(
+            F.array(*[F.lit(k) for k in K_ANON_GRID])
+        ).alias("k"),
+    )
+    w = Window.partitionBy()
+    return (
+        fanned.groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.sum(F.when(F.col("c") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below"),
+            F.sum(F.when(F.col("c") < F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_docs_below"),
+            F.sum("c").alias("_n_total"),
+        )
+        .select(
+            "k",
+            "n_classes_below",
+            "n_docs_below",
+            stable_round(
+                F.col("n_docs_below") * 1.0 / F.col("_n_total"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
+@query(
+    "text_cross_source_overlap",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest({X.words_sql('text')}) AS word
+      FROM documents
+    ),
+    sizes AS (
+      SELECT source, count(*) AS v FROM vocab GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           sa.v::BIGINT AS vocab_a, sb.v::BIGINT AS vocab_b,
+           i.n_common::BIGINT AS n_common,
+           round(i.n_common * 1.0 / (sa.v + sb.v - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def text_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources: for every
+    source pair, the two vocabulary sizes, the shared-word count, and
+    the Jaccard overlap. Two feeds at Jaccard 0.9 are near-mirrors —
+    candidates for source-level dedup before any per-document pass
+    spends compute; a feed overlapping nothing is the diversity the
+    mixture planner wants to up-weight. Read with
+    ``text_js_divergence_sources`` (distributional) — this is the
+    set-membership view.
+
+    Scale: ONE exploded scan collapses to the distinct (source, word)
+    vocabulary (map-side combinable); the pair counts come from a
+    self-equi-join ON WORD, so each word fans by at most the source
+    count (dozens), never the corpus — the join output is bounded by
+    vocab × S², not documents². Final arithmetic runs on the ≤ S²/2
+    pair frame."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            "source", F.explode(X.words(F.col("text"))).alias("word")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("va").cast("long").alias("vocab_a"),
+            F.col("vb").cast("long").alias("vocab_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            stable_round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("va") + F.col("vb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _estimator_error_sql() -> str:
+    from kafka_go_streamer_spark.operators.dedup import (
+        MAX_BUCKET,
+        NUM_HASHES,
+        minhash_sig_sql,
+        shingles_sql,
+    )
+
+    sig_cols = ",\n           ".join(
+        f"{minhash_sig_sql('sh', k)} AS sig{k}" for k in range(NUM_HASHES)
+    )
+    band_union = "\n      UNION ALL\n".join(
+        f"      SELECT id, {j} AS band, sig{j} AS key FROM sigs"
+        for j in range(NUM_HASHES)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.sig{k} = sb.sig{k} THEN 1 ELSE 0 END"
+        for k in range(NUM_HASHES)
+    )
+    inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
+    exact = (
+        f"{inter} * 1.0 / (len(sa.sh) + len(sb.sh) - {inter})"
+    )
+    return f"""
+    WITH w0 AS (
+      SELECT doc_id AS id, {X.words_sql('text')} AS w FROM documents
+    ),
+    docs AS (SELECT id, {shingles_sql('w')} AS sh FROM w0),
+    sigs AS (
+      SELECT id, sh,
+           {sig_cols}
+      FROM docs
+    ),
+    bands0 AS (
+{band_union}
+    ),
+    bands AS (
+      SELECT id, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _bucket_n
+        FROM bands0
+      ) WHERE _bucket_n <= {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT ({agree}) * 1.0 / {NUM_HASHES} AS est,
+             {exact} AS exact
+      FROM cand c
+      JOIN sigs sa ON c.id_a = sa.id
+      JOIN sigs sb ON c.id_b = sb.id
+    )
+    SELECT least(floor(exact * 4), 3)::INTEGER AS jbin,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(est), 4) AS mean_est,
+           round(avg(exact), 4) AS mean_exact,
+           round(avg(est - exact), 4) AS bias,
+           round(avg(abs(est - exact)), 4) AS mae
+    FROM pairs GROUP BY 1
+    """
+
+
+@query("dedup_minhash_estimator_error", oracle=_estimator_error_sql)
+def dedup_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fidelity audit of the K-hash MinHash Jaccard estimator on the
+    LSH candidate pairs the dedup pipeline actually surfaces:
+    signature-agreement estimate (share of the K minhashes that
+    agree) vs exact shingle Jaccard, binned by true similarity
+    quartile — per bin, the estimator's bias and MAE. With K=4 the
+    estimate is quarter-grained, so the MAE column IS the measured
+    cost of the cheap signature; this table is the evidence a team
+    needs before spending 4× the signature bytes on K=16.
+
+    Scale: signatures, banding, and the bucket cap are the SAME
+    audited path production candidate generation uses
+    (operators/dedup.py — bounded per-bucket fan, never all pairs);
+    the audit adds one arithmetic projection over the candidate frame
+    and a 4-row aggregate. Exact Jaccard runs only on candidates."""
+    from kafka_go_streamer_spark.operators.dedup import (
+        NUM_HASHES,
+        band_rows,
+        cap_bucket,
+        jaccard,
+        with_minhash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = with_minhash(
+        d.select("doc_id", "text"), "text"
+    ).localCheckpoint(eager=True)
+    bands = cap_bucket(band_rows(sigs, "doc_id"), "band", "key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    side = sigs.select(
+        F.col("doc_id").alias("id"),
+        F.col("_shingles"),
+        *[F.col(f"sig{k}") for k in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"sa.sig{k}") == F.col(f"sb.sig{k}"), 1).otherwise(0)
+        for k in range(NUM_HASHES)
+    )
+    pairs = (
+        cand.join(side.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(side.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            (agree * 1.0 / NUM_HASHES).alias("est"),
+            jaccard(F.col("sa._shingles"), F.col("sb._shingles")).alias(
+                "exact"
+            ),
+        )
+    )
+    return pairs.groupBy(
+        F.least(F.floor(F.col("exact") * 4), F.lit(3))
+        .cast("int")
+        .alias("jbin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        stable_round(F.avg("est"), 4).alias("mean_est"),
+        stable_round(F.avg("exact"), 4).alias("mean_exact"),
+        stable_round(F.avg(F.col("est") - F.col("exact")), 4).alias("bias"),
+        stable_round(
+            F.avg(F.abs(F.col("est") - F.col("exact"))), 4
+        ).alias("mae"),
+    )
+
+
+def _component_histogram_sql() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    comp = ORACLES["dedup_connected_components"]
+    return f"""
+    WITH comp AS MATERIALIZED ({comp})
+    SELECT component_size::BIGINT AS component_size,
+           count(DISTINCT component_id)::BIGINT AS n_components,
+           count(*)::BIGINT AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS doc_share
+    FROM comp GROUP BY 1
+    """
+
+
+@query(
+    "dedup_component_size_histogram", oracle=_component_histogram_sql
+)
+def dedup_component_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size distribution: the connected-components
+    assignment histogrammed by component size — how many clusters of
+    each size exist and what share of the corpus they hold (size 1 =
+    the unduplicated majority). Mass at size 2 means pairwise copies
+    (keep-one is cheap); a fat tail means viral templates where the
+    cluster-canonical strategy and its accounting
+    (``dedup_cluster_manifest``) earn their shuffle. This is the
+    chart that sizes the dedup job's skew risk: the largest component
+    is the hottest key downstream.
+
+    Scale: everything above the histogram is the audited
+    contraction-loop CC (O(candidate pairs) per round); the histogram
+    collapses the assignment to ≤ max-cluster-size rows in one
+    map-side-combined pass, and the share column is window arithmetic
+    over that tiny frame."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    comp = _Q["dedup_connected_components"](spark, sf_dir)
+    return (
+        comp.groupBy(
+            F.col("component_size").cast("long").alias("component_size")
+        )
+        .agg(
+            F.countDistinct("component_id")
+            .cast("long")
+            .alias("n_components"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            "component_size",
+            "n_components",
+            "n_docs",
+            stable_round(
+                F.col("n_docs")
+                * 1.0
+                / F.sum("n_docs").over(Window.partitionBy()),
+                6,
+            ).alias("doc_share"),
+        )
+    )
+
+
+@query(
+    "sample_language_budget",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, sum({X.token_count_sql('text')})::BIGINT AS avail
+      FROM documents GROUP BY lang
+    ),
+    base AS (
+      SELECT lang, avail,
+             sum(avail) OVER () * {LANG_BUDGET_SHARE} AS budget,
+             count(*) OVER () AS n_langs
+      FROM per_lang
+    ),
+    pass1 AS (
+      SELECT lang, avail, budget,
+             least(avail * 1.0, budget / n_langs) AS alloc1,
+             avail - least(avail * 1.0, budget / n_langs) AS headroom
+      FROM base
+    ),
+    pass2 AS (
+      SELECT lang, avail, budget, alloc1, headroom,
+             budget - sum(alloc1) OVER () AS deficit,
+             sum(headroom) OVER () AS total_headroom
+      FROM pass1
+    )
+    SELECT lang, avail AS avail_tokens,
+           round(budget / (SELECT count(*) FROM per_lang), 2)
+             AS target_tokens,
+           round(alloc1 + CASE WHEN total_headroom > 0
+                 THEN deficit * headroom / total_headroom
+                 ELSE 0 END, 2) AS alloc_tokens,
+           round((alloc1 + CASE WHEN total_headroom > 0
+                 THEN deficit * headroom / total_headroom
+                 ELSE 0 END) / greatest(avail, 1), 6) AS fill_share
+    FROM pass2
+    """,
+)
+def sample_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual token-budget allocation: spend LANG_BUDGET_SHARE of
+    the corpus's tokens across languages toward a UNIFORM per-language
+    target, capping each language at what it actually has, then refill
+    the resulting deficit across languages with headroom in ONE
+    closed-form proportional pass (extra_i = deficit × headroom_i /
+    Σheadroom — which can never overshoot a language's availability
+    because the deficit is at most the total headroom by
+    construction). Low-resource languages get everything they have;
+    the surplus flows to the rest — the worksheet behind every
+    multilingual mixture decision, with fill_share exposing who is
+    epoch-limited.
+
+    Scale: one map-side-combined aggregate collapses the corpus to
+    its language rows; every window below runs on that single-digit
+    frame. The allocation is deterministic closed-form arithmetic —
+    no iterative water-filling loop, no driver-side solver."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("avail")
+    )
+    w = Window.partitionBy()
+    base = per_lang.select(
+        "lang",
+        "avail",
+        (F.sum("avail").over(w) * LANG_BUDGET_SHARE).alias("budget"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+    )
+    pass1 = base.select(
+        "lang",
+        "avail",
+        "budget",
+        F.least(
+            F.col("avail") * 1.0, F.col("budget") / F.col("n_langs")
+        ).alias("alloc1"),
+        (
+            F.col("avail")
+            - F.least(
+                F.col("avail") * 1.0, F.col("budget") / F.col("n_langs")
+            )
+        ).alias("headroom"),
+        "n_langs",
+    )
+    pass2 = pass1.select(
+        "lang",
+        "avail",
+        "budget",
+        "alloc1",
+        "headroom",
+        "n_langs",
+        (F.col("budget") - F.sum("alloc1").over(w)).alias("deficit"),
+        F.sum("headroom").over(w).alias("total_headroom"),
+    )
+    extra = F.when(
+        F.col("total_headroom") > 0,
+        F.col("deficit") * F.col("headroom") / F.col("total_headroom"),
+    ).otherwise(0.0)
+    return pass2.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        stable_round(F.col("budget") / F.col("n_langs"), 2).alias(
+            "target_tokens"
+        ),
+        stable_round(F.col("alloc1") + extra, 2).alias("alloc_tokens"),
+        stable_round(
+            (F.col("alloc1") + extra) / F.greatest(F.col("avail"), F.lit(1)),
+            6,
+        ).alias("fill_share"),
+    )
+
+
+def _aspect_buckets_sql() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    meta = ORACLES["multimodal_decode_meta"]
+    return f"""
+    WITH meta AS MATERIALIZED ({meta})
+    SELECT format,
+           CASE WHEN width * 2 <= height THEN 'ultra_tall'
+                WHEN width < height THEN 'tall'
+                WHEN width = height THEN 'square'
+                WHEN width >= height * 2 THEN 'ultra_wide'
+                ELSE 'wide' END AS ar_bucket,
+           count(*)::BIGINT AS n_blobs,
+           round(avg(width * height / 1000000.0), 4) AS mean_megapixels,
+           round(avg(byte_len), 2) AS mean_bytes
+    FROM meta GROUP BY 1, 2
+    """
+
+
+@query("multimodal_aspect_ratio_buckets", oracle=_aspect_buckets_sql)
+def multimodal_aspect_ratio_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aspect-ratio bucket mix of the decoded image corpus, per
+    container format: vision-encoder training batches group images of
+    like aspect ratio (resize-to-bucket beats letterboxing), so this
+    table — bucket populations and their mean megapixels/bytes — IS
+    the bucketed-batching plan and the resize-budget estimate.
+    Buckets are decided by exact integer cross-multiplication
+    (width·2 ≤ height etc.), never a float ratio, so bucket edges are
+    deterministic on both engines.
+
+    Scale: dimensions come off the audited one-Arrow-stage fused
+    decode (``synthesize_and_decode``); the mix is one
+    map-side-combined aggregate on a (format × 5-bucket) key — decode
+    scan speed at any corpus size."""
+    from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    meta = synthesize_and_decode(d, "doc_id", "text")
+    bucket = (
+        F.when(F.col("width") * 2 <= F.col("height"), "ultra_tall")
+        .when(F.col("width") < F.col("height"), "tall")
+        .when(F.col("width") == F.col("height"), "square")
+        .when(F.col("width") >= F.col("height") * 2, "ultra_wide")
+        .otherwise("wide")
+    )
+    return meta.groupBy(
+        "format", bucket.alias("ar_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        stable_round(
+            F.avg(F.col("width") * F.col("height") / 1000000.0), 4
+        ).alias("mean_megapixels"),
+        stable_round(F.avg("byte_len"), 2).alias("mean_bytes"),
+    )

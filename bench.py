@@ -281,6 +281,22 @@ HEADLINE = [
     "multimodal_format_mix",
     "semdedup_retrieval_impact",
     "dedup_span_coverage_by_source",
+    # round-12 wave-3/4 additions (appended, common prefix comparable):
+    # the storage/batch economics tables, the IVF cost frontier, and
+    # the calibration/privacy/estimator trust audits
+    "storage_shard_plan",
+    "storage_skipping_minmax_audit",
+    "storage_partition_layout_skew",
+    "pack_length_bucket_plan",
+    "events_trigger_batch_profile",
+    "ann_recall_cost_frontier",
+    "quality_calibration_bins",
+    "privacy_k_anonymity",
+    "text_cross_source_overlap",
+    "dedup_minhash_estimator_error",
+    "dedup_component_size_histogram",
+    "sample_language_budget",
+    "multimodal_aspect_ratio_buckets",
 ]
 
 

@@ -297,6 +297,9 @@ HEADLINE = [
     "dedup_component_size_histogram",
     "sample_language_budget",
     "multimodal_aspect_ratio_buckets",
+    "text_zipf_slope",
+    "quality_ece_summary",
+    "multimodal_phash_hamming_hist",
 ]
 
 

@@ -709,3 +709,388 @@ def multimodal_aspect_ratio_buckets(
         ).alias("mean_megapixels"),
         stable_round(F.avg("byte_len"), 2).alias("mean_bytes"),
     )
+
+
+#: Top-of-vocabulary size for the Zipf fit.
+ZIPF_TOP_N = 1000
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT word, count(*) AS c FROM (
+        SELECT unnest({{words}}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word ASC) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT ln(r * 1.0) AS x, ln(c * 1.0) AS y
+      FROM ranked WHERE r <= {ZIPF_TOP_N}
+    ),
+    m AS (
+      SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT n::BIGINT AS n_words,
+           round((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS slope,
+           round(my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx, 6)
+             AS intercept,
+           round(pow(sxy - n * mx * my, 2) /
+                 ((sxx - n * mx * mx) * (syy - n * my * my)), 6) AS r2
+    FROM m
+    """.replace("{words}", "string_split_regex(lower(trim(text)), '\\s+')"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) for the top ZIPF_TOP_N words — slope (healthy natural
+    text sits near −1), intercept, and R². A corpus whose slope drifts
+    toward 0 is template/boilerplate-heavy; one far below −1 has a
+    vocabulary collapse — either way it's the single-number lexical
+    tripwire a crawl refresh is checked against before training.
+
+    Scale: one exploded scan collapses to the vocabulary frame
+    (map-side combinable), ranking happens on that vocabulary-bounded
+    frame (never the corpus), the fit reads the fixed top-N, and the
+    closed-form OLS is one aggregate row — the same discipline as
+    ``text_mean_word_rank``/``stats_groupwise_ols``."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(X.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("word").asc()))
+        .alias("r"),
+    ).filter(F.col("r") <= ZIPF_TOP_N)
+    pts = ranked.select(
+        F.log(F.col("r") * 1.0).alias("x"), F.log(F.col("c") * 1.0).alias("y")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")
+    varx = F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    vary = F.col("syy") - F.col("n") * F.col("my") * F.col("my")
+    return m.select(
+        F.col("n").cast("long").alias("n_words"),
+        stable_round(cov / varx, 6).alias("slope"),
+        stable_round(F.col("my") - cov / varx * F.col("mx"), 6).alias(
+            "intercept"
+        ),
+        stable_round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def _ece_summary_sql() -> str:
+    from kafka_go_streamer_spark.plans.text import (
+        QC_W0,
+        QC_W_ALPHA,
+        QC_W_LOGWC,
+        QC_W_MWL,
+        QC_W_STOP,
+    )
+
+    return f"""
+    WITH f AS (
+      SELECT ln({X.word_count_sql('text')} + 1) AS logwc,
+             {X.mean_word_len_sql(X.words_sql('text'))} AS mwl,
+             {X.alpha_ratio_sql('text')} AS alpha,
+             {X.stopword_hits_sql('text', 'en')} * 1.0 /
+               greatest({X.word_count_sql('text')}, 1) AS stopshare,
+             CASE WHEN {X.word_count_sql('text')} >= 20
+                   AND {X.alpha_ratio_sql('text')} > 0.6
+                   AND {X.lang_id_sql('text')} = 'en'
+                  THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-({QC_W0} + {QC_W_LOGWC} * logwc
+               + {QC_W_MWL} * mwl + {QC_W_ALPHA} * alpha
+               + {QC_W_STOP} * stopshare))), 4) AS score,
+             gold
+      FROM f
+    ),
+    bins AS (
+      SELECT least(floor(score * 10), 9) AS bin, count(*) AS n,
+             avg(score) AS ms, avg(gold * 1.0) AS pr
+      FROM scored GROUP BY 1
+    ),
+    by_score AS (
+      SELECT score, count(*) AS cnt, sum(gold) AS pos
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM by_score
+    ),
+    auc AS (
+      SELECT sum(pos * (below + (cnt + 1) / 2.0)) AS pos_ranksum,
+             sum(pos) AS npos, sum(cnt - pos) AS nneg
+      FROM ranked
+    )
+    SELECT (SELECT count(*) FROM scored)::BIGINT AS n_docs,
+           round((SELECT avg(pow(score - gold, 2)) FROM scored), 6)
+             AS brier,
+           round((SELECT sum(n * abs(pr - ms)) / sum(n) FROM bins), 6)
+             AS ece,
+           round((pos_ranksum - npos * (npos + 1) / 2.0)
+                 / (npos * nneg), 6) AS auc
+    FROM auc
+    """
+
+
+@query("quality_ece_summary", oracle=_ece_summary_sql)
+def quality_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row scoreboard for the frozen quality classifier against
+    the gate-chain label: Brier score (mean squared error of the
+    probability), expected calibration error (decile-binned, doc-
+    weighted — the summary of ``quality_calibration_bins``), and AUC
+    via the tie-corrected Mann–Whitney rank sum. Calibration (Brier/
+    ECE) and discrimination (AUC) fail independently — a filter can
+    rank perfectly while lying about precision, and vice versa; this
+    row is the go/no-go a model refresh is gated on.
+
+    Scale: the scored frame is the classifier's audited narrow
+    projection; Brier and the bins fold in single aggregates; AUC
+    collapses the corpus to its DISTINCT 4dp score values (≤ 10⁴
+    rows) and rank-sums on that bounded frame — no per-document
+    window, no sort of the corpus."""
+    from kafka_go_streamer_spark.plans.text import (
+        QC_W0,
+        QC_W_ALPHA,
+        QC_W_LOGWC,
+        QC_W_MWL,
+        QC_W_STOP,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = X.word_count(F.col("text"))
+    f = d.select(
+        F.log(wc + F.lit(1)).alias("logwc"),
+        X.mean_word_len(X.words(F.col("text"))).alias("mwl"),
+        X.alpha_ratio(F.col("text")).alias("alpha"),
+        (
+            X.stopword_hits(F.col("text"), "en")
+            * 1.0
+            / F.greatest(wc, F.lit(1))
+        ).alias("stopshare"),
+        F.when(
+            (wc >= 20)
+            & (X.alpha_ratio(F.col("text")) > 0.6)
+            & (X.lang_id(F.col("text")) == "en"),
+            1,
+        )
+        .otherwise(0)
+        .alias("gold"),
+    )
+    z = (
+        F.lit(QC_W0)
+        + QC_W_LOGWC * F.col("logwc")
+        + QC_W_MWL * F.col("mwl")
+        + QC_W_ALPHA * F.col("alpha")
+        + QC_W_STOP * F.col("stopshare")
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    scored = pinned(
+        f.select(
+            stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias(
+                "score"
+            ),
+            "gold",
+        )
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("score").alias("ms"),
+        F.avg(F.col("gold") * 1.0).alias("pr"),
+    )
+    ece = bins.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("pr") - F.col("ms")))
+            / F.sum("n")
+        ).alias("ece")
+    )
+    brier = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.pow(F.col("score") - F.col("gold"), 2)).alias("brier"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("gold").alias("pos")
+    )
+    ranked = by_score.withColumn(
+        "below",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("score").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    auc = ranked.agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("cnt") + 1) / 2.0)
+        ).alias("pos_ranksum"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+    )
+    return (
+        brier.crossJoin(F.broadcast(ece))
+        .crossJoin(F.broadcast(auc))
+        .select(
+            "n_docs",
+            stable_round(F.col("brier"), 6).alias("brier"),
+            stable_round(F.col("ece"), 6).alias("ece"),
+            stable_round(
+                (
+                    F.col("pos_ranksum")
+                    - F.col("npos") * (F.col("npos") + 1) / 2.0
+                )
+                / (F.col("npos") * F.col("nneg")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+def _phash_hamming_sql() -> str:
+    from kafka_go_streamer_spark.plans.multimodal_queries import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+    )
+
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS sig
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, sig, b.band,
+             (sig >> (b.band * {PHASH_BAND_BITS}))
+               & {(1 << PHASH_BAND_BITS) - 1} AS key
+      FROM sigs, (SELECT unnest(range(0, {PHASH_BANDS})) AS band) b
+    ),
+    capped AS (
+      SELECT doc_id, sig, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _n
+        FROM bands
+      ) WHERE _n <= {PHASH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT (bit_count(xor(sig_a, sig_b)) // 8)::INTEGER AS ham_bucket,
+           count(*)::BIGINT AS n_pairs,
+           min(bit_count(xor(sig_a, sig_b)))::INTEGER AS min_ham,
+           max(bit_count(xor(sig_a, sig_b)))::INTEGER AS max_ham
+    FROM cand GROUP BY 1
+    """
+
+
+@query("multimodal_phash_hamming_hist", oracle=_phash_hamming_sql)
+def multimodal_phash_hamming_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-distance histogram of the pHash band candidates (8-bit
+    buckets over the 60-bit signature): where the candidate mass sits
+    relative to the verification threshold. ``multimodal_phash_bands``
+    reports counts at ONE threshold (PHASH_HAMMING); this is the
+    distribution an operator reads to MOVE it — a bimodal histogram
+    (near-zero mass + band-collision noise floor) confirms the
+    threshold; a flat one says the bands are pure collisions and the
+    signature needs more bits.
+
+    Scale: identical banding discipline to the bands query (in-row
+    band explode, capped buckets, candidates only); the histogram adds
+    one xor+bit_count projection (codegen) and a ≤8-row aggregate. The
+    signature stage here uses the text-side md5 signature TWIN the
+    bands oracle pins (injective synthesis ⇒ same group structure), so
+    the histogram needs no blob decode at all — this is the cheap
+    re-tuning query between decode-backed audits."""
+    from pyspark.sql import Window as W
+
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.multimodal_queries import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.expr(
+            f"shiftrightunsigned(sig, band * {PHASH_BAND_BITS})"
+            f" & {(1 << PHASH_BAND_BITS) - 1}"
+        ).alias("key"),
+    )
+    wn = W.partitionBy("band", "key")
+    capped = pinned(
+        bands.withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_n") <= PHASH_BUCKET_CAP)
+        .drop("_n")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+        "band", "key",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.groupBy(
+        F.expr(
+            "cast(bit_count(sig_a ^ sig_b) div 8 as int)"
+        ).alias("ham_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min(ham).cast("int").alias("min_ham"),
+        F.max(ham).cast("int").alias("max_ham"),
+    )

@@ -559,3 +559,145 @@ def test_aspect_buckets_consistent_with_decode(spark):
         assert r["mean_bytes"] == pytest.approx(
             _half_up(by / n, 2), abs=1e-9
         )
+
+
+# ------------------------------------------------------ text_zipf_slope
+def test_zipf_slope_matches_python(spark, docs):
+    r = QUERIES["text_zipf_slope"](spark, SF).collect()[0]
+    freq = Counter()
+    for _, text, *_ in docs:
+        freq.update(_pwords(text))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.log(i + 1), math.log(c))
+        for i, (_, c) in enumerate(ranked[: AO.ZIPF_TOP_N])
+    ]
+    n = len(pts)
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    cov, varx, vary = sxy - n * mx * my, sxx - n * mx * mx, syy - n * my * my
+    assert r["n_words"] == n
+    assert r["slope"] == pytest.approx(_half_up(cov / varx, 6), abs=1e-6)
+    assert r["intercept"] == pytest.approx(
+        _half_up(my - cov / varx * mx, 6), abs=1e-6
+    )
+    assert r["r2"] == pytest.approx(
+        _half_up(cov * cov / (varx * vary), 6), abs=1e-6
+    )
+    # natural-ish text: slope negative, fit explains most variance
+    assert r["slope"] < 0
+    assert 0 <= r["r2"] <= 1
+
+
+# --------------------------------------------------- quality_ece_summary
+def _score_gold_rows(docs):
+    from kafka_go_streamer_spark.plans.text import (
+        QC_W0,
+        QC_W_ALPHA,
+        QC_W_LOGWC,
+        QC_W_MWL,
+        QC_W_STOP,
+    )
+
+    out = []
+    for _, text, *_ in docs:
+        ws = _pwords(text)
+        wc = len(ws)
+        mwl = _half_up(sum(len(w) for w in ws) / max(wc, 1), 4)
+        alpha = _half_up(
+            len(re.sub("[^A-Za-z]", "", text)) / max(len(text), 1), 4
+        )
+        stop = sum(1 for w in ws if w in STOPWORDS["en"]) / max(wc, 1)
+        z = (
+            QC_W0
+            + QC_W_LOGWC * math.log(wc + 1)
+            + QC_W_MWL * mwl
+            + QC_W_ALPHA * alpha
+            + QC_W_STOP * stop
+        )
+        score = _half_up(1.0 / (1.0 + math.exp(-z)), 4)
+        gold = int(wc >= 20 and alpha > 0.6 and _p_lang_id(ws) == "en")
+        out.append((score, gold))
+    return out
+
+
+def test_ece_summary_matches_python(spark, docs):
+    r = QUERIES["quality_ece_summary"](spark, SF).collect()[0]
+    sg = _score_gold_rows(docs)
+    n = len(sg)
+    brier = sum((s - g) ** 2 for s, g in sg) / n
+    bins = defaultdict(lambda: [0, 0.0, 0])
+    for s, g in sg:
+        b = min(int(s * 10), 9)
+        bins[b][0] += 1
+        bins[b][1] += s
+        bins[b][2] += g
+    ece = (
+        sum(c * abs(gs / c - ss / c) for c, ss, gs in bins.values()) / n
+    )
+    # tie-corrected Mann-Whitney AUC
+    by_score = defaultdict(lambda: [0, 0])
+    for s, g in sg:
+        by_score[s][0] += 1
+        by_score[s][1] += g
+    below, ranksum, npos = 0, 0.0, 0
+    for s in sorted(by_score):
+        cnt, pos = by_score[s]
+        ranksum += pos * (below + (cnt + 1) / 2.0)
+        npos += pos
+        below += cnt
+    nneg = n - npos
+    auc = (ranksum - npos * (npos + 1) / 2.0) / (npos * nneg)
+    assert r["n_docs"] == n
+    assert r["brier"] == pytest.approx(_half_up(brier, 6), abs=1e-6)
+    assert r["ece"] == pytest.approx(_half_up(ece, 6), abs=1e-6)
+    assert r["auc"] == pytest.approx(_half_up(auc, 6), abs=1e-6)
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+# ------------------------------------- multimodal_phash_hamming_hist
+def test_phash_hamming_hist_matches_python(spark, docs):
+    from kafka_go_streamer_spark.plans.multimodal_queries import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_BUCKET_CAP,
+    )
+
+    rows = {
+        r["ham_bucket"]: r
+        for r in QUERIES["multimodal_phash_hamming_hist"](
+            spark, SF
+        ).collect()
+    }
+    sigs = {
+        doc_id: int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+        for doc_id, text, *_ in docs
+    }
+    buckets = defaultdict(list)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    for doc_id, sig in sigs.items():
+        for band in range(PHASH_BANDS):
+            buckets[(band, (sig >> (band * PHASH_BAND_BITS)) & mask)].append(
+                doc_id
+            )
+    cand = set()
+    for ids in buckets.values():
+        if len(ids) > PHASH_BUCKET_CAP:
+            continue
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cand.add((a, b))
+    per = defaultdict(list)
+    for a, b in cand:
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        per[ham // 8].append(ham)
+    assert set(rows) == set(per)
+    for hb, hams in per.items():
+        r = rows[hb]
+        assert r["n_pairs"] == len(hams)
+        assert r["min_ham"] == min(hams)
+        assert r["max_ham"] == max(hams)

@@ -1099,3 +1099,92 @@ def test_nprobe_curve_no_cartesian_beyond_panel(spark, sf_dir):
     panel binds (the hubness-cap discipline); no CartesianProduct."""
     plan = physical_plan(QUERIES["ann_nprobe_recall_curve"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------- round-12 econ/audit waves (3 + 4/4b)
+def test_shard_plan_single_scan_single_agg(spark, sf_dir):
+    """The shard plan is one map-side-combined aggregate on source —
+    no join touches the fact table, and the window arithmetic runs on
+    the post-agg 20-row frame (one agg exchange, one window single
+    partition over it, never the corpus)."""
+    plan = physical_plan(QUERIES["storage_shard_plan"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skipping_audit_probe_side_broadcast(spark, sf_dir):
+    """The zone-map audit's probe grid (8 integer rows) must broadcast
+    against the 128-row file frame — never a shuffled join, never a
+    cartesian of the events table itself."""
+    plan = physical_plan(
+        QUERIES["storage_skipping_minmax_audit"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_length_bucket_plan_no_join_no_explode(spark, sf_dir):
+    """Pad-vs-pack bucketing is an in-row regex count + CASE ladder
+    into one hash aggregate: no join, no generator fan of the text."""
+    plan = physical_plan(QUERIES["pack_length_bucket_plan"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+def test_frontier_panel_joins_broadcast(spark, sf_dir):
+    """The recall/cost frontier's panel binds are broadcasts (fixed
+    panel discipline) and candidate scoring joins cells on the probed
+    centroid — equi only, no CartesianProduct."""
+    plan = physical_plan(QUERIES["ann_recall_cost_frontier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cross_source_overlap_joins_on_word(spark, sf_dir):
+    """The vocabulary self-join must be an equi-join on the word key
+    (per-word fan bounded by source count) — never a cartesian of the
+    two vocabulary frames."""
+    plan = physical_plan(QUERIES["text_cross_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_estimator_error_no_cartesian(spark, sf_dir):
+    """The estimator audit generates candidates through the banded +
+    capped equi-join and verifies on candidates only — the audited
+    minhash discipline, no all-pairs stage."""
+    plan = physical_plan(
+        QUERIES["dedup_minhash_estimator_error"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_bins_single_scan_no_join(spark, sf_dir):
+    """Calibration is the classifier's narrow projection into one
+    10-key hash aggregate: no join anywhere in the plan."""
+    plan = physical_plan(QUERIES["quality_calibration_bins"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_k_anonymity_class_frame_then_constant_fan(spark, sf_dir):
+    """The privacy profile collapses the corpus to its QI classes
+    first; the k-grid explode fans the CLASS frame, not documents —
+    so the plan has no join and exactly the grid Generate."""
+    plan = physical_plan(QUERIES["privacy_k_anonymity"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_zipf_ranking_on_vocab_frame(spark, sf_dir):
+    """The Zipf fit ranks the vocabulary frame (post-aggregate), so
+    the single-partition rank window sits above the word aggregate,
+    and no join exists in the plan."""
+    plan = physical_plan(QUERIES["text_zipf_slope"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_phash_hamming_hist_no_cartesian(spark, sf_dir):
+    """Hamming histogram candidates come from the banded + capped
+    equi-join; verification is codegen xor/bit_count on candidates."""
+    plan = physical_plan(
+        QUERIES["multimodal_phash_hamming_hist"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan

@@ -231,7 +231,6 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(k) for k in K_ANON_GRID])
         ).alias("k"),
     )
-    w = Window.partitionBy()
     return (
         fanned.groupBy(F.col("k").cast("int").alias("k"))
         .agg(

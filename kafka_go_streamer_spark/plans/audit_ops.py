@@ -108,23 +108,14 @@ def _calibration_sql() -> str:
     """
 
 
-@query("quality_calibration_bins", oracle=_calibration_sql)
-def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability table for the frozen logistic quality classifier:
-    documents binned by predicted score decile, each bin reporting its
-    size, mean predicted score, observed positive rate of the
-    gate-chain label (word-count + alpha-ratio + language — the weak
-    gold a heuristic filter is actually deployed against), and the
-    signed calibration gap. A well-calibrated filter has gap ≈ 0
-    everywhere; a bin with mean score 0.8 and positive rate 0.4 means
-    the threshold the pipeline ships is lying about its precision —
-    the per-bin view an expected-calibration-error summary hides.
-
-    Scale: features, sigmoid, and the gold label are one narrow
-    codegen projection (the classifier's own audited inference path);
-    the reliability table is one map-side-combined aggregate on a
-    10-value key. The score is rounded at 4dp on both engines BEFORE
-    the decile floor, so bin edges are deterministic."""
+def scored_gold(d: DataFrame) -> DataFrame:
+    """(score, gold) projection of a documents-like frame (needs a
+    ``text`` column, passes any other columns through): the frozen
+    classifier's 4dp-rounded probability next to the gate-chain label.
+    The ONE scoring stage shared by ``quality_calibration_bins``,
+    ``quality_ece_summary``, and the streaming calibration monitor
+    (streaming/calibration.py) — so batch and stream can never
+    silently score differently."""
     from kafka_go_streamer_spark.plans.text import (
         QC_W0,
         QC_W_ALPHA,
@@ -133,9 +124,10 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         QC_W_STOP,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     wc = X.word_count(F.col("text"))
+    keep = [c for c in d.columns if c != "text"]
     f = d.select(
+        *keep,
         F.log(wc + F.lit(1)).alias("logwc"),
         X.mean_word_len(X.words(F.col("text"))).alias("mwl"),
         X.alpha_ratio(F.col("text")).alias("alpha"),
@@ -160,12 +152,34 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         + QC_W_ALPHA * F.col("alpha")
         + QC_W_STOP * F.col("stopshare")
     )
-    scored = f.select(
+    return f.select(
+        *keep,
         stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias(
             "score"
         ),
         "gold",
     )
+
+
+@query("quality_calibration_bins", oracle=_calibration_sql)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the frozen logistic quality classifier:
+    documents binned by predicted score decile, each bin reporting its
+    size, mean predicted score, observed positive rate of the
+    gate-chain label (word-count + alpha-ratio + language — the weak
+    gold a heuristic filter is actually deployed against), and the
+    signed calibration gap. A well-calibrated filter has gap ≈ 0
+    everywhere; a bin with mean score 0.8 and positive rate 0.4 means
+    the threshold the pipeline ships is lying about its precision —
+    the per-bin view an expected-calibration-error summary hides.
+
+    Scale: features, sigmoid, and the gold label are one narrow
+    codegen projection (the classifier's own audited inference path);
+    the reliability table is one map-side-combined aggregate on a
+    10-value key. The score is rounded at 4dp on both engines BEFORE
+    the decile floor, so bin edges are deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = scored_gold(d.select("text"))
     return scored.groupBy(
         F.least(F.floor(F.col("score") * 10), F.lit(9))
         .cast("int")
@@ -871,51 +885,13 @@ def quality_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses the corpus to its DISTINCT 4dp score values (≤ 10⁴
     rows) and rank-sums on that bounded frame — no per-document
     window, no sort of the corpus."""
-    from kafka_go_streamer_spark.plans.text import (
-        QC_W0,
-        QC_W_ALPHA,
-        QC_W_LOGWC,
-        QC_W_MWL,
-        QC_W_STOP,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    wc = X.word_count(F.col("text"))
-    f = d.select(
-        F.log(wc + F.lit(1)).alias("logwc"),
-        X.mean_word_len(X.words(F.col("text"))).alias("mwl"),
-        X.alpha_ratio(F.col("text")).alias("alpha"),
-        (
-            X.stopword_hits(F.col("text"), "en")
-            * 1.0
-            / F.greatest(wc, F.lit(1))
-        ).alias("stopshare"),
-        F.when(
-            (wc >= 20)
-            & (X.alpha_ratio(F.col("text")) > 0.6)
-            & (X.lang_id(F.col("text")) == "en"),
-            1,
-        )
-        .otherwise(0)
-        .alias("gold"),
-    )
-    z = (
-        F.lit(QC_W0)
-        + QC_W_LOGWC * F.col("logwc")
-        + QC_W_MWL * F.col("mwl")
-        + QC_W_ALPHA * F.col("alpha")
-        + QC_W_STOP * F.col("stopshare")
-    )
     from kafka_go_streamer_spark.operators.iterate import pinned
 
-    scored = pinned(
-        f.select(
-            stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias(
-                "score"
-            ),
-            "gold",
-        )
-    )
+    d = load_table(spark, sf_dir, "documents")
+    # pinned: the scored frame has three consumers (bins, Brier,
+    # distinct-score AUC frame) — unpinned, the per-byte feature
+    # projection re-plans under each
+    scored = pinned(scored_gold(d.select("text")))
     bins = scored.groupBy(
         F.least(F.floor(F.col("score") * 10), F.lit(9)).alias("bin")
     ).agg(

@@ -1,0 +1,85 @@
+"""Streaming shard-plan monitor (streaming/shardplan.py): documents
+arrive across micro-batches; per-source byte/doc counters accumulate
+and the merged plan must equal the registered batch query
+``storage_shard_plan`` EXACTLY for any batching (integer counters,
+associative sums, shared shard arithmetic). Pinned for 1-batch and
+2-batch arrivals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_go_streamer_spark.plans import QUERIES
+from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.streaming.shardplan import (
+    merged_shard_plan,
+    shard_partials,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def _rows(df):
+    return {
+        r["source"]: (
+            r["n_docs"],
+            r["total_bytes"],
+            r["n_shards"],
+            r["mean_shard_bytes"],
+            r["docs_per_shard"],
+            r["corpus_share"],
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.timeout(300)
+@pytest.mark.parametrize("n_batches", [1, 2])
+def test_streaming_shard_plan_matches_batch(
+    spark, sf_dir, tmp_path, n_batches
+):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    partials_dir = str(tmp_path / "partials")
+    if n_batches == 1:
+        docs.coalesce(1).write.parquet(str(src / "b1"))
+    else:
+        docs.filter(F.col("doc_id") <= median).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        docs.filter(F.col("doc_id") > median).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+    def monitor(bdf, epoch_id):
+        shard_partials(bdf).withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("append").parquet(partials_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    partials = spark.read.parquet(partials_dir)
+    assert partials.select("epoch").distinct().count() == n_batches
+
+    streamed = _rows(merged_shard_plan(partials))
+    batch = _rows(QUERIES["storage_shard_plan"](spark, sf_dir))
+    assert streamed == batch
+    assert len(batch) >= 2

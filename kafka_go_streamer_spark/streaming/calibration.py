@@ -9,13 +9,21 @@ the corpus.
 Shape: per micro-batch, documents run the SAME audited scoring stage
 the batch queries use (``scored_gold`` — shared, so stream and batch
 can never silently score differently) and collapse to per-bin PARTIAL
-counters (n, sum_score, sum_gold) — a few rows per batch, appended to
+counters (n, sum_score, sum_gold) — a few rows per batch, written to
 a tiny partial store. The published table is one merge aggregate over
-the partials: sums are associative, so streamed == batch EXACTLY for
-any batching (contrast streaming/neardup.py, whose growing signature
+the partials: sums are associative, so streamed == batch for any
+batching (contrast streaming/neardup.py, whose growing signature
 store makes its cap boundary conservative). No cross-batch state
-beyond the append-only partial rows; a monitoring window is a plain
-filter on the partials' epoch column.
+beyond the partial rows; a monitoring window is a plain filter on the
+partials' epoch column.
+
+Exactly-once requirement: the guarantee assumes each micro-batch's
+partials commit exactly once. foreachBatch is at-least-once under
+task/epoch retry, so the partial store MUST be written with the
+idempotent epoch-partition overwrite in
+``streaming/partials.write_epoch_partials`` (a replayed epoch
+replaces its own rows); a plain ``mode("append")`` write would
+double-count replayed batches.
 
 Scale: per batch one narrow codegen projection + one 10-key map-side
 combined aggregate; the merge reads bins × epochs rows (never
@@ -36,9 +44,11 @@ def calibration_partials(bdf: DataFrame) -> DataFrame:
     """Per-bin partial counters (bin, n, sum_score, sum_gold) for one
     micro-batch of documents (needs ``text``). Associative — merging
     any partition of the corpus into these partials and summing
-    reproduces the batch table bit-for-bit (the means divide summed
-    doubles either way; ``stable_round`` absorbs association-order
-    ulps exactly as it does across engines)."""
+    reproduces the batch table after the 4 dp ``stable_round`` (the
+    means divide summed doubles either way; double addition is not
+    associative, so equality is exact only once the stable rounding
+    absorbs association-order ulps — the same mechanism that pins
+    Spark == DuckDB across engines)."""
     scored = scored_gold(bdf.select("text"))
     return scored.groupBy(
         F.least(F.floor(F.col("score") * 10), F.lit(9))

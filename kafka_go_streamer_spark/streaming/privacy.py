@@ -7,12 +7,19 @@ maintainable without rescanning the corpus.
 
 Shape: per micro-batch, documents collapse to PARTIAL class counters
 on the SAME quasi-identifier the batch query uses (lang, source,
-QI_LEN_BIN-char length bin) — bounded rows per batch, appended to a
+QI_LEN_BIN-char length bin) — bounded rows per batch, written to a
 tiny partial store. The published profile merges the partials (sums
 are associative) and applies the batch query's own k-grid
-arithmetic, so streamed == batch EXACTLY for any batching. The only
-cross-batch state is the append-only partials; the class frame they
-merge into is bounded by QI cardinality, never documents.
+arithmetic, so streamed == batch EXACTLY for any batching (integer
+counters — no float-association caveat here). The only cross-batch
+state is the partials; the class frame they merge into is bounded by
+QI cardinality, never documents.
+
+Exactly-once requirement: foreachBatch is at-least-once under
+task/epoch retry, so partials MUST be written with the idempotent
+epoch-partition overwrite in
+``streaming/partials.write_epoch_partials`` — a plain append would
+double-count replayed batches.
 
 tests/test_streaming_privacy.py pins streamed == batch against the
 registered query's own output for 1- and 2-batch arrivals.

@@ -7,11 +7,17 @@ doubled at the next write, not at the next full corpus scan).
 
 Shape: per micro-batch, documents collapse to per-source PARTIAL
 counters (n_docs, total_bytes) — one row per source per batch,
-appended to a tiny partial store. The published plan merges the
+written to a tiny partial store. The published plan merges the
 partials (integer sums, associative) and applies the batch query's
 own shard arithmetic, so streamed == batch EXACTLY for any batching.
-Only the append-only partials persist; the merge frame is bounded by
-source cardinality × epochs.
+Only the partials persist; the merge frame is bounded by source
+cardinality × epochs.
+
+Exactly-once requirement: foreachBatch is at-least-once under
+task/epoch retry, so partials MUST be written with the idempotent
+epoch-partition overwrite in
+``streaming/partials.write_epoch_partials`` — a plain append would
+double-count replayed batches.
 
 tests/test_streaming_shardplan.py pins streamed == batch against the
 registered query's own output for 1- and 2-batch arrivals.

@@ -16,6 +16,7 @@ from kafka_go_streamer_spark.streaming.calibration import (
     calibration_partials,
     merged_calibration,
 )
+from kafka_go_streamer_spark.streaming.partials import write_epoch_partials
 
 pytestmark = pytest.mark.slow
 
@@ -48,9 +49,9 @@ def test_streaming_calibration_matches_batch(
     )
 
     def monitor(bdf, epoch_id):
-        calibration_partials(bdf).withColumn(
-            "epoch", F.lit(epoch_id)
-        ).write.mode("append").parquet(partials_dir)
+        # idempotent epoch-partition overwrite: a replayed epoch
+        # rewrites its own rows instead of double-counting them
+        write_epoch_partials(calibration_partials(bdf), epoch_id, partials_dir)
 
     q = (
         stream.writeStream.foreachBatch(monitor)
@@ -58,7 +59,7 @@ def test_streaming_calibration_matches_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate within 240s"
 
     partials = spark.read.parquet(partials_dir)
     # each batch contributes at most one partial row per bin

@@ -66,7 +66,7 @@ def test_streaming_decontam_matches_batch(spark, sf_dir, tmp_path, n_batches):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate within 240s"
 
     streamed_flags = {
         (r["doc_id"], r["shared"])

@@ -57,7 +57,7 @@ def test_streaming_prep_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate within 240s"
 
     got = {
         r["doc_id"]: (r["source"], r["n_words"], r["n_tokens"])

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.plans import QUERIES
 from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.streaming.partials import write_epoch_partials
 from kafka_go_streamer_spark.streaming.privacy import (
     merged_k_anonymity,
     qi_class_partials,
@@ -48,9 +49,8 @@ def test_streaming_privacy_matches_batch(spark, sf_dir, tmp_path, n_batches):
     )
 
     def monitor(bdf, epoch_id):
-        qi_class_partials(bdf).withColumn(
-            "epoch", F.lit(epoch_id)
-        ).write.mode("append").parquet(partials_dir)
+        # idempotent epoch-partition overwrite (replay-safe)
+        write_epoch_partials(qi_class_partials(bdf), epoch_id, partials_dir)
 
     q = (
         stream.writeStream.foreachBatch(monitor)
@@ -58,7 +58,7 @@ def test_streaming_privacy_matches_batch(spark, sf_dir, tmp_path, n_batches):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate within 240s"
 
     partials = spark.read.parquet(partials_dir)
     assert partials.select("epoch").distinct().count() == n_batches

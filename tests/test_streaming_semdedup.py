@@ -71,7 +71,7 @@ def test_streaming_semdedup_matches_batch(spark, sf_dir, tmp_path, n_batches):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate within 240s"
 
     streamed = {
         r["vec_id"] for r in spark.read.parquet(out_dir).collect()

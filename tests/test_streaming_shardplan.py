@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.plans import QUERIES
 from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.streaming.partials import write_epoch_partials
 from kafka_go_streamer_spark.streaming.shardplan import (
     merged_shard_plan,
     shard_partials,
@@ -64,9 +65,8 @@ def test_streaming_shard_plan_matches_batch(
     )
 
     def monitor(bdf, epoch_id):
-        shard_partials(bdf).withColumn(
-            "epoch", F.lit(epoch_id)
-        ).write.mode("append").parquet(partials_dir)
+        # idempotent epoch-partition overwrite (replay-safe)
+        write_epoch_partials(shard_partials(bdf), epoch_id, partials_dir)
 
     q = (
         stream.writeStream.foreachBatch(monitor)
@@ -74,7 +74,7 @@ def test_streaming_shard_plan_matches_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not terminate within 240s"
 
     partials = spark.read.parquet(partials_dir)
     assert partials.select("epoch").distinct().count() == n_batches

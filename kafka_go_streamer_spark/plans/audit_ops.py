@@ -768,22 +768,31 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripwire a crawl refresh is checked against before training.
 
     Scale: one exploded scan collapses to the vocabulary frame
-    (map-side combinable), ranking happens on that vocabulary-bounded
-    frame (never the corpus), the fit reads the fixed top-N, and the
-    closed-form OLS is one aggregate row — the same discipline as
-    ``text_mean_word_rank``/``stats_groupwise_ols``."""
+    (map-side combinable); the top-N cut is ``orderBy().limit(N)`` —
+    TakeOrderedAndProject, per-partition heaps + a driver-side merge
+    of N rows — so the FULL vocabulary (10^8+ words at corpus scale)
+    is never ranked in one task. Only the N-row survivor frame gets a
+    ``row_number`` (same total order, so ranks — and the hash — are
+    unchanged); the fit reads the fixed top-N and the closed-form OLS
+    is one aggregate row — the same discipline as
+    ``text_mean_word_rank``/``stats_groupwise_ols``. Plan-asserted
+    (tests/test_plan_shapes.py): TakeOrderedAndProject present, no
+    Window over the vocabulary frame."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(X.words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = freq.select(
+    top = freq.orderBy(F.col("c").desc(), F.col("word").asc()).limit(
+        ZIPF_TOP_N
+    )
+    ranked = top.select(
         "c",
         F.row_number()
         .over(Window.orderBy(F.col("c").desc(), F.col("word").asc()))
         .alias("r"),
-    ).filter(F.col("r") <= ZIPF_TOP_N)
+    )
     pts = ranked.select(
         F.log(F.col("r") * 1.0).alias("x"), F.log(F.col("c") * 1.0).alias("y")
     )

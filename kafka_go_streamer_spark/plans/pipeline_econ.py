@@ -141,30 +141,26 @@ def storage_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _skipping_audit_sql() -> str:
     return f"""
-    WITH base AS (
-      SELECT event_id, epoch_us(ts) AS us,
-             count(*) OVER () AS n
+    WITH bounds AS (
+      SELECT min(event_id) AS id_lo, max(event_id) AS id_hi,
+             min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
       FROM events
     ),
-    ranked AS (
-      SELECT us, n,
-             row_number() OVER (ORDER BY event_id) AS rn_arr,
-             row_number() OVER (ORDER BY us, event_id) AS rn_time
-      FROM base
+    base AS (
+      SELECT event_id, epoch_us(ts) AS us, id_lo, id_hi, lo, hi
+      FROM events CROSS JOIN bounds
     ),
     files AS (
       SELECT 'arrival' AS layout,
-             ((rn_arr - 1) * {SKIP_N_FILES}) // n AS file_id,
+             ((event_id - id_lo) * {SKIP_N_FILES})
+               // (id_hi - id_lo + 1) AS file_id,
              min(us) AS f_min, max(us) AS f_max
-      FROM ranked GROUP BY 1, 2
+      FROM base GROUP BY 1, 2
       UNION ALL
       SELECT 'time_sorted' AS layout,
-             ((rn_time - 1) * {SKIP_N_FILES}) // n AS file_id,
+             ((us - lo) * {SKIP_N_FILES}) // (hi - lo + 1) AS file_id,
              min(us) AS f_min, max(us) AS f_max
-      FROM ranked GROUP BY 1, 2
-    ),
-    bounds AS (
-      SELECT min(us) AS lo, max(us) AS hi FROM base
+      FROM base GROUP BY 1, 2
     ),
     probes AS (
       SELECT lo + ((hi - lo) * i) // {SKIP_N_PROBES + 1} AS p
@@ -198,45 +194,48 @@ def storage_skipping_minmax_audit(
     sorting before writing — the number that decides whether the
     extra shuffle pays for itself.
 
-    Scale: file assignment is rank arithmetic over the sort a layout
-    job performs anyway (at cluster scale: `repartitionByRange` +
-    parquet footer min/max instead of the window); everything after
-    the two rank passes is 128 file rows × 8 probe rows. Probes are
-    integer microsecond arithmetic on (min, max), bit-identical across
-    engines."""
+    Scale: NO global sort anywhere (the r12 version ranked the fact
+    with two unpartitioned row_number windows — the single-task
+    pattern this repo bans). File assignment is pure arithmetic on
+    broadcast scalar bounds: the arrival layout bins on the dense
+    `event_id` range ((id - id_lo) * N div span — dense ids make the
+    equal-width id bins equal-row files, the order a streaming sink
+    writes), and the time-sorted layout bins on equal-width [min ts,
+    max ts] ranges — exactly the non-overlapping zone maps a
+    `repartitionByRange`-sorted write produces. One scan, one
+    map-side-combined groupBy per layout; everything downstream is
+    128 file rows × 8 probe rows. Integer microsecond arithmetic,
+    bit-identical across engines. Plan-asserted: no Window over the
+    fact (tests/test_plan_shapes.py)."""
     e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("event_id").alias("id_lo"),
+        F.max("event_id").alias("id_hi"),
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
     base = e.select(
-        "event_id",
-        F.unix_micros("ts").alias("us"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    ranked = base.select(
-        "us",
-        "n",
-        F.row_number().over(Window.orderBy("event_id")).alias("rn_arr"),
-        F.row_number().over(Window.orderBy("us", "event_id")).alias(
-            "rn_time"
-        ),
-    )
-    def files_for(layout: str, rn: str) -> DataFrame:
+        "event_id", F.unix_micros("ts").alias("us")
+    ).crossJoin(F.broadcast(bounds))
+
+    def files_for(layout: str, bin_expr: str) -> DataFrame:
         return (
-            ranked.select(
+            base.select(
                 F.lit(layout).alias("layout"),
-                F.expr(f"(({rn} - 1) * {SKIP_N_FILES}) div n").alias(
-                    "file_id"
-                ),
+                F.expr(bin_expr).alias("file_id"),
                 F.col("us"),
             )
             .groupBy("layout", "file_id")
             .agg(F.min("us").alias("f_min"), F.max("us").alias("f_max"))
         )
 
-    files = files_for("arrival", "rn_arr").unionByName(
-        files_for("time_sorted", "rn_time")
-    )
-    bounds = e.agg(
-        F.min(F.unix_micros("ts")).alias("lo"),
-        F.max(F.unix_micros("ts")).alias("hi"),
+    files = files_for(
+        "arrival",
+        f"((event_id - id_lo) * {SKIP_N_FILES}) div (id_hi - id_lo + 1)",
+    ).unionByName(
+        files_for(
+            "time_sorted", f"((us - lo) * {SKIP_N_FILES}) div (hi - lo + 1)"
+        )
     )
     probes = bounds.select(
         F.explode(

@@ -1123,6 +1123,21 @@ def test_skipping_audit_probe_side_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_skipping_audit_no_window_over_fact(spark, sf_dir):
+    """r13 rewrite (VERDICT r12 #2): file assignment is arithmetic on
+    broadcast scalar bounds — the plan must contain NO Window at all
+    (the r12 version ranked the whole events fact in two
+    single-partition row_number windows) and no sort of the fact
+    (the only Sort allowed is inside the tiny file/probe frames —
+    in practice: zero)."""
+    df = QUERIES["storage_skipping_minmax_audit"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    # bounds bind is a broadcast, so the fact is scanned exactly twice
+    # (once per layout) with no Exchange other than the two group-bys
+    assert "rn_arr" not in plan and "rn_time" not in plan
+
+
 def test_length_bucket_plan_no_join_no_explode(spark, sf_dir):
     """Pad-vs-pack bucketing is an in-row regex count + CASE ladder
     into one hash aggregate: no join, no generator fan of the text."""
@@ -1174,11 +1189,20 @@ def test_k_anonymity_class_frame_then_constant_fan(spark, sf_dir):
 
 
 def test_zipf_ranking_on_vocab_frame(spark, sf_dir):
-    """The Zipf fit ranks the vocabulary frame (post-aggregate), so
-    the single-partition rank window sits above the word aggregate,
-    and no join exists in the plan."""
+    """r13 rewrite (VERDICT r12 #3): the Zipf top-N cut must compile
+    to TakeOrderedAndProject (distributed per-partition heaps), never
+    a global rank of the full vocabulary — the only Window allowed is
+    the row_number over the ALREADY-LIMITED N-row frame, and no join
+    exists in the plan."""
     plan = physical_plan(QUERIES["text_zipf_slope"](spark, sf_dir))
     assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the window must sit ABOVE the limit: textual plan order puts
+    # children below their parent, so TakeOrderedAndProject appears
+    # AFTER (deeper than) the Window line
+    w = plan.find("Window")
+    t = plan.find("TakeOrderedAndProject")
+    assert w != -1 and t != -1 and w < t
 
 
 def test_phash_hamming_hist_no_cartesian(spark, sf_dir):

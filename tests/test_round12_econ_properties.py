@@ -109,21 +109,21 @@ def test_skipping_audit_matches_python_sim(spark, events):
             spark, SF
         ).collect()
     }
-    n = len(events)
-    us_by_arrival = [
-        us for _, us, *_ in sorted(events, key=lambda e: e[0])
-    ]
-    us_sorted = sorted(us_by_arrival)
-    lo, hi = us_sorted[0], us_sorted[-1]
+    # r13 file assignment: arithmetic range binning (VERDICT r12 #2) —
+    # arrival bins the dense event_id range, time_sorted bins the
+    # [lo, hi] microsecond range; no ranking anywhere.
+    ids = [e[0] for e in events]
+    uss = [e[1] for e in events]
+    id_lo, id_hi = min(ids), max(ids)
+    lo, hi = min(uss), max(uss)
     probes = [
         lo + ((hi - lo) * i) // (PE.SKIP_N_PROBES + 1)
         for i in range(1, PE.SKIP_N_PROBES + 1)
     ]
 
-    def sim(seq):
+    def sim(bins):
         files = defaultdict(lambda: [None, None])
-        for rn, us in enumerate(seq):
-            fid = (rn * PE.SKIP_N_FILES) // n
+        for fid, us in bins:
             f = files[fid]
             f[0] = us if f[0] is None else min(f[0], us)
             f[1] = us if f[1] is None else max(f[1], us)
@@ -141,11 +141,22 @@ def test_skipping_audit_matches_python_sim(spark, events):
             ),
         )
 
-    for layout, seq in (
-        ("arrival", us_by_arrival),
-        ("time_sorted", us_sorted),
+    arrival_bins = [
+        (
+            ((eid - id_lo) * PE.SKIP_N_FILES) // (id_hi - id_lo + 1),
+            us,
+        )
+        for eid, us, *_ in events
+    ]
+    time_bins = [
+        (((us - lo) * PE.SKIP_N_FILES) // (hi - lo + 1), us)
+        for _, us, *_ in events
+    ]
+    for layout, bins in (
+        ("arrival", arrival_bins),
+        ("time_sorted", time_bins),
     ):
-        nf, mean_hit, skip = sim(seq)
+        nf, mean_hit, skip = sim(bins)
         r = rows[layout]
         assert r["n_files"] == nf
         assert r["mean_files_hit"] == pytest.approx(mean_hit, abs=1e-9)

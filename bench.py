@@ -9,13 +9,27 @@ tail-capture always lands on:
     {"metric": "headline_queries_total_sec", "value": <total sec>,
      "unit": "sec", "n": <count>, "sf": <float>,
      "calibration_query": <name>, "calibration_sec": [4 samples],
-     "calibration_median_sec": <float>}
+     "calibration_median_sec": <float>, "probe_ratio": <float>,
+     "gate_breaches": [names], "normalized_total_sec": <float>}
 
 The calibration samples time one FIXED canonical query at the start,
 between passes, and at the end: uniform inflation of the calibration
 median vs prior rounds = machine contention during the bench window
 (divide the totals by the ratio before comparing); flat calibration
 with one slow query = a real plan regression.
+
+Self-normalizing perf gate (VERDICT r12 #2): FLOORS.json carries each
+headline query's fastest-ever recorded sf0.1 time (with documented
+workload revisions overriding raw minima) plus ``probe_ref_sec``, the
+fastest recorded calibration median. At sf0.1 this script emits, per
+query, the NOMINAL ratio (sec / floor) and the CALIBRATION-NORMALIZED
+ratio (nominal / probe_ratio, where probe_ratio = this window's
+calibration median / probe_ref_sec — how much slower the box is than
+the floor-setting windows), and a ``gate_breaches`` list of queries
+whose normalized ratio exceeds 2x. A slow machine window inflates
+nominal ratios uniformly AND inflates the probe by the same factor,
+so the normalized ratios stay comparable round over round without a
+judge-side re-measure. New raw minima auto-tighten FLOORS.json.
 
 Results are materialized through the noop sink (full execution, no
 driver-side collect cost)."""
@@ -386,6 +400,51 @@ def main() -> None:
         "calibration_sec": calibration,
         "calibration_median_sec": calib_median,
     }
+
+    # ---- calibration-normalized perf gate vs FLOORS.json (sf0.1 only:
+    # floors are recorded at the driver's bench scale) ----
+    floors_path = os.path.join(os.path.dirname(__file__), "FLOORS.json")
+    ratios: dict[str, dict[str, float]] = {}
+    if sf == 0.1:
+        try:
+            with open(floors_path) as f:
+                floors_doc = json.load(f)
+        except (OSError, ValueError):
+            floors_doc = None
+        if floors_doc:
+            floors = floors_doc.get("floors", {})
+            probe_ref = floors_doc.get("probe_ref_sec") or calib_median
+            probe_ratio = round(calib_median / probe_ref, 3)
+            revised = set(floors_doc.get("revisions", {}))
+            breaches = []
+            tightened = False
+            for name, t in timings.items():
+                fl = floors.get(name)
+                if not fl:
+                    continue
+                nominal = round(t / fl, 3)
+                normalized = round(nominal / max(probe_ratio, 1.0), 3)
+                ratios[name] = {
+                    "sec": t,
+                    "floor_sec": fl,
+                    "nominal_x": nominal,
+                    "normalized_x": normalized,
+                }
+                if normalized > 2.0:
+                    breaches.append(name)
+                # auto-tighten: a new raw minimum becomes the floor
+                # (never below a documented workload-revision floor)
+                if t < fl and name not in revised:
+                    floors[name] = t
+                    tightened = True
+            if tightened:
+                with open(floors_path, "w") as f:
+                    json.dump(floors_doc, f, indent=1)
+            summary["probe_ratio"] = probe_ratio
+            summary["gate_breaches"] = sorted(breaches)
+            summary["normalized_total_sec"] = round(
+                total / max(probe_ratio, 1.0), 3
+            )
     # Keyed by sf (ADVICE r11): runs at different scale factors merge
     # into one dict instead of clobbering each other, so both SFs'
     # per-query detail persists across a closing sweep.
@@ -399,6 +458,8 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     detail[str(sf)] = {**summary, "queries": timings}
+    if ratios:
+        detail[str(sf)]["floor_ratios"] = ratios
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(summary))

@@ -13,6 +13,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     curation,
     dedup,
     insights,
+    lateness,
     multimodal_queries,
     ops_analytics,
     pipeline_econ,

@@ -1212,3 +1212,84 @@ def test_phash_hamming_hist_no_cartesian(spark, sf_dir):
         QUERIES["multimodal_phash_hamming_hist"](spark, sf_dir)
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------- r13 lateness wave
+def test_lateness_grid_two_level_prefix_scan(spark, sf_dir):
+    """The watermark frontier must be the two-level prefix scan: the
+    ONLY window over fact-sized data is partitioned by the arrival
+    bucket (after a hashpartitioning exchange on _bkt), the
+    cross-bucket prefix runs on the tiny post-aggregate bucket frame
+    (the plan's single SinglePartition exchange), and the prefix binds
+    back via broadcast — never a global sort of the events fact."""
+    plan = physical_plan(
+        QUERIES["events_lateness_watermark_grid"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # fact window is bucket-partitioned
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L, arrival_us", plan)
+    # exactly one single-partition exchange: the ~120-row bucket frame
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_dedup_audit_union_prefix_scan(spark, sf_dir):
+    """The dedup-leakage audit prices the frontier at each dup's
+    arrival through the SAME bucketed scan over the originals+dups
+    union. The runs frame is pinned (it feeds both sides of the
+    orig/dup pairing), so the prefix-scan shape is asserted on the
+    UNPINNED upstream: bucket-partitioned fact window, broadcast
+    prefix bind, exactly one single-partition exchange (the bucket
+    frame); the final query plan must stay cartesian-free with the
+    delay grid as a Generate."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans import lateness as L
+
+    base = L.jittered_arrivals(load_table(spark, sf_dir, "events"))
+    union = base.select(
+        "event_id",
+        "us",
+        "arrival_us",
+        F.lit(0).alias("kind"),
+        F.col("us").alias("contrib"),
+    ).unionByName(
+        base.select(
+            "event_id",
+            "us",
+            (F.col("arrival_us") + F.lit(1)).alias("arrival_us"),
+            F.lit(1).alias("kind"),
+            F.col("us").alias("contrib"),
+        )
+    )
+    upstream = physical_plan(
+        L.with_running_max(
+            union, contrib="contrib", order=("arrival_us", "kind", "event_id")
+        )
+    )
+    assert "CartesianProduct" not in upstream
+    assert "SortMergeJoin" not in upstream
+    assert "BroadcastHashJoin" in upstream
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L, arrival_us", upstream)
+    assert upstream.count("Exchange SinglePartition") == 1
+
+    plan = physical_plan(
+        QUERIES["events_watermark_dedup_audit"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_open_state_no_window_scalar_broadcast(spark, sf_dir):
+    """End-of-stream state sizing needs only the global frontier: the
+    plan must have NO window functions at all — one scalar max
+    broadcast (nested-loop on a 1-row build side), constant Generate
+    fan, one aggregate."""
+    plan = physical_plan(
+        QUERIES["events_watermark_open_state"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate" in plan

@@ -1078,3 +1078,289 @@ def multimodal_phash_hamming_hist(
         F.min(ham).cast("int").alias("min_ham"),
         F.max(ham).cast("int").alias("max_ham"),
     )
+
+
+#: Fixed-panel cap for the LSH S-curve audit: only documents with
+#: doc_id below this take part in the measured pair panel, so the
+#: panel (and the exact-Jaccard work on it) stays BOUNDED as the
+#: corpus grows — the PANEL_MAX_ID discipline applied to documents.
+DOC_PANEL_MAX_ID = 2000
+
+#: Similarity bin edges for the S-curve table — bottom-heavy because
+#: the analytic curve moves fastest near zero at r=1 (P ~ b*s) and the
+#: corpus' pair mass is concentrated there.
+SCURVE_BINS = (0.01, 0.05, 0.2, 0.5, 0.8)
+
+
+def _scurve_sql() -> str:
+    from kafka_go_streamer_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_sig_sql,
+        shingles_sql,
+        simhash64_sql,
+    )
+
+    sig_cols = ",\n             ".join(
+        f"{minhash_sig_sql('sh', k)} AS sig{k}" for k in range(NUM_HASHES)
+    )
+    hit_r1 = " OR ".join(
+        f"sa.sig{k} = sb.sig{k}" for k in range(NUM_HASHES)
+    )
+    hit_r2 = (
+        "(sa.sig0 = sb.sig0 AND sa.sig1 = sb.sig1)"
+        " OR (sa.sig2 = sb.sig2 AND sa.sig3 = sb.sig3)"
+    )
+    inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
+    s = f"{inter} * 1.0 / (len(sa.sh) + len(sb.sh) - {inter})"
+    sbin = (
+        f"CASE WHEN s < {SCURVE_BINS[0]} THEN 0 "
+        f"WHEN s < {SCURVE_BINS[1]} THEN 1 "
+        f"WHEN s < {SCURVE_BINS[2]} THEN 2 "
+        f"WHEN s < {SCURVE_BINS[3]} THEN 3 "
+        f"WHEN s < {SCURVE_BINS[4]} THEN 4 ELSE 5 END"
+    )
+    return f"""
+    WITH panel AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < {DOC_PANEL_MAX_ID}
+    ),
+    w0 AS (SELECT doc_id, {X.words_sql('text')} AS w FROM panel),
+    docs AS (SELECT doc_id, {shingles_sql('w')} AS sh FROM w0),
+    sigs AS (
+      SELECT doc_id, sh,
+             {sig_cols}
+      FROM docs
+    ),
+    n AS (SELECT count(*) AS nn, min(doc_id) AS lo FROM panel),
+    rnd AS (
+      SELECT least(p.doc_id,
+                   lo + ((p.doc_id - lo) + 1 +
+                         ('0x' || substr(md5(p.doc_id::VARCHAR || 'pp'),
+                          1, 15))::BIGINT % (nn - 1)) % nn) AS id_a,
+             greatest(p.doc_id,
+                   lo + ((p.doc_id - lo) + 1 +
+                         ('0x' || substr(md5(p.doc_id::VARCHAR || 'pp'),
+                          1, 15))::BIGINT % (nn - 1)) % nn) AS id_b
+      FROM panel p CROSS JOIN n
+    ),
+    s64 AS (SELECT doc_id, {simhash64_sql('w')} AS s64 FROM w0),
+    bands AS (
+      SELECT doc_id, b.band, (s64 >> (b.band * 8)) & 255 AS key
+      FROM s64, (SELECT unnest(range(0, 8)) AS band) b
+    ),
+    capped AS (
+      SELECT doc_id, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS _n
+        FROM bands
+      ) WHERE _n <= 64
+    ),
+    simband AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT id_a, id_b FROM rnd WHERE id_a <> id_b
+        UNION ALL
+        SELECT id_a, id_b FROM simband
+      )
+    ),
+    scored AS (
+      SELECT {s} AS s,
+             CASE WHEN {hit_r1} THEN 1 ELSE 0 END AS hit_r1,
+             CASE WHEN {hit_r2} THEN 1 ELSE 0 END AS hit_r2
+      FROM pairs c
+      JOIN sigs sa ON c.id_a = sa.doc_id
+      JOIN sigs sb ON c.id_b = sb.doc_id
+    ),
+    fanned AS (
+      SELECT 'r1b4' AS banding, {sbin} AS sbin, s, hit_r1 AS hit,
+             1.0 - (1.0 - s) * (1.0 - s) * (1.0 - s) * (1.0 - s)
+               AS analytic
+      FROM scored
+      UNION ALL
+      SELECT 'r2b2', {sbin}, s, hit_r2,
+             1.0 - (1.0 - s * s) * (1.0 - s * s)
+      FROM scored
+    )
+    SELECT banding, sbin::INTEGER AS sbin,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(s), 6) AS mean_exact,
+           round(avg(analytic), 6) AS analytic_p,
+           round(avg(hit) * 1.0, 6) AS measured_rate,
+           round(avg(hit) * 1.0 - avg(analytic), 6) AS gap
+    FROM fanned
+    GROUP BY banding, sbin
+    """
+
+
+@query("dedup_lsh_scurve_empirical", oracle=_scurve_sql)
+def dedup_lsh_scurve_empirical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical MinHash-LSH S-curve: the textbook candidate
+    probability 1-(1-s^r)^b against the MEASURED band-collision rate
+    on a FIXED sampled pair panel, per true-Jaccard bin, for both
+    deployed bandings (r=1/b=4 — ``dedup_minhash_lsh``'s — and
+    r=2/b=2 — the strict variant's). This is the fidelity table
+    beside ``dedup_minhash_estimator_error``: that one audits the
+    ESTIMATOR on surfaced candidates; this one audits the CANDIDATE
+    GENERATOR itself — does the banding actually deliver the
+    recall/false-positive trade the formula promises on this corpus?
+
+    Panel (never all-pairs): documents with doc_id < DOC_PANEL_MAX_ID
+    only (the PANEL_MAX_ID fixed-cap discipline — panel work is
+    bounded no matter how the corpus grows), pairing (a) one
+    deterministic hash-chosen partner per panel doc (the low-
+    similarity mass that anchors the curve's flat left) with (b) the
+    SimHash64 band-collision candidates inside the panel (the
+    similar arm). Selection uses word-level SimHash randomness;
+    the measured event uses shingle-level MinHash randomness —
+    different hash inputs, so conditioning on the pair's shingle sets
+    leaves the minhash collision probability unbiased (no
+    selecting-on-the-outcome circularity).
+
+    Scale: one signature pass over the bounded panel (shared
+    ``with_minhash`` path), banded+capped SimHash candidate join,
+    exact Jaccard only on panel pairs, constant 2x banding fan, one
+    12-row aggregate. tests/test_round13_scurve_properties.py
+    re-derives the table end-to-end in pure Python and pins the
+    analytic curve's dominance/monotonicity."""
+    from kafka_go_streamer_spark.operators.dedup import (
+        NUM_HASHES,
+        cap_bucket,
+        jaccard,
+        simhash64_table,
+        with_minhash,
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DOC_PANEL_MAX_ID
+    )
+    sigs = pinned(with_minhash(d.select("doc_id", "text")))
+    bounds = d.agg(
+        F.count(F.lit(1)).alias("nn"), F.min("doc_id").alias("lo")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("pp"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    partner = F.col("lo") + (
+        (F.col("doc_id") - F.col("lo")) + 1 + h % (F.col("nn") - 1)
+    ) % F.col("nn")
+    rnd = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(F.col("doc_id"), partner).alias("id_a"),
+            F.greatest(F.col("doc_id"), partner).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    s64 = simhash64_table(d, "doc_id", "text")
+    bands = s64.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash64"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    capped = cap_bucket(bands, "band", "key", cap=64)
+    a, b = capped.alias("a"), capped.alias("b")
+    simband = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    pairs = rnd.unionByName(simband).distinct()
+    side = sigs.select(
+        F.col("doc_id").alias("id"),
+        F.col("_shingles"),
+        *[F.col(f"sig{k}") for k in range(NUM_HASHES)],
+    )
+    hit_r1 = None
+    for k in range(NUM_HASHES):
+        c = F.col(f"sa.sig{k}") == F.col(f"sb.sig{k}")
+        hit_r1 = c if hit_r1 is None else (hit_r1 | c)
+    hit_r2 = (
+        (F.col("sa.sig0") == F.col("sb.sig0"))
+        & (F.col("sa.sig1") == F.col("sb.sig1"))
+    ) | (
+        (F.col("sa.sig2") == F.col("sb.sig2"))
+        & (F.col("sa.sig3") == F.col("sb.sig3"))
+    )
+    scored = (
+        pairs.join(side.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(side.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            jaccard(F.col("sa._shingles"), F.col("sb._shingles")).alias("s"),
+            F.when(hit_r1, 1).otherwise(0).alias("hit_r1"),
+            F.when(hit_r2, 1).otherwise(0).alias("hit_r2"),
+        )
+    )
+    one = F.lit(1.0)
+    an_r1 = one - (one - F.col("s")) * (one - F.col("s")) * (
+        one - F.col("s")
+    ) * (one - F.col("s"))
+    an_r2 = one - (one - F.col("s") * F.col("s")) * (
+        one - F.col("s") * F.col("s")
+    )
+    fanned = scored.select(
+        "s",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r1b4").alias("banding"),
+                    F.col("hit_r1").alias("hit"),
+                    an_r1.alias("analytic"),
+                ),
+                F.struct(
+                    F.lit("r2b2").alias("banding"),
+                    F.col("hit_r2").alias("hit"),
+                    an_r2.alias("analytic"),
+                ),
+            )
+        ).alias("f"),
+    ).select("s", "f.banding", "f.hit", "f.analytic")
+    sbin = (
+        F.when(F.col("s") < SCURVE_BINS[0], 0)
+        .when(F.col("s") < SCURVE_BINS[1], 1)
+        .when(F.col("s") < SCURVE_BINS[2], 2)
+        .when(F.col("s") < SCURVE_BINS[3], 3)
+        .when(F.col("s") < SCURVE_BINS[4], 4)
+        .otherwise(5)
+    )
+    return (
+        fanned.groupBy("banding", sbin.cast("int").alias("sbin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            stable_round(F.avg("s"), 6).alias("mean_exact"),
+            stable_round(F.avg("analytic"), 6).alias("analytic_p"),
+            stable_round(F.avg("hit") * 1.0, 6).alias("measured_rate"),
+            stable_round(
+                F.avg("hit") * 1.0 - F.avg("analytic"), 6
+            ).alias("gap"),
+        )
+    )

@@ -1293,3 +1293,16 @@ def test_open_state_no_window_scalar_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Generate" in plan
+
+
+def test_scurve_panel_no_cartesian(spark, sf_dir):
+    """The S-curve audit's pair panel is hash-partner arithmetic (a
+    broadcast scalar bind) plus the banded+capped SimHash equi-join —
+    never an all-pairs stage; signature joins are equi on the panel
+    ids."""
+    plan = physical_plan(
+        QUERIES["dedup_lsh_scurve_empirical"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    # the doc_id < DOC_PANEL_MAX_ID panel cap reaches the scan
+    assert "LessThan(doc_id" in plan

@@ -558,6 +558,63 @@ def dedup_component_size_histogram(
     )
 
 
+def allocation_from_per_lang(per_lang: DataFrame) -> DataFrame:
+    """The closed-form uniform-target allocation from a (lang, avail)
+    frame — the ONE arithmetic stage shared by
+    ``sample_language_budget`` and the streaming language-budget
+    monitor (streaming/langbudget.py), so batch and stream can never
+    silently allocate differently. Input frame is language-bounded
+    (single-digit rows); every window below runs on it."""
+    w = Window.partitionBy()
+    base = per_lang.select(
+        "lang",
+        "avail",
+        (F.sum("avail").over(w) * LANG_BUDGET_SHARE).alias("budget"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+    )
+    pass1 = base.select(
+        "lang",
+        "avail",
+        "budget",
+        F.least(
+            F.col("avail") * 1.0, F.col("budget") / F.col("n_langs")
+        ).alias("alloc1"),
+        (
+            F.col("avail")
+            - F.least(
+                F.col("avail") * 1.0, F.col("budget") / F.col("n_langs")
+            )
+        ).alias("headroom"),
+        "n_langs",
+    )
+    pass2 = pass1.select(
+        "lang",
+        "avail",
+        "budget",
+        "alloc1",
+        "headroom",
+        "n_langs",
+        (F.col("budget") - F.sum("alloc1").over(w)).alias("deficit"),
+        F.sum("headroom").over(w).alias("total_headroom"),
+    )
+    extra = F.when(
+        F.col("total_headroom") > 0,
+        F.col("deficit") * F.col("headroom") / F.col("total_headroom"),
+    ).otherwise(0.0)
+    return pass2.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        stable_round(F.col("budget") / F.col("n_langs"), 2).alias(
+            "target_tokens"
+        ),
+        stable_round(F.col("alloc1") + extra, 2).alias("alloc_tokens"),
+        stable_round(
+            (F.col("alloc1") + extra) / F.greatest(F.col("avail"), F.lit(1)),
+            6,
+        ).alias("fill_share"),
+    )
+
+
 @query(
     "sample_language_budget",
     oracle=f"""
@@ -616,54 +673,7 @@ def sample_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_lang = d.groupBy("lang").agg(
         F.sum(X.token_count(F.col("text"))).cast("long").alias("avail")
     )
-    w = Window.partitionBy()
-    base = per_lang.select(
-        "lang",
-        "avail",
-        (F.sum("avail").over(w) * LANG_BUDGET_SHARE).alias("budget"),
-        F.count(F.lit(1)).over(w).alias("n_langs"),
-    )
-    pass1 = base.select(
-        "lang",
-        "avail",
-        "budget",
-        F.least(
-            F.col("avail") * 1.0, F.col("budget") / F.col("n_langs")
-        ).alias("alloc1"),
-        (
-            F.col("avail")
-            - F.least(
-                F.col("avail") * 1.0, F.col("budget") / F.col("n_langs")
-            )
-        ).alias("headroom"),
-        "n_langs",
-    )
-    pass2 = pass1.select(
-        "lang",
-        "avail",
-        "budget",
-        "alloc1",
-        "headroom",
-        "n_langs",
-        (F.col("budget") - F.sum("alloc1").over(w)).alias("deficit"),
-        F.sum("headroom").over(w).alias("total_headroom"),
-    )
-    extra = F.when(
-        F.col("total_headroom") > 0,
-        F.col("deficit") * F.col("headroom") / F.col("total_headroom"),
-    ).otherwise(0.0)
-    return pass2.select(
-        "lang",
-        F.col("avail").alias("avail_tokens"),
-        stable_round(F.col("budget") / F.col("n_langs"), 2).alias(
-            "target_tokens"
-        ),
-        stable_round(F.col("alloc1") + extra, 2).alias("alloc_tokens"),
-        stable_round(
-            (F.col("alloc1") + extra) / F.greatest(F.col("avail"), F.lit(1)),
-            6,
-        ).alias("fill_share"),
-    )
+    return allocation_from_per_lang(per_lang)
 
 
 def _aspect_buckets_sql() -> str:

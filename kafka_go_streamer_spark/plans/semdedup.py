@@ -907,24 +907,18 @@ def _pii_density_sql() -> str:
     """
 
 
-@query("pii_density_by_source", oracle=_pii_density_sql)
-def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-gate rollup of the PII scrub: per source, how many
-    documents carry PII and at what density — the triage table that
-    decides which feeds need redaction (``text_pii_redact`` is the
-    per-document scrubber; this is its fleet-level dashboard). Uses
-    the same deterministic PII seeding and the same RE2∩Java-dialect
-    patterns, so detection provably fires on a corpus with no organic
-    PII.
-
-    Scale: a pure narrow projection (seed + two codegen'd
-    regexp_count) followed by one aggregate by source."""
+def pii_per_doc(d: DataFrame) -> DataFrame:
+    """Per-document PII projection (needs doc_id, source, text):
+    (source, chars, ne, np) under the deterministic PII seeding and
+    the RE2∩Java-dialect patterns. The ONE scoring stage shared by
+    ``pii_density_by_source`` and the streaming PII monitor
+    (streaming/pii.py), so batch and stream can never silently count
+    differently."""
     from kafka_go_streamer_spark.plans.training_ops import (
         EMAIL_RE,
         PHONE_RE,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     seeded = F.concat(
         F.col("text"),
         F.when(
@@ -943,12 +937,28 @@ def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    per = d.select(
+    return d.select(
         "source",
         F.length(seeded).cast("long").alias("chars"),
         F.regexp_count(seeded, F.lit(EMAIL_RE)).cast("long").alias("ne"),
         F.regexp_count(seeded, F.lit(PHONE_RE)).cast("long").alias("np"),
     )
+
+
+@query("pii_density_by_source", oracle=_pii_density_sql)
+def pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-gate rollup of the PII scrub: per source, how many
+    documents carry PII and at what density — the triage table that
+    decides which feeds need redaction (``text_pii_redact`` is the
+    per-document scrubber; this is its fleet-level dashboard). Uses
+    the same deterministic PII seeding and the same RE2∩Java-dialect
+    patterns, so detection provably fires on a corpus with no organic
+    PII.
+
+    Scale: a pure narrow projection (seed + two codegen'd
+    regexp_count) followed by one aggregate by source."""
+    d = load_table(spark, sf_dir, "documents")
+    per = pii_per_doc(d.select("doc_id", "source", "text"))
     return per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("ne") + F.col("np") > 0, 1).otherwise(0))

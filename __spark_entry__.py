@@ -131,24 +131,23 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    # r12 code-touched queries (tests/test_rotation_staleness.py; the
-    # r11 seven landed green in CORRECTNESS_r11 and rotate out):
-    #   multimodal_phash_bands — signature stage fused into ONE Arrow
-    #     synth+parse+sign hop (the r11 regression's A/B'd fix)
-    #   graph_rich_club — per-k Python loop folded to one exploded
-    #     threshold grid (VERDICT r11 task 4)
-    # plus the two ADVICE-r11 belt-and-suspenders refronts: r11's
-    # fan_out move into synthetic_image_blobs changed these queries'
-    # PHYSICAL plans via helper drift, which the ast-span staleness
-    # test cannot see, so their driver verdicts predate the change.
-    "multimodal_phash_bands",
-    "graph_rich_club",
-    "multimodal_byte_histogram",
-    "multimodal_dedup_blobs",
-    # graph_label_propagation — label chain extracted to
-    # lpa_label_frame/lpa_label_ctes (r12) so graph_modularity_lpa can
-    # compose it; same plan, but the span changed.
-    "graph_label_propagation",
+    # r13 code-touched queries (tests/test_rotation_staleness.py; the
+    # r12 five landed green in CORRECTNESS_r12 and rotate out):
+    #   storage_skipping_minmax_audit — file assignment rewritten to
+    #     dense-id / time-range arithmetic on broadcast bounds
+    #     (VERDICT r12 task 3: the two unpartitioned row_number
+    #     windows are gone; values changed by design, oracle updated
+    #     in lockstep)
+    #   text_zipf_slope — top-N cut now orderBy().limit() ->
+    #     TakeOrderedAndProject (same hash, plan changed)
+    #   pii_density_by_source — per-doc projection extracted to the
+    #     shared pii_per_doc stage for the streaming monitor
+    #   sample_language_budget — allocation arithmetic extracted to
+    #     the shared allocation_from_per_lang stage for the monitor
+    "storage_skipping_minmax_audit",
+    "text_zipf_slope",
+    "pii_density_by_source",
+    "sample_language_budget",
 )
 
 

@@ -314,6 +314,17 @@ HEADLINE = [
     "text_zipf_slope",
     "quality_ece_summary",
     "multimodal_phash_hamming_hist",
+    # round-13 wave (appended, common prefix still comparable): the
+    # event-time lateness grid + dedup-leakage audit (both exercise
+    # the two-level prefix scan — the wave's only nontrivial shuffle
+    # structure), the no-window state-sizing table, the per-type
+    # delay profile, and the fixed-panel LSH S-curve (panel signature
+    # pass + banded equi-joins)
+    "events_lateness_watermark_grid",
+    "events_watermark_dedup_audit",
+    "events_watermark_open_state",
+    "events_arrival_delay_profile",
+    "dedup_lsh_scurve_empirical",
 ]
 
 

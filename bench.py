@@ -325,6 +325,17 @@ HEADLINE = [
     "events_watermark_open_state",
     "events_arrival_delay_profile",
     "dedup_lsh_scurve_empirical",
+    # ...and the wave-2 reliability/sizing audits: provenance routing,
+    # gate ablation (bag_fp window), the two sketch sizing curves
+    # (grid fans + broadcast counter frames), the hour-spine backlog
+    # recurrence, l-diversity, and the Hill tail index
+    "route_unmatched_by_source",
+    "quality_gate_ablation",
+    "privacy_l_diversity",
+    "sketch_bloom_fpr_curve",
+    "sketch_cms_error_profile",
+    "events_capacity_backlog_plan",
+    "text_tail_index_hill",
 ]
 
 

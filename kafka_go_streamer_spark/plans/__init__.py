@@ -18,6 +18,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     ops_analytics,
     pipeline_econ,
     relational,
+    reliability,
     routing_queries,
     scale_ops,
     semdedup,

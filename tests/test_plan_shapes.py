@@ -1306,3 +1306,74 @@ def test_scurve_panel_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the doc_id < DOC_PANEL_MAX_ID panel cap reaches the scan
     assert "LessThan(doc_id" in plan
+
+
+# ----------------------------------------------- r13 reliability wave
+def test_route_by_source_narrow_single_agg(spark, sf_dir):
+    """The provenance-carrying router stays the reference's narrow
+    shape: case-when projection, no join anywhere, one aggregate
+    exchange on the source key."""
+    plan = physical_plan(QUERIES["route_unmatched_by_source"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final agg only
+
+
+def test_gate_ablation_window_partitioned_one_scan(spark, sf_dir):
+    """Ablation's only window is partitioned by the duplicate
+    fingerprint (bounded groups); the 4-row output fans from ONE
+    aggregate row via Generate — no join, no unpartitioned window."""
+    plan = physical_plan(QUERIES["quality_gate_ablation"](spark, sf_dir))
+    assert "Join" not in plan
+    assert re.search(r"windowspecdefinition\(bag_fp#\d+", plan)
+    assert "Generate explode" in plan
+
+
+def test_l_diversity_class_frame_fan(spark, sf_dir):
+    """l-diversity collapses to QI classes first; the l-grid explode
+    fans the class frame only — no join."""
+    plan = physical_plan(QUERIES["privacy_l_diversity"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_bloom_fpr_bit_sets_broadcast(spark, sf_dir):
+    """Per-width bit sets must broadcast to the probe side (the
+    runtime-join-filter shape); no cartesian anywhere — the scalar
+    member count binds as a 1-row broadcast."""
+    plan = physical_plan(QUERIES["sketch_bloom_fpr_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_error_counters_broadcast_topn_heap(spark, sf_dir):
+    """The heavy-hitter panel is TakeOrderedAndProject (distributed
+    heaps) and the bounded counter frames broadcast to it; no
+    cartesian."""
+    plan = physical_plan(QUERIES["sketch_cms_error_profile"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_backlog_windows_on_spine_only(spark, sf_dir):
+    """The Lindley recurrence's prefix scans run on the generated hour
+    spine partitioned by capacity factor — the events fact is
+    aggregated to hourly counts and never sorted or windowed."""
+    plan = physical_plan(
+        QUERIES["events_capacity_backlog_plan"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(f#\d+", plan)
+    # no window keyed on raw event columns
+    assert not re.search(r"windowspecdefinition\(event_id#\d+", plan)
+
+
+def test_hill_take_ordered_then_tiny_rank(spark, sf_dir):
+    """Hill's order statistics come from orderBy().limit() —
+    TakeOrderedAndProject below the (K+1)-row rank window, the zipf
+    discipline."""
+    plan = physical_plan(QUERIES["text_tail_index_hill"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    w = plan.find("Window")
+    t = plan.find("TakeOrderedAndProject")
+    assert w != -1 and t != -1 and w < t

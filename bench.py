@@ -336,6 +336,15 @@ HEADLINE = [
     "sketch_cms_error_profile",
     "events_capacity_backlog_plan",
     "text_tail_index_hill",
+    # wave 3: the batch-watermark trigger matrix (the wave's heaviest
+    # shuffle structure — two partitioned prefix scans), the composed
+    # CC drop-bias rollup, the recall@k grid, the HLL sizing curve,
+    # and the 2-D Z-order layout audit
+    "events_lateness_trigger_matrix",
+    "dedup_drop_bias_by_source",
+    "ann_recall_at_k_grid",
+    "sketch_hll_error_curve",
+    "storage_zorder_skipping_audit",
 ]
 
 

@@ -1374,3 +1374,89 @@ def dedup_lsh_scurve_empirical(
             ).alias("gap"),
         )
     )
+
+
+# ----------------------------------------------- dedup drop-set bias
+def _drop_bias_sql() -> str:
+    from kafka_go_streamer_spark.plans.registry import ORACLES
+
+    comp = ORACLES["dedup_connected_components"]
+    return f"""
+    WITH comp AS MATERIALIZED ({comp}),
+    drops AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <> min(doc_id) OVER (
+                    PARTITION BY component_id)
+                  THEN 1 ELSE 0 END AS dropped
+      FROM comp
+    ),
+    j AS (
+      SELECT d.source, dr.dropped
+      FROM drops dr JOIN documents d USING (doc_id)
+    ),
+    tot AS (
+      SELECT sum(dropped) * 1.0 / count(*) AS overall FROM j
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(dropped)::BIGINT AS n_dropped,
+           round(sum(dropped) * 1.0 / count(*), 6) AS drop_share,
+           round(CASE WHEN overall > 0
+                      THEN (sum(dropped) * 1.0 / count(*)) / overall
+                 END, 4) AS drop_lift
+    FROM j CROSS JOIN tot
+    GROUP BY source, overall
+    """
+
+
+@query("dedup_drop_bias_by_source", oracle=_drop_bias_sql)
+def dedup_drop_bias_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source drop bias of the TEXT near-duplicate dedup: under
+    keep-one-per-cluster (min doc_id canonical) over the
+    connected-components assignment, which feeds lose documents and
+    how far above/below the corpus-wide drop rate (``drop_lift`` —
+    a feed at 3x is a mirror/syndicator; one at ~0 contributes
+    genuinely unique text). The text-side twin of
+    ``semdedup_drop_bias`` (which audits the SEMANTIC prune by
+    label): dedup is a curation decision and this is its
+    disparate-impact check at feed grain.
+
+    Scale: composes the audited contraction-loop CC (its own scale
+    story); the canonical rule is a window PARTITIONED by component
+    (bounded by cluster size — the same hot-key bound the histogram
+    documents); one broadcast scalar bind for the corpus rate; one
+    source-cardinality aggregate."""
+    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+
+    comp = _Q["dedup_connected_components"](spark, sf_dir)
+    drops = comp.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("component_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = drops.join(d, "doc_id")
+    tot = j.agg(
+        (F.sum("dropped") * 1.0 / F.count(F.lit(1))).alias("overall")
+    )
+    share = F.sum("dropped") * 1.0 / F.count(F.lit(1))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("source", "overall")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            stable_round(share, 6).alias("drop_share"),
+            stable_round(
+                F.when(F.col("overall") > 0, share / F.col("overall")), 4
+            ).alias("drop_lift"),
+        )
+        .drop("overall")
+    )

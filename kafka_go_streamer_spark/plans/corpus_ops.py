@@ -828,3 +828,189 @@ def dedup_span_coverage_by_source(
             stable_round(F.avg("dup_ratio"), 6).alias("mean_dup_ratio"),
         )
     )
+
+
+#: recall@k grid evaluated at a fixed nprobe (the knee from the
+#: recall/cost frontier).
+RECALL_K_GRID = (1, 5, 10)
+RECALL_K_NPROBE = 2
+
+
+def _recall_at_k_sql() -> str:
+    from kafka_go_streamer_spark.functions.vectors import cosine_sql
+    from kafka_go_streamer_spark.plans.scale_ops import _ivf_cells_sql
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    branches = []
+    for k in RECALL_K_GRID:
+        branches.append(f"""
+    SELECT {k}::INTEGER AS k,
+           (SELECT count(*) FROM qs)::BIGINT AS n_queries,
+           round(sum(hits) * 1.0 / ({k} * (SELECT count(*) FROM qs)), 6)
+             AS mean_recall_at_k
+    FROM (
+      SELECT g.q_id, count(c.vec_id) AS hits
+      FROM (SELECT q_id, vec_id FROM gt WHERE rn <= {k}) g
+      LEFT JOIN (
+        SELECT q_id, vec_id FROM cand WHERE rn <= {k}
+      ) c ON c.q_id = g.q_id AND c.vec_id = g.vec_id
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH {_ivf_cells_sql()},
+    qs AS MATERIALIZED (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {PANEL_MAX_ID}
+    ),
+    gt AS MATERIALIZED (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({cosine_sql('e.embedding', 'q.qv')}, 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= {max(RECALL_K_GRID)}
+    ),
+    qc AS MATERIALIZED (
+      SELECT q_id, qv, cent_id,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY round({cosine_sql('cv', 'qv')}, 6) DESC,
+                        cent_id ASC) AS crank
+      FROM cents CROSS JOIN qs
+    ),
+    cand AS MATERIALIZED (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT qc.q_id, cl.vec_id,
+               row_number() OVER (
+                 PARTITION BY qc.q_id
+                 ORDER BY round({cosine_sql('cl.embedding', 'qc.qv')}, 6)
+                          DESC, cl.vec_id ASC) AS rn
+        FROM cells cl JOIN qc ON cl.cell = qc.cent_id
+        WHERE cl.vec_id <> qc.q_id AND qc.crank <= {RECALL_K_NPROBE}
+      ) WHERE rn <= {max(RECALL_K_GRID)}
+    )
+    {" UNION ALL ".join(branches)}
+    """
+
+
+@query("ann_recall_at_k_grid", oracle=_recall_at_k_sql)
+def ann_recall_at_k_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall surface's OTHER axis: mean recall@k for k ∈ {1, 5,
+    10} at the fixed nprobe=2 operating point (the knee the cost
+    frontier picks). ``ann_nprobe_recall_curve`` sweeps nprobe at
+    k=10; serving teams also need the k-axis — recall@1 is the
+    "did the single best neighbor survive" number a rerank-free
+    serving path lives on, and a gap between recall@1 and recall@10
+    says the index loses the TOP of the ranking specifically.
+
+    Scale: identical discipline to the curve — ground truth computed
+    ONCE against the FIXED panel (PANEL_MAX_ID), candidates scored
+    once over the probed cells, per-k cuts re-rank the pinned
+    panel-sized frames only."""
+    from pyspark.sql import Window
+
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.scale_ops import (
+        IVF_CENTROID_IDS,
+        _ivf_cells,
+    )
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    wq = Window.partitionBy("q_id")
+    kmax = max(RECALL_K_GRID)
+    gt = pinned(
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= kmax)
+        .select("q_id", "vec_id", "rn")
+    )
+    cents = emb.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    qc = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "qv",
+            "cent_id",
+            stable_round(cosine(F.col("cv"), F.col("qv")), 6).alias("qsim"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                wq.orderBy(F.col("qsim").desc(), F.col("cent_id").asc())
+            ),
+        )
+        .filter(F.col("crank") <= RECALL_K_NPROBE)
+        .select("q_id", "qv", "cent_id")
+    )
+    cells = _ivf_cells(spark, sf_dir)
+    cand = pinned(
+        cells.join(F.broadcast(qc), cells.cell == qc.cent_id)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= kmax)
+        .select("q_id", "vec_id", "rn")
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    out = None
+    for k in RECALL_K_GRID:
+        g = gt.filter(F.col("rn") <= k).select("q_id", "vec_id")
+        c = cand.filter(F.col("rn") <= k).select(
+            "q_id", F.col("vec_id").alias("cand_id")
+        )
+        hits = (
+            g.join(
+                c,
+                (g.q_id == c.q_id) & (g.vec_id == c.cand_id),
+                "left",
+            )
+            .groupBy(g.q_id)
+            .agg(F.count("cand_id").alias("hits"))
+        )
+        row = (
+            hits.agg(F.sum("hits").alias("tot"))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                "n_queries",
+                stable_round(
+                    F.col("tot") * 1.0 / (k * F.col("n_queries")), 6
+                ).alias("mean_recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

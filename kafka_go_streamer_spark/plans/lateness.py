@@ -669,3 +669,140 @@ def events_watermark_open_state(
         .cast("long")
         .alias("n_dedup_keys_live"),
     )
+
+
+#: Trigger intervals (seconds) for the batch-watermark drop matrix.
+TRIGGER_GRID_S = (60, 600, 3600)
+#: Delay grid for the matrix — the continuous grid's delays minus the
+#: 1 h anchor (whose continuous drop count is zero by the jitter
+#: bound, which would make the capture ratio degenerate).
+MATRIX_DELAYS_S = (30, 300, 1800)
+#: Fixed window size for the matrix (one cell of the lateness grid).
+MATRIX_WINDOW_S = 3600
+
+
+@query(
+    "events_lateness_trigger_matrix",
+    oracle=f"""
+    WITH {_EV_CTES},
+    tg AS (SELECT t FROM (VALUES {_values(TRIGGER_GRID_S)}) x(t)),
+    fanned AS (
+      SELECT ev.us, ev.arrival_us, ev.run_max_us, tg.t,
+             ev.arrival_us // (tg.t::BIGINT * 1000000) AS tb
+      FROM ev CROSS JOIN tg
+    ),
+    bframe AS (
+      SELECT t, tb, max(us) AS bmax FROM fanned GROUP BY 1, 2
+    ),
+    bprev AS (
+      SELECT t, tb, max(bmax) OVER (PARTITION BY t ORDER BY tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM bframe
+    ),
+    ev2 AS (
+      SELECT f.t, f.us, f.run_max_us, coalesce(p.prev_max, -1) AS bwm
+      FROM fanned f JOIN bprev p ON f.t = p.t AND f.tb = p.tb
+    ),
+    dg AS (SELECT d FROM (VALUES {_values(MATRIX_DELAYS_S)}) x(d)),
+    flags AS (
+      SELECT t, d,
+             CASE WHEN bwm - d::BIGINT * 1000000 >=
+                  ((us // {MATRIX_WINDOW_S * 1_000_000}) + 1)
+                    * {MATRIX_WINDOW_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS drop_batch,
+             CASE WHEN run_max_us - d::BIGINT * 1000000 >=
+                  ((us // {MATRIX_WINDOW_S * 1_000_000}) + 1)
+                    * {MATRIX_WINDOW_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS drop_cont
+      FROM ev2 CROSS JOIN dg
+    )
+    SELECT t::INTEGER AS trigger_s, d::INTEGER AS delay_s,
+           count(*)::BIGINT AS n_events,
+           sum(drop_batch)::BIGINT AS n_dropped_batch,
+           sum(drop_cont)::BIGINT AS n_dropped_continuous,
+           round(sum(drop_batch) * 1.0 / count(*), 6) AS drop_share_batch,
+           round(CASE WHEN sum(drop_cont) > 0
+                      THEN sum(drop_batch) * 1.0 / sum(drop_cont)
+                 END, 4) AS capture_ratio
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def events_lateness_trigger_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How trigger interval buys back late data: the lateness grid's
+    drop rule re-evaluated under PER-BATCH watermarks (the semantics
+    tests/test_streaming_lateness.py pinned against the engine: the
+    watermark an event faces is the max event time of earlier
+    BATCHES, batch = its arrival's trigger slot) at trigger ∈
+    {{60 s, 600 s, 1 h}} × delay ∈ {{30 s, 300 s, 1800 s}}, window
+    fixed at 1 h. ``n_dropped_continuous`` is the continuous-limit
+    bound (the registered grid's rule); ``capture_ratio`` =
+    batch/continuous is the share of the bound a real micro-batch
+    stream actually drops — coarser triggers hold the watermark back,
+    so they DROP LESS but buffer more (events_watermark_open_state
+    prices that side). The two tables together turn "pick a trigger"
+    into arithmetic.
+
+    Scale: the batch-watermark frame is per (trigger, slot) —
+    bounded by horizon/trigger rows, independent of data volume —
+    with its prefix max PARTITIONED by trigger; the continuous
+    frontier reuses the two-level prefix scan; both bind back by
+    equi-join/broadcast. Constant 3x3 grid fan, one 9-row
+    aggregate."""
+    ev = with_running_max(
+        jittered_arrivals(load_table(spark, sf_dir, "events"))
+    )
+    fanned = ev.withColumn(
+        "t", F.explode(F.array(*[F.lit(t) for t in TRIGGER_GRID_S]))
+    ).withColumn(
+        "tb", F.expr("arrival_us div (cast(t as bigint) * 1000000)")
+    )
+    bframe = fanned.groupBy("t", "tb").agg(F.max("us").alias("bmax"))
+    bprev = bframe.select(
+        "t",
+        "tb",
+        F.max("bmax")
+        .over(
+            Window.partitionBy("t")
+            .orderBy("tb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("prev_max"),
+    )
+    ev2 = fanned.join(F.broadcast(bprev), ["t", "tb"]).select(
+        "t",
+        "us",
+        "run_max_us",
+        F.coalesce(F.col("prev_max"), F.lit(-1)).alias("bwm"),
+    )
+    flags = ev2.withColumn(
+        "d", F.explode(F.array(*[F.lit(d) for d in MATRIX_DELAYS_S]))
+    )
+    w_us = MATRIX_WINDOW_S * 1_000_000
+    wend = F.expr(f"((us div {w_us}) + 1) * {w_us}")
+    d_us = F.col("d").cast("long") * 1_000_000
+    drop_b = F.when(F.col("bwm") - d_us >= wend, 1).otherwise(0)
+    drop_c = F.when(F.col("run_max_us") - d_us >= wend, 1).otherwise(0)
+    return (
+        flags.groupBy(
+            F.col("t").cast("int").alias("trigger_s"),
+            F.col("d").cast("int").alias("delay_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(drop_b).cast("long").alias("n_dropped_batch"),
+            F.sum(drop_c).cast("long").alias("n_dropped_continuous"),
+            stable_round(
+                F.sum(drop_b) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("drop_share_batch"),
+            stable_round(
+                F.when(
+                    F.sum(drop_c) > 0,
+                    F.sum(drop_b) * 1.0 / F.sum(drop_c),
+                ),
+                4,
+            ).alias("capture_ratio"),
+        )
+    )

@@ -633,3 +633,194 @@ def ann_recall_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------------------------- storage_zorder_skipping_audit
+
+#: 2-D layout audit geometry: 8x8 bin grid -> 64 files per layout,
+#: probed by 8 deterministic 2x2-bin rectangles.
+Z_GRID_BITS = 3
+Z_N_FILES = 64
+Z_N_PROBES = 8
+
+
+def _zorder_audit_sql() -> str:
+    g = 1 << Z_GRID_BITS  # 8
+    z_expr = (
+        "((tb % 2) + 2 * (ub % 2) + 4 * ((tb // 2) % 2)"
+        " + 8 * ((ub // 2) % 2) + 16 * ((tb // 4) % 2)"
+        " + 32 * ((ub // 4) % 2))"
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi,
+             min(user_id) AS ulo, max(user_id) AS uhi
+      FROM events
+    ),
+    base AS (
+      SELECT epoch_us(ts) AS us, user_id, lo, hi, ulo, uhi
+      FROM events CROSS JOIN bounds
+    ),
+    binned AS (
+      SELECT us, user_id,
+             ((us - lo) * {g}) // (hi - lo + 1) AS tb,
+             ((user_id - ulo) * {g}) // (uhi - ulo + 1) AS ub,
+             ((us - lo) * {Z_N_FILES}) // (hi - lo + 1) AS tb64
+      FROM base
+    ),
+    files AS (
+      SELECT 'time_sorted' AS layout, tb64 AS file_id,
+             min(us) AS f_tmin, max(us) AS f_tmax,
+             min(user_id) AS f_umin, max(user_id) AS f_umax
+      FROM binned GROUP BY 1, 2
+      UNION ALL
+      SELECT 'zorder', {z_expr},
+             min(us), max(us), min(user_id), max(user_id)
+      FROM binned GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT i,
+             ('0x' || substr(md5(i::VARCHAR || 'za'), 1, 15))::BIGINT
+               % ({g} - 1) AS a,
+             ('0x' || substr(md5(i::VARCHAR || 'zb'), 1, 15))::BIGINT
+               % ({g} - 1) AS b
+      FROM generate_series(1, {Z_N_PROBES}) t(i)
+    ),
+    probes AS (
+      SELECT lo + ((hi - lo + 1) * a) // {g} AS p_tlo,
+             lo + ((hi - lo + 1) * (a + 2)) // {g} - 1 AS p_thi,
+             ulo + ((uhi - ulo + 1) * b) // {g} AS p_ulo,
+             ulo + ((uhi - ulo + 1) * (b + 2)) // {g} - 1 AS p_uhi
+      FROM pr CROSS JOIN bounds
+    )
+    SELECT layout,
+           count(DISTINCT file_id)::BIGINT AS n_files,
+           round(sum(CASE WHEN f_tmin <= p_thi AND f_tmax >= p_tlo
+                           AND f_umin <= p_uhi AND f_umax >= p_ulo
+                          THEN 1 ELSE 0 END) * 1.0 / {Z_N_PROBES}, 4)
+             AS mean_files_hit,
+           round(1.0 - sum(CASE WHEN f_tmin <= p_thi AND f_tmax >= p_tlo
+                                 AND f_umin <= p_uhi AND f_umax >= p_ulo
+                                THEN 1 ELSE 0 END) * 1.0
+                 / ({Z_N_PROBES} * {Z_N_FILES}), 4) AS skip_rate
+    FROM files CROSS JOIN probes
+    GROUP BY layout
+    """
+
+
+@query("storage_zorder_skipping_audit", oracle=_zorder_audit_sql)
+def storage_zorder_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 2-D sequel to ``storage_skipping_minmax_audit``: zone-map
+    skipping under RECTANGLE predicates (a time range AND a user
+    range — the dashboard/backfill query shape) for two 64-file
+    layouts: a plain time sort vs a Z-ORDER layout interleaving 3
+    time bits with 3 user-id bits (the curve ``operators/zorder.py``
+    writes for real). A time-sorted file spans the full user range,
+    so the user half of the predicate prunes nothing; Z-ordering
+    bounds BOTH columns per file at the cost of coarser time bounds —
+    this table measures the trade on real data, and is the number
+    that justifies (or kills) a Z-order rewrite for a given query
+    mix.
+
+    Scale: file assignment is the same broadcast-bounds arithmetic as
+    the 1-D audit (bit interleaving is integer div/mod — no sort, no
+    window); zone maps are one map-side-combined aggregate per
+    layout; everything downstream is 128 file rows x 8 probe
+    rectangles."""
+    g = 1 << Z_GRID_BITS
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+    )
+    binned = (
+        e.select(F.unix_micros("ts").alias("us"), "user_id")
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "us",
+            "user_id",
+            f"((us - lo) * {g}) div (hi - lo + 1) AS tb",
+            f"((user_id - ulo) * {g}) div (uhi - ulo + 1) AS ub",
+            f"((us - lo) * {Z_N_FILES}) div (hi - lo + 1) AS tb64",
+        )
+    )
+    z = F.expr(
+        "(tb % 2) + 2 * (ub % 2) + 4 * ((tb div 2) % 2)"
+        " + 8 * ((ub div 2) % 2) + 16 * ((tb div 4) % 2)"
+        " + 32 * ((ub div 4) % 2)"
+    )
+
+    def zone_maps(layout: str, fid) -> DataFrame:
+        return (
+            binned.select(
+                F.lit(layout).alias("layout"),
+                fid.alias("file_id"),
+                "us",
+                "user_id",
+            )
+            .groupBy("layout", "file_id")
+            .agg(
+                F.min("us").alias("f_tmin"),
+                F.max("us").alias("f_tmax"),
+                F.min("user_id").alias("f_umin"),
+                F.max("user_id").alias("f_umax"),
+            )
+        )
+
+    files = zone_maps("time_sorted", F.col("tb64")).unionByName(
+        zone_maps("zorder", z)
+    )
+    pr = (
+        bounds.select(
+            F.explode(
+                F.expr(f"sequence(1, {Z_N_PROBES})")
+            ).alias("i"),
+            "lo",
+            "hi",
+            "ulo",
+            "uhi",
+        )
+        .selectExpr(
+            f"conv(substring(md5(concat(cast(i as string), 'za')), 1, 15),"
+            f" 16, 10) % {g - 1} AS a",
+            f"conv(substring(md5(concat(cast(i as string), 'zb')), 1, 15),"
+            f" 16, 10) % {g - 1} AS b",
+            "lo",
+            "hi",
+            "ulo",
+            "uhi",
+        )
+        .selectExpr(
+            f"lo + ((hi - lo + 1) * a) div {g} AS p_tlo",
+            f"lo + ((hi - lo + 1) * (a + 2)) div {g} - 1 AS p_thi",
+            f"ulo + ((uhi - ulo + 1) * b) div {g} AS p_ulo",
+            f"ulo + ((uhi - ulo + 1) * (b + 2)) div {g} - 1 AS p_uhi",
+        )
+    )
+    hit = (
+        (F.col("f_tmin") <= F.col("p_thi"))
+        & (F.col("f_tmax") >= F.col("p_tlo"))
+        & (F.col("f_umin") <= F.col("p_uhi"))
+        & (F.col("f_umax") >= F.col("p_ulo"))
+    )
+    return (
+        files.crossJoin(F.broadcast(pr))
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("file_id").cast("long").alias("n_files"),
+            stable_round(
+                F.sum(F.when(hit, 1).otherwise(0)) * 1.0 / Z_N_PROBES, 4
+            ).alias("mean_files_hit"),
+            stable_round(
+                F.lit(1.0)
+                - F.sum(F.when(hit, 1).otherwise(0))
+                * 1.0
+                / (Z_N_PROBES * Z_N_FILES),
+                4,
+            ).alias("skip_rate"),
+        )
+    )

@@ -1123,3 +1123,168 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.q", "s.exact", "s.rank_eps", "s.within_bound")
     )
+
+
+# ----------------------------------------------- HLL precision curve
+
+#: Register-count grid for the HLL sizing curve (p = 4/6/8 index
+#: bits). 64 is the single-config sketch above; the curve brackets it.
+HLL_M_GRID = (16, 64, 256)
+
+#: alpha_m constants (Flajolet et al.): exact literals embedded on
+#: both engines so the estimate arithmetic never recomputes them.
+HLL_ALPHAS = {16: 0.673, 64: 0.709, 256: 0.7213 / (1 + 1.079 / 256)}
+
+
+def _hll_curve_numerator(m: int) -> float:
+    """alpha_m * m^2 * 2^(W+1) with W = 60 - p the suffix width —
+    the per-m scale that keeps the harmonic sum exact-integer until
+    one final division (the single-config sketch's discipline)."""
+    p = m.bit_length() - 1
+    return HLL_ALPHAS[m] * m * m * float(2 ** (61 - p))
+
+
+def _hll_curve_sql() -> str:
+    num_case = " ".join(
+        f"WHEN m = {m} THEN {_hll_curve_numerator(m)!r}"
+        for m in HLL_M_GRID
+    )
+    mvals = ", ".join(f"({m})" for m in HLL_M_GRID)
+    # suffix = h >> p; its width is 60 - p, bounded by 56 bits for the
+    # smallest p in the grid — one fixed-width CASE bit-length chain
+    # serves every m (values above a given m's width never occur)
+    bitlen = _bitlen_case("(h >> (CASE " + " ".join(
+        f"WHEN m = {m} THEN {m.bit_length() - 1}" for m in HLL_M_GRID
+    ) + " END))", 56)
+    p_case = "(CASE " + " ".join(
+        f"WHEN m = {m} THEN {m.bit_length() - 1}" for m in HLL_M_GRID
+    ) + " END)"
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    grid AS (SELECT m FROM (VALUES {mvals}) t(m)),
+    rr AS (
+      SELECT m, h % m AS idx,
+             (61 - {p_case} - {bitlen}) AS rho
+      FROM h, grid
+    ),
+    regs AS (SELECT m, idx, max(rho) AS reg FROM rr GROUP BY 1, 2),
+    est AS (
+      SELECT m, count(*) AS filled,
+             sum(CAST(1 AS BIGINT) << (61 - {p_case} - reg))
+               + (m - count(*))
+                 * (CAST(1 AS BIGINT) << (61 - {p_case}))
+               AS int_sum
+      FROM regs GROUP BY m
+    ),
+    exact AS (
+      SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+    ),
+    raws AS (
+      SELECT m, filled,
+             (CASE {num_case} END) / int_sum AS raw
+      FROM est
+    )
+    SELECT m::INTEGER AS m_registers,
+           filled::BIGINT AS filled_registers,
+           round(CASE WHEN raw <= 2.5 * m AND filled < m
+                      THEN m * ln(m * 1.0 / (m - filled))
+                      ELSE raw END, 1) AS hll_distinct,
+           exact_distinct::BIGINT AS exact_distinct,
+           round((CASE WHEN raw <= 2.5 * m AND filled < m
+                       THEN m * ln(m * 1.0 / (m - filled))
+                       ELSE raw END - exact_distinct)
+                 / exact_distinct, 6) AS rel_error,
+           round(1.04 / sqrt(m), 6) AS theoretical_rse
+    FROM raws CROSS JOIN exact
+    """
+
+
+@query("sketch_hll_error_curve", oracle=_hll_curve_sql)
+def sketch_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sizing curve: the distinct-user estimate at m ∈ {16, 64,
+    256} registers against the exact count, with the signed relative
+    error beside the theoretical RSE (1.04/√m). The single-config
+    sketch (``sketch_hll_distinct``, m=64) proves the register
+    algebra; this is the table that picks p for a production sketch —
+    the m=16 row shows what ±26% RSE means on real data, the m=256
+    row what 4x the registers buys. Same md5-slice hash, same
+    exact-integer harmonic sum (scaled per m so only the final
+    division is float), same small-range linear-counting branch.
+
+    Scale: the only data shuffle is the (m, idx) register groupBy —
+    map-side combined max, at most Σm = 336 rows shipped per executor
+    regardless of input; the exact column is the verification twin
+    (one countDistinct) that production drops."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    p_case = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN m = {m} THEN {m.bit_length() - 1}" for m in HLL_M_GRID
+        )
+        + " END"
+    )
+    fan = h.withColumn(
+        "m", F.explode(F.array(*[F.lit(m) for m in HLL_M_GRID]))
+    ).withColumn("p", p_case)
+    bitlen = F.expr(_bitlen_case("(h >> p)", 56))
+    rr = fan.select(
+        "m",
+        "p",
+        (F.col("h") % F.col("m")).alias("idx"),
+        (F.lit(61) - F.col("p") - bitlen).alias("rho"),
+    )
+    regs = rr.groupBy("m", "p", "idx").agg(F.max("rho").alias("reg"))
+    est = regs.groupBy("m", "p").agg(
+        F.count(F.lit(1)).alias("filled"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 61 - p - reg)"))
+            + (F.col("m") - F.count(F.lit(1)))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 61 - p)")
+        ).alias("int_sum"),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    num = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN m = {m} THEN {_hll_curve_numerator(m)!r}D"
+            for m in HLL_M_GRID
+        )
+        + " END"
+    )
+    raw = num / F.col("int_sum")
+    corrected = F.when(
+        (raw <= 2.5 * F.col("m")) & (F.col("filled") < F.col("m")),
+        F.col("m")
+        * F.log(F.col("m") * 1.0 / (F.col("m") - F.col("filled"))),
+    ).otherwise(raw)
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("m").cast("int").alias("m_registers"),
+            F.col("filled").cast("long").alias("filled_registers"),
+            stable_round(corrected, 1).alias("hll_distinct"),
+            "exact_distinct",
+            stable_round(
+                (corrected - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+            stable_round(
+                F.lit(1.04) / F.sqrt(F.col("m") * 1.0), 6
+            ).alias("theoretical_rse"),
+        )
+    )

@@ -1377,3 +1377,57 @@ def test_hill_take_ordered_then_tiny_rank(spark, sf_dir):
     w = plan.find("Window")
     t = plan.find("TakeOrderedAndProject")
     assert w != -1 and t != -1 and w < t
+
+
+# ------------------------------------------------------- r13 wave 3
+def test_hll_curve_register_bounded(spark, sf_dir):
+    """The HLL curve's only data shuffle is the (m, idx) register
+    groupBy (map-side combined max); the exact twin binds as a 1-row
+    broadcast — no cartesian, no sort-merge join."""
+    plan = physical_plan(QUERIES["sketch_hll_error_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final registers
+
+
+def test_recall_at_k_fixed_panel_no_cartesian(spark, sf_dir):
+    """Recall@k inherits the curve's fixed-panel discipline: panel
+    binds broadcast, candidates come from the cell equi-join — no
+    CartesianProduct anywhere."""
+    plan = physical_plan(QUERIES["ann_recall_at_k_grid"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_drop_bias_component_partitioned_window(spark, sf_dir):
+    """The canonical rule is a window PARTITIONED by component id
+    (bounded by cluster size); the corpus rate binds as a broadcast
+    scalar — no cartesian."""
+    plan = physical_plan(
+        QUERIES["dedup_drop_bias_by_source"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(component_id#\d+", plan)
+
+
+def test_trigger_matrix_partitioned_prefixes(spark, sf_dir):
+    """Both watermark frames are partitioned prefix scans: the batch
+    frame's window partitions by trigger, the continuous frontier by
+    arrival bucket — no unpartitioned window over fact-sized data,
+    no cartesian (grids are Generates)."""
+    plan = physical_plan(
+        QUERIES["events_lateness_trigger_matrix"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(t#\d+", plan)
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L, arrival_us", plan)
+
+
+def test_zorder_audit_window_free(spark, sf_dir):
+    """The 2-D layout audit is pure arithmetic on broadcast bounds
+    like its 1-D sibling: NO window functions, zone maps via map-side
+    combined aggregates, probes broadcast."""
+    plan = physical_plan(
+        QUERIES["storage_zorder_skipping_audit"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

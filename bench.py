@@ -463,10 +463,16 @@ def main() -> None:
                 }
                 if normalized > 2.0:
                     breaches.append(name)
-                # auto-tighten: a new raw minimum becomes the floor
-                # (never below a documented workload-revision floor)
-                if t < fl and name not in revised:
-                    floors[name] = t
+                # auto-tighten: a new minimum becomes the floor,
+                # normalized by the window's speed when the window ran
+                # FASTER than the probe reference — otherwise a lucky
+                # fast window records a floor that permanently inflates
+                # later rounds' normalized ratios (ADVICE r13). Slow
+                # windows keep the raw reading (already conservative).
+                # Never tightens below a documented workload revision.
+                cand = round(t / probe_ratio, 3) if probe_ratio < 1.0 else t
+                if cand < fl and name not in revised:
+                    floors[name] = cand
                     tightened = True
             if tightened:
                 with open(floors_path, "w") as f:

@@ -1152,6 +1152,7 @@ def _scurve_sql() -> str:
                          ('0x' || substr(md5(p.doc_id::VARCHAR || 'pp'),
                           1, 15))::BIGINT % (nn - 1)) % nn) AS id_b
       FROM panel p CROSS JOIN n
+      WHERE nn > 1
     ),
     s64 AS (SELECT doc_id, {simhash64_sql('w')} AS s64 FROM w0),
     bands AS (
@@ -1268,6 +1269,10 @@ def dedup_lsh_scurve_empirical(
     rnd = (
         d.select("doc_id")
         .crossJoin(F.broadcast(bounds))
+        # singleton panel: partner arithmetic would divide by nn-1=0
+        # (NULL in Spark, error in DuckDB) — emit no random pairs on
+        # both sides instead (ADVICE r13)
+        .filter(F.col("nn") > 1)
         .select(
             F.least(F.col("doc_id"), partner).alias("id_a"),
             F.greatest(F.col("doc_id"), partner).alias("id_b"),

@@ -34,14 +34,26 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.plans.text import (
+    PREP_LANG,
+    PREP_MIN_ALPHA,
+    PREP_MIN_WORDS,
+)
 from kafka_go_streamer_spark.sources.tables import load_table
 
 #: Prefix length (chars) for the snapshot-overlap screen.
 PREFIX_CHARS = 64
 
-#: The funnel's gate chain — MUST stay in lockstep with
-#: ``prep_survivors`` (plans/text.py): same thresholds, same order.
-FUNNEL_STAGES = ("raw", "len_ge_20w", "alpha_gt_0.6", "lang_en", "exact_dedup")
+#: The funnel's gate chain — labels and predicates derive from the
+#: shared ``prep_survivors`` thresholds (plans/text.py): same values,
+#: same order, one definition (ADVICE r13).
+FUNNEL_STAGES = (
+    "raw",
+    f"len_ge_{PREP_MIN_WORDS}w",
+    f"alpha_gt_{PREP_MIN_ALPHA}",
+    f"lang_{PREP_LANG}",
+    "exact_dedup",
+)
 
 
 def _gate_funnel_sql() -> str:
@@ -56,13 +68,18 @@ def _gate_funnel_sql() -> str:
     ),
     agg AS (
       SELECT count(*)::BIGINT AS c0,
-             sum(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)::BIGINT AS c1,
-             sum(CASE WHEN n_words >= 20 AND alpha_ratio > 0.6
+             sum(CASE WHEN n_words >= {PREP_MIN_WORDS}
+                      THEN 1 ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN n_words >= {PREP_MIN_WORDS}
+                       AND alpha_ratio > {PREP_MIN_ALPHA}
                       THEN 1 ELSE 0 END)::BIGINT AS c2,
-             sum(CASE WHEN n_words >= 20 AND alpha_ratio > 0.6
-                       AND pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c3,
-             count(DISTINCT CASE WHEN n_words >= 20 AND alpha_ratio > 0.6
-                                  AND pred_lang = 'en'
+             sum(CASE WHEN n_words >= {PREP_MIN_WORDS}
+                       AND alpha_ratio > {PREP_MIN_ALPHA}
+                       AND pred_lang = '{PREP_LANG}'
+                      THEN 1 ELSE 0 END)::BIGINT AS c3,
+             count(DISTINCT CASE WHEN n_words >= {PREP_MIN_WORDS}
+                                  AND alpha_ratio > {PREP_MIN_ALPHA}
+                                  AND pred_lang = '{PREP_LANG}'
                                  THEN bag_fp END)::BIGINT AS c4
       FROM scored
     )
@@ -98,9 +115,9 @@ def pipeline_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.lang_id(F.col("text")).alias("pred_lang"),
         X.bag_fingerprint(F.col("text")).alias("bag_fp"),
     )
-    g1 = F.col("n_words") >= 20
-    g2 = g1 & (F.col("alpha_ratio") > 0.6)
-    g3 = g2 & (F.col("pred_lang") == "en")
+    g1 = F.col("n_words") >= PREP_MIN_WORDS
+    g2 = g1 & (F.col("alpha_ratio") > PREP_MIN_ALPHA)
+    g3 = g2 & (F.col("pred_lang") == PREP_LANG)
     agg = scored.agg(
         F.count(F.lit(1)).cast("long").alias("c0"),
         F.sum(F.when(g1, 1).otherwise(0)).cast("long").alias("c1"),

@@ -69,6 +69,11 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.plans.text import (
+    PREP_LANG,
+    PREP_MIN_ALPHA,
+    PREP_MIN_WORDS,
+)
 from kafka_go_streamer_spark.routing import route, routing_case_sql
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -173,9 +178,12 @@ def _gate_ablation_sql() -> str:
       FROM documents
     ),
     flagged AS (
-      SELECT CASE WHEN n_words < 20 THEN 1 ELSE 0 END AS f_words,
-             CASE WHEN alpha_ratio <= 0.6 THEN 1 ELSE 0 END AS f_alpha,
-             CASE WHEN pred_lang <> 'en' THEN 1 ELSE 0 END AS f_lang,
+      SELECT CASE WHEN n_words < {PREP_MIN_WORDS}
+                  THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN alpha_ratio <= {PREP_MIN_ALPHA}
+                  THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN pred_lang <> '{PREP_LANG}'
+                  THEN 1 ELSE 0 END AS f_lang,
              CASE WHEN rn > 1 THEN 1 ELSE 0 END AS f_dup
       FROM (
         SELECT *, row_number() OVER (
@@ -243,9 +251,15 @@ def quality_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("bag_fp").orderBy(F.col("doc_id").asc())
     )
     flagged = scored.withColumn("rn", rn).select(
-        F.when(F.col("n_words") < 20, 1).otherwise(0).alias("f_words"),
-        F.when(F.col("alpha_ratio") <= 0.6, 1).otherwise(0).alias("f_alpha"),
-        F.when(F.col("pred_lang") != "en", 1).otherwise(0).alias("f_lang"),
+        F.when(F.col("n_words") < PREP_MIN_WORDS, 1)
+        .otherwise(0)
+        .alias("f_words"),
+        F.when(F.col("alpha_ratio") <= PREP_MIN_ALPHA, 1)
+        .otherwise(0)
+        .alias("f_alpha"),
+        F.when(F.col("pred_lang") != PREP_LANG, 1)
+        .otherwise(0)
+        .alias("f_lang"),
         F.when(F.col("rn") > 1, 1).otherwise(0).alias("f_dup"),
     )
     others = {
@@ -411,14 +425,18 @@ def _bloom_fpr_sql() -> str:
            nb.bits_set::BIGINT AS bits_set,
            round(nb.bits_set * 1.0 / a.m, 6) AS fill_ratio,
            n_fp::BIGINT AS n_false_pos,
-           round(n_fp * 1.0 / n_nonmembers, 6) AS fpr_measured,
+           CASE WHEN n_nonmembers > 0
+                THEN round(n_fp * 1.0 / n_nonmembers, 6)
+           END AS fpr_measured,
            round(pow(1.0 - pow(1.0 - 1.0 / a.m,
                                {BLOOM_K}.0 * nm.n_members),
                      {BLOOM_K}), 6) AS fpr_analytic,
-           round(n_fp * 1.0 / n_nonmembers
-                 - pow(1.0 - pow(1.0 - 1.0 / a.m,
-                                 {BLOOM_K}.0 * nm.n_members),
-                       {BLOOM_K}), 6) AS gap
+           CASE WHEN n_nonmembers > 0
+                THEN round(n_fp * 1.0 / n_nonmembers
+                     - pow(1.0 - pow(1.0 - 1.0 / a.m,
+                                     {BLOOM_K}.0 * nm.n_members),
+                           {BLOOM_K}), 6)
+           END AS gap
     FROM agg a JOIN nb ON nb.m = a.m CROSS JOIN nm
     """
 
@@ -520,12 +538,19 @@ def sketch_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
         F.col("n_fp").cast("long").alias("n_false_pos"),
-        stable_round(
-            F.col("n_fp") * 1.0 / F.col("n_nonmembers"), 6
+        # n_nonmembers == 0 (every key above the allowlist cut at some
+        # SF/fixture): NULL on both engines instead of Spark-NULL vs
+        # DuckDB division error (ADVICE r13)
+        F.when(
+            F.col("n_nonmembers") > 0,
+            stable_round(F.col("n_fp") * 1.0 / F.col("n_nonmembers"), 6),
         ).alias("fpr_measured"),
         stable_round(analytic, 6).alias("fpr_analytic"),
-        stable_round(
-            F.col("n_fp") * 1.0 / F.col("n_nonmembers") - analytic, 6
+        F.when(
+            F.col("n_nonmembers") > 0,
+            stable_round(
+                F.col("n_fp") * 1.0 / F.col("n_nonmembers") - analytic, 6
+            ),
         ).alias("gap"),
     )
 

@@ -14,6 +14,16 @@ from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
+#: Training-prep gate thresholds — the ONE definition shared by
+#: ``prep_survivors`` / ``pipeline_training_prep`` (here),
+#: ``pipeline_pretraining_full`` (training_ops), ``pipeline_gate_funnel``
+#: (corpus_ops) and ``quality_gate_ablation`` (reliability), Spark body
+#: and DuckDB oracle alike, so a threshold change cannot silently
+#: desynchronize the derived audits from the pipeline (ADVICE r13).
+PREP_MIN_WORDS = 20
+PREP_MIN_ALPHA = 0.6
+PREP_LANG = "en"
+
 
 @query(
     "text_token_counts",
@@ -264,9 +274,9 @@ def prep_survivors(d: DataFrame) -> DataFrame:
         X.bag_fingerprint(F.col("text")).alias("bag_fp"),
     )
     kept = scored.filter(
-        (F.col("n_words") >= 20)
-        & (F.col("alpha_ratio") > 0.6)
-        & (F.col("pred_lang") == "en")
+        (F.col("n_words") >= PREP_MIN_WORDS)
+        & (F.col("alpha_ratio") > PREP_MIN_ALPHA)
+        & (F.col("pred_lang") == PREP_LANG)
     )
     w = Window.partitionBy("bag_fp").orderBy(F.col("doc_id").asc())
     return (
@@ -290,7 +300,8 @@ def prep_survivors(d: DataFrame) -> DataFrame:
     ),
     kept AS (
       SELECT * FROM scored
-      WHERE n_words >= 20 AND alpha_ratio > 0.6 AND pred_lang = 'en'
+      WHERE n_words >= {PREP_MIN_WORDS} AND alpha_ratio > {PREP_MIN_ALPHA}
+        AND pred_lang = '{PREP_LANG}'
     )
     SELECT doc_id, source, n_words, n_tokens FROM (
       SELECT *, row_number() OVER (

@@ -42,6 +42,9 @@ from kafka_go_streamer_spark.plans.text import (
     BM25_B,
     BM25_K1,
     BM25_TERMS,
+    PREP_LANG,
+    PREP_MIN_ALPHA,
+    PREP_MIN_WORDS,
     prep_survivors,
 )
 from kafka_go_streamer_spark.sources.tables import fan_out, load_table
@@ -593,7 +596,8 @@ def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept0 AS (
       SELECT * FROM scored
-      WHERE n_words >= 20 AND alpha_ratio > 0.6 AND pred_lang = 'en'
+      WHERE n_words >= {PREP_MIN_WORDS} AND alpha_ratio > {PREP_MIN_ALPHA}
+        AND pred_lang = '{PREP_LANG}'
     ),
     surv AS MATERIALIZED (
       SELECT doc_id, source, n_tokens FROM (

@@ -131,23 +131,24 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    # r13 code-touched queries (tests/test_rotation_staleness.py; the
-    # r12 five landed green in CORRECTNESS_r12 and rotate out):
-    #   storage_skipping_minmax_audit — file assignment rewritten to
-    #     dense-id / time-range arithmetic on broadcast bounds
-    #     (VERDICT r12 task 3: the two unpartitioned row_number
-    #     windows are gone; values changed by design, oracle updated
-    #     in lockstep)
-    #   text_zipf_slope — top-N cut now orderBy().limit() ->
-    #     TakeOrderedAndProject (same hash, plan changed)
-    #   pii_density_by_source — per-doc projection extracted to the
-    #     shared pii_per_doc stage for the streaming monitor
-    #   sample_language_budget — allocation arithmetic extracted to
-    #     the shared allocation_from_per_lang stage for the monitor
-    "storage_skipping_minmax_audit",
-    "text_zipf_slope",
-    "pii_density_by_source",
-    "sample_language_budget",
+    # r14 code-touched queries (tests/test_rotation_staleness.py; the
+    # r13 four landed green in CORRECTNESS_r13 and rotate out). All
+    # six are ADVICE-r13 fixes — values unchanged on the driver
+    # fixtures, refronted so the verdicts can't go stale:
+    #   dedup_lsh_scurve_empirical — nn > 1 singleton-panel guard on
+    #     the hash-partner pairs (both engines)
+    #   sketch_bloom_fpr_curve — n_nonmembers > 0 guard on
+    #     fpr_measured/gap (both engines)
+    #   quality_gate_ablation / pipeline_training_prep /
+    #   pipeline_gate_funnel / pipeline_pretraining_full — the prep
+    #     gate thresholds hoisted to shared PREP_* constants
+    #     (plans/text.py) and imported everywhere they were inlined
+    "dedup_lsh_scurve_empirical",
+    "sketch_bloom_fpr_curve",
+    "quality_gate_ablation",
+    "pipeline_training_prep",
+    "pipeline_gate_funnel",
+    "pipeline_pretraining_full",
 )
 
 

@@ -345,6 +345,22 @@ HEADLINE = [
     "ann_recall_at_k_grid",
     "sketch_hll_error_curve",
     "storage_zorder_skipping_audit",
+    # r14 fidelity wave: the per-user dwell window, the hour-spine MAD
+    # screen, the classes-x-sources TV frame, the TakeOrdered hash
+    # sample, the grid-fanned bucket audit, the one-pass rule
+    # forensics, the top-N burstiness identities, the double-ranked
+    # metric-agreement panel, the width-fanned minhash candidates,
+    # and the 3-width one-pass KLL certification
+    "events_transition_dwell",
+    "events_rate_anomaly_mad",
+    "privacy_t_closeness",
+    "sample_reservoir_uniformity",
+    "storage_bucket_pruning_audit",
+    "route_rule_shadowing",
+    "text_word_burstiness",
+    "ann_metric_agreement",
+    "dedup_minhash_width_curve",
+    "sketch_kll_error_curve",
 ]
 
 

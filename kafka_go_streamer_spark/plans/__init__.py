@@ -12,6 +12,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     corpus_ops,
     curation,
     dedup,
+    fidelity,
     insights,
     lateness,
     multimodal_queries,

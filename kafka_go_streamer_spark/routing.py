@@ -116,21 +116,25 @@ def project_key_value(df: DataFrame, extra: list[str] | None = None) -> DataFram
     return df.select(*cols)
 
 
+def split_condition_sql(split: ResolvedSplit, value_expr: str) -> str:
+    """SQL twin of :func:`split_predicate` for ONE split — shared by
+    :func:`routing_case_sql` and the per-rule audits (rule coverage /
+    shadowing), so a rule's SQL condition has a single source of
+    truth. Substring splits compare with ``position(... in ...) > 0``
+    to stay literal; regex splits use ``regexp_matches`` (DuckDB)
+    which is a partial match like Spark ``rlike``."""
+    pat = split.pattern.replace("'", "''")
+    if split.use_regex:
+        return f"regexp_matches({value_expr}, '{pat}')"
+    return f"position('{pat}' in {value_expr}) > 0"
+
+
 def routing_case_sql(spliter: Spliter, value_expr: str) -> str:
     """The exact SQL twin of :func:`routing_expr` — an ANSI ``CASE WHEN``
-    usable by any SQL engine (used by the DuckDB correctness oracle).
-
-    Substring splits compare with ``position(... in ...) > 0`` to stay
-    literal; regex splits use ``regexp_matches`` (DuckDB) which is a
-    partial match like Spark ``rlike``.
-    """
+    usable by any SQL engine (used by the DuckDB correctness oracle)."""
     arms = []
     for rs in spliter.resolved_splits():
-        pat = rs.pattern.replace("'", "''")
-        if rs.use_regex:
-            cond = f"regexp_matches({value_expr}, '{pat}')"
-        else:
-            cond = f"position('{pat}' in {value_expr}) > 0"
+        cond = split_condition_sql(rs, value_expr)
         target = (
             "'" + rs.topic.replace("'", "''") + "'"
             if rs.topic is not None

@@ -1167,60 +1167,19 @@ def dedup_minhash_width_curve(
 
 
 # ----------------------------------------------------- sketch_kll_error_curve
-def _kll_curve_sql() -> str:
-    from kafka_go_streamer_spark.plans.sketches import KLL_QUANTILES
-
-    exact_union = " UNION ALL ".join(
-        f"SELECT {q}::DOUBLE AS q, percentile_cont({q}) WITHIN GROUP "
-        "(ORDER BY l_extendedprice) AS exact FROM lineitem"
-        for q in KLL_QUANTILES
-    )
-    kvals = ", ".join(f"({k})" for k in KLL_K_GRID)
-    eps = " ".join(
-        f"WHEN k = {k} THEN {e}" for k, e in sorted(KLL_EPS_BY_K.items())
-    )
-    return f"""
-    WITH exact AS ({exact_union}),
-    grid AS (SELECT k FROM (VALUES {kvals}) t(k))
-    SELECT k::INTEGER AS k, q, round(exact, 4) AS exact,
-           (CASE {eps} END)::DOUBLE AS rank_eps,
-           TRUE AS within_bound
-    FROM exact CROSS JOIN grid
-    """
-
-
-@query("sketch_kll_error_curve", oracle=_kll_curve_sql)
-def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL compactor-capacity sizing curve — the quantile chapter of
-    the measured-vs-analytic family (Bloom m, CMS w, HLL p, MinHash
-    r): P50/P90/P99 of l_extendedprice estimated at k ∈ KLL_K_GRID,
-    each CERTIFIED against the data the way ``sketch_kll_quantiles``
-    certifies the deployed k=256 — the query recomputes every
-    estimate's true rank and reports ``within_bound = |rank/n − q| <=
-    ε_k`` with a per-k envelope that falls ~1/k (KLL_EPS_BY_K).
-    A sketch regression at ANY width breaks the oracle hash; the
-    envelope column is the sizing table — k=32 retains ~1/16 the
-    doubles of k=512 and pays 10x the certified rank error, which is
-    the trade a 100 TB percentile dashboard actually shops between.
-
-    Scale: all |grid| sketches build in the SAME one-pass Arrow
-    ``mapInPandas`` over the fact (the scan cost is paid once, not
-    per k), reduce through the same bounded-fan-in merge tree keyed
-    by (k, group), and certification is ONE conditional aggregate
-    against the broadcast |grid|x|quantiles| estimate row."""
+def _kll_grid_sketch(li: DataFrame) -> DataFrame:
+    """All KLL_K_GRID sketches of ``li.v`` in ONE Arrow pass (each
+    input batch updates every width's compactors), reduced through the
+    shared bounded-fan-in merge tree keyed by (k, group) then k.
+    Returned UNPINNED so tests can assert the one-pass plan shape;
+    the query pins the few-hundred-row result before fanning
+    consumers."""
     import pandas as pd
 
-    from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.operators.kll import KLLSketch
-    from kafka_go_streamer_spark.plans.sketches import (
-        KLL_FANIN,
-        KLL_QUANTILES,
-    )
+    from kafka_go_streamer_spark.plans.sketches import KLL_FANIN
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").cast("double").alias("v")
-    )
     src = fan_out(li).withColumn("pid", F.spark_partition_id())
 
     def build(batches):
@@ -1266,9 +1225,58 @@ def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stage1 = partials.groupBy("k", "g").applyInPandas(merge_rows, schema)
-    final = pinned(
-        stage1.groupBy("k").applyInPandas(merge_rows, schema).drop("g")
+    return stage1.groupBy("k").applyInPandas(merge_rows, schema).drop("g")
+
+
+def _kll_curve_sql() -> str:
+    from kafka_go_streamer_spark.plans.sketches import KLL_QUANTILES
+
+    exact_union = " UNION ALL ".join(
+        f"SELECT {q}::DOUBLE AS q, percentile_cont({q}) WITHIN GROUP "
+        "(ORDER BY l_extendedprice) AS exact FROM lineitem"
+        for q in KLL_QUANTILES
     )
+    kvals = ", ".join(f"({k})" for k in KLL_K_GRID)
+    eps = " ".join(
+        f"WHEN k = {k} THEN {e}" for k, e in sorted(KLL_EPS_BY_K.items())
+    )
+    return f"""
+    WITH exact AS ({exact_union}),
+    grid AS (SELECT k FROM (VALUES {kvals}) t(k))
+    SELECT k::INTEGER AS k, q, round(exact, 4) AS exact,
+           (CASE {eps} END)::DOUBLE AS rank_eps,
+           TRUE AS within_bound
+    FROM exact CROSS JOIN grid
+    """
+
+
+@query("sketch_kll_error_curve", oracle=_kll_curve_sql)
+def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL compactor-capacity sizing curve — the quantile chapter of
+    the measured-vs-analytic family (Bloom m, CMS w, HLL p, MinHash
+    r): P50/P90/P99 of l_extendedprice estimated at k ∈ KLL_K_GRID,
+    each CERTIFIED against the data the way ``sketch_kll_quantiles``
+    certifies the deployed k=256 — the query recomputes every
+    estimate's true rank and reports ``within_bound = |rank/n − q| <=
+    ε_k`` with a per-k envelope that falls ~1/k (KLL_EPS_BY_K).
+    A sketch regression at ANY width breaks the oracle hash; the
+    envelope column is the sizing table — k=32 retains ~1/16 the
+    doubles of k=512 and pays 10x the certified rank error, which is
+    the trade a 100 TB percentile dashboard actually shops between.
+
+    Scale: all |grid| sketches build in the SAME one-pass Arrow
+    ``mapInPandas`` over the fact (the scan cost is paid once, not
+    per k), reduce through the same bounded-fan-in merge tree keyed
+    by (k, group), and certification is ONE conditional aggregate
+    against the broadcast |grid|x|quantiles| estimate row."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.sketches import KLL_QUANTILES
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    final = pinned(_kll_grid_sketch(li))
     items = final.select(
         "k",
         "level",
@@ -1299,13 +1307,16 @@ def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+    # rename the sketch side's k: both frames descend from `items`, so
+    # an unaliased k == k would resolve to ONE attribute (trivially
+    # true) and silently min() across widths
+    cum_r = cum.withColumnRenamed("k", "ck")
     est = (
         q_df.join(
-            F.broadcast(cum),
+            F.broadcast(cum_r),
             (F.col("cum") >= F.col("q") * F.col("n"))
-            & (q_df["k"] == cum["k"]),
+            & (F.col("k") == F.col("ck")),
         )
-        .drop(cum["k"])
         .groupBy("k", "q")
         .agg(F.min("v").alias("est"))
     )

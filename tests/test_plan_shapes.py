@@ -1431,3 +1431,139 @@ def test_zorder_audit_window_free(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- r14 wave
+
+
+def test_transition_dwell_user_partitioned_window(spark, sf_dir):
+    """The dwell lag must be the sessionize family's shape: the ONLY
+    window over the events fact is partitioned by user_id (bounded
+    per-user state), the report is one aggregate onto the type x type
+    key domain — no cartesian, no global sort."""
+    plan = physical_plan(QUERIES["events_transition_dwell"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(user_id#\d+L", plan)
+    # every window in the plan is the user-partitioned one
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert set(specs) == {"user_id"}
+
+
+def test_rate_anomaly_mad_window_free(spark, sf_dir):
+    """The MAD screen runs entirely on the (type, hour) frame: the
+    fact collapses in one map-side-combined count, both medians are
+    aggregates — NO window functions anywhere, no cartesian (the
+    spine x types fan is a broadcast bind)."""
+    plan = physical_plan(QUERIES["events_rate_anomaly_mad"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_t_closeness_class_frame_broadcast(spark, sf_dir):
+    """t-closeness collapses the corpus to aggregates, fans the CLASS
+    frame with a Generate, and binds sources/totals by broadcast —
+    window-free, cartesian-free."""
+    plan = physical_plan(QUERIES["privacy_t_closeness"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    """The hash-rank sample must compile to TakeOrderedAndProject
+    (per-partition top-K heaps + K-row driver merge), never a global
+    sort of the orders fact."""
+    plan = physical_plan(
+        QUERIES["sample_reservoir_uniformity"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucket_pruning_window_and_sort_free(spark, sf_dir):
+    """The bucket audit is grid-fanned aggregates joined on bucket
+    keys: no window, no sort, no cartesian; the width fan is a
+    Generate; the hit/total binds broadcast."""
+    plan = physical_plan(
+        QUERIES["storage_bucket_pruning_audit"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_rule_shadowing_single_pass(spark, sf_dir):
+    """Rule forensics is the router's own narrow projection: every
+    rule flag and the winner index evaluate in one codegen'd pass
+    over documents — no join, no window; the R-row report fans from
+    ONE aggregate row via Generate."""
+    plan = physical_plan(QUERIES["route_rule_shadowing"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+
+
+def test_burstiness_vocab_take_ordered(spark, sf_dir):
+    """The burstiness vocabulary cut must be TakeOrderedAndProject on
+    the aggregated vocab frame (the zipf discipline); zeros enter via
+    the closed-form identity, so there is no dense doc x word join —
+    the only joins are the broadcast n_docs bind."""
+    plan = physical_plan(QUERIES["text_word_burstiness"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_metric_agreement_panel_windows(spark, sf_dir):
+    """Both rankings share the one q_id shuffle: every window is
+    partitioned by q_id; the corpus x panel bind is a broadcast
+    nested-loop on the FIXED panel, never a cartesian of two
+    fact-sized sides."""
+    plan = physical_plan(QUERIES["ann_metric_agreement"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and set(specs) == {"q_id"}
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_width_curve_no_allpairs(spark, sf_dir):
+    """The width curve rides the audited candidate path: banded
+    equi-joins only (no cartesian), the width fan is a constant
+    Generate on the candidate frame, and the bucket cap's window is
+    partitioned by (band, key)."""
+    plan = physical_plan(
+        QUERIES["dedup_minhash_width_curve"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert set(specs) <= {"band", "key"}
+
+
+def test_kll_curve_one_pass_three_sketches(spark, sf_dir):
+    """All three widths build in ONE Arrow pass over the fact (the
+    scan is paid once, not per k): exactly one MapInPandas stage and
+    two bounded-fan-in merge stages in the build (asserted on the
+    UNPINNED helper — the query pins the sketch frame, which
+    truncates its lineage out of the downstream plan), and in the
+    query itself the only window is the sketch-frame prefix sum
+    partitioned by k — never a window over the fact."""
+    from pyspark.sql import functions as F
+
+    from kafka_go_streamer_spark.plans.fidelity import _kll_grid_sketch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    build = physical_plan(_kll_grid_sketch(li))
+    assert build.count("MapInPandas") == 1
+    assert build.count("FlatMapGroupsInPandas") == 2
+    assert "Window" not in build
+
+    plan = physical_plan(QUERIES["sketch_kll_error_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert set(specs) == {"k"}

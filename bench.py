@@ -361,6 +361,19 @@ HEADLINE = [
     "ann_metric_agreement",
     "dedup_minhash_width_curve",
     "sketch_kll_error_curve",
+    # r14 wave 2: single-pass gate sweep, class-frame generalization
+    # curve, the nlist axis of the IVF trade-off (3 assignment passes
+    # + panel rank cuts), the user-window return hazard, and the
+    # pinned exploded shingle frame with its equi-key sharing join
+    "quality_gate_threshold_sweep",
+    "privacy_generalization_curve",
+    "ann_nlist_tradeoff",
+    "events_return_probability",
+    "dedup_shingle_selectivity",
+    # r14 wave 3: the train-vocab equi-join OOV audit and the
+    # cross-feed rollup of the verified LSH candidate pairs
+    "text_oov_rate_heldout",
+    "dedup_cross_source_pairs",
 ]
 
 

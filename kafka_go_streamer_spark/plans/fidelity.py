@@ -86,6 +86,7 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.plans.registry import query
+from kafka_go_streamer_spark.plans.text import PREP_LANG
 from kafka_go_streamer_spark.routing import split_condition_sql
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -837,9 +838,11 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-N — the per-doc count matrix is never
     materialized wide, zeros enter via the closed-form identity
     (var = E[c^2] - E[c]^2 over all nd docs), not via a dense join."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
     d = load_table(spark, sf_dir, "documents")
     nd = d.agg(F.count(F.lit(1)).alias("nd"))
-    tok = d.select(
+    tok = fan_out(d).select(
         "doc_id", F.explode(X.words(F.col("text"))).alias("word")
     )
     wc = tok.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("c"))
@@ -931,12 +934,14 @@ def ann_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
 
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
     ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
     scored = (
-        emb.crossJoin(F.broadcast(qs))
+        fan_out(emb).crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1376,4 +1381,884 @@ def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
         .select("s.k", "s.q", "s.exact", "s.rank_eps", "s.within_bound")
+    )
+
+
+# ========================================================== r14 wave 2
+
+#: Word-count floors for the gate threshold sweep (the deployed
+#: PREP_MIN_WORDS sits in the middle).
+GATE_W_GRID = (10, 20, 40)
+#: Alpha-ratio floors (deployed PREP_MIN_ALPHA in the middle).
+GATE_A_GRID = (0.5, 0.6, 0.7)
+
+#: QI length-bin width multipliers for the generalization curve
+#: (×1 = the ladder queries' QI_LEN_BIN).
+GEN_WIDTH_MULTS = (1, 2, 4)
+#: The k-anonymity and l-diversity thresholds the curve reports
+#: against (the ladder queries' middle rungs).
+GEN_K = 5
+GEN_L = 2
+
+#: Centroid-count grid for the IVF nlist trade-off (the deployed
+#: curve family uses the 4-centroid set; the grid brackets it).
+NLIST_GRID = (2, 4, 8)
+
+#: Horizon grid (hours) for the return-probability table.
+RETURN_H_GRID = (1, 6, 24)
+
+#: Shingle sizes for the selectivity audit (the deployed pipelines
+#: use SHINGLE_SIZE = 3).
+SHINGLE_K_GRID = (2, 3, 5)
+
+
+# ----------------------------------------------- quality_gate_threshold_sweep
+def _gate_sweep_sql() -> str:
+    cells = []
+    for w in GATE_W_GRID:
+        for a in GATE_A_GRID:
+            cond = (
+                f"n_words >= {w} AND alpha_ratio > {a}"
+                f" AND pred_lang = '{PREP_LANG}'"
+            )
+            cells.append(
+                f"SELECT {w} AS min_words, {a} AS min_alpha,"
+                f" sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT"
+                f" AS n_survivors,"
+                f" sum(CASE WHEN {cond} THEN n_tokens ELSE 0 END)::BIGINT"
+                f" AS n_tokens,"
+                f" round(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) * 1.0"
+                f" / count(*), 6) AS doc_share,"
+                f" round(sum(CASE WHEN {cond} THEN n_tokens ELSE 0 END)"
+                f" * 1.0 / sum(n_tokens), 6) AS token_share"
+                f" FROM scored"
+            )
+    body = "\n    UNION ALL ".join(cells)
+    return f"""
+    WITH scored AS (
+      SELECT {X.word_count_sql('text')} AS n_words,
+             {X.token_count_sql('text')} AS n_tokens,
+             {X.alpha_ratio_sql('text')} AS alpha_ratio,
+             {X.lang_id_sql('text')} AS pred_lang
+      FROM documents
+    )
+    {body}
+    """
+
+
+@query("quality_gate_threshold_sweep", oracle=_gate_sweep_sql)
+def quality_gate_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sensitivity sweep of the training-prep quality gates: surviving
+    documents and tokens (count and share) at every (word-count floor
+    x alpha-ratio floor) cell of a 3x3 grid centered on the DEPLOYED
+    thresholds (the shared PREP_* constants — the sweep can never
+    drift from the pipeline it prices). ``pipeline_gate_funnel`` says
+    what today's gates cost; this is the table for the meeting where
+    someone proposes changing them — each cell is the corpus you'd
+    keep, priced in tokens, before anyone re-runs the pipeline.
+
+    Scale: ONE scan of the corpus; all |grid|x2 counters plus the two
+    totals fold in a single aggregate row (language gate shared by
+    every cell), fanned to |grid| rows."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = fan_out(d).select(
+        X.word_count(F.col("text")).alias("n_words"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        X.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    cells = [(w, a) for w in GATE_W_GRID for a in GATE_A_GRID]
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tok"),
+    ]
+    for w, a in cells:
+        cond = (
+            (F.col("n_words") >= w)
+            & (F.col("alpha_ratio") > a)
+            & (F.col("pred_lang") == PREP_LANG)
+        )
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"s_{w}_{int(a*10)}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).alias(
+                f"t_{w}_{int(a*10)}"
+            )
+        )
+    one = scored.agg(*aggs)
+    fan = one.select(
+        "n",
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("min_words"),
+                        F.lit(a).alias("min_alpha"),
+                        F.col(f"s_{w}_{int(a*10)}").alias("s"),
+                        F.col(f"t_{w}_{int(a*10)}").alias("t"),
+                    )
+                    for w, a in cells
+                ]
+            )
+        ).alias("c"),
+    )
+    return fan.select(
+        F.col("c.min_words").cast("int").alias("min_words"),
+        F.col("c.min_alpha").alias("min_alpha"),
+        F.col("c.s").cast("long").alias("n_survivors"),
+        F.col("c.t").cast("long").alias("n_tokens"),
+        stable_round(F.col("c.s") * 1.0 / F.col("n"), 6).alias("doc_share"),
+        stable_round(F.col("c.t") * 1.0 / F.col("tok"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+# ------------------------------------------------ privacy_generalization_curve
+def _generalization_sql() -> str:
+    from kafka_go_streamer_spark.plans.audit_ops import QI_LEN_BIN
+
+    blocks = []
+    for m in GEN_WIDTH_MULTS:
+        width = QI_LEN_BIN * m
+        blocks.append(f"""
+    SELECT {m} AS width_mult, {width} AS bin_chars,
+           (SELECT count(*) FROM (
+              SELECT 1 FROM documents
+              GROUP BY lang, n_chars // {width}))::BIGINT AS n_classes,
+           (SELECT round(coalesce(sum(n), 0) * 1.0 / (SELECT count(*) FROM documents), 6)
+            FROM (SELECT count(*) AS n FROM documents
+                  GROUP BY lang, n_chars // {width}) c
+            WHERE n < {GEN_K}) AS kanon_doc_share,
+           (SELECT round(coalesce(sum(n), 0) * 1.0 / (SELECT count(*) FROM documents), 6)
+            FROM (SELECT count(*) AS n, count(DISTINCT source) AS l
+                  FROM documents
+                  GROUP BY lang, n_chars // {width}) c
+            WHERE l < {GEN_L}) AS ldiv_doc_share,
+           (SELECT round(max(tvnum * 1.0 / (2 * n_c * nn)), 6) FROM (
+              SELECT g.lang, g.len_bin, max(g.n_c) AS n_c,
+                     max(g.nn) AS nn,
+                     sum(abs(g.cnt_cs * g.nn - g.cnt_s * g.n_c)) AS tvnum
+              FROM (
+                SELECT c.lang, c.len_bin, c.n_c, s.source, s.cnt_s,
+                       coalesce(x.cnt_cs, 0) AS cnt_cs,
+                       (SELECT count(*) FROM documents) AS nn
+                FROM (SELECT lang, n_chars // {width} AS len_bin,
+                             count(*) AS n_c
+                      FROM documents GROUP BY 1, 2) c
+                CROSS JOIN (SELECT source, count(*) AS cnt_s
+                            FROM documents GROUP BY 1) s
+                LEFT JOIN (SELECT lang, n_chars // {width} AS len_bin,
+                                  source, count(*) AS cnt_cs
+                           FROM documents GROUP BY 1, 2, 3) x
+                  ON x.lang = c.lang AND x.len_bin = c.len_bin
+                 AND x.source = s.source
+              ) g GROUP BY 1, 2)) AS max_tv""")
+    return "\n    UNION ALL".join(blocks)
+
+
+@query("privacy_generalization_curve", oracle=_generalization_sql)
+def privacy_generalization_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What GENERALIZING the quasi-identifier buys, across the whole
+    privacy ladder at once: at length-bin widths x1/x2/x4 the ladder's
+    QI_LEN_BIN, the class count, the k-anonymity exposure (share of
+    docs in classes smaller than GEN_K), the l-diversity exposure
+    (share in classes with fewer than GEN_L distinct sources) and the
+    worst t-closeness distance. Coarser bins merge classes — exposure
+    falls, information content falls with it; this curve is the
+    release-design table that says WHICH width first clears all three
+    screens (the single-width ladder queries certify the chosen
+    point).
+
+    Scale: per width everything collapses to the QI-class frame
+    (aggregates; the TV term is the classes x sources broadcast
+    frame); the |widths| blocks union bounded frames, the corpus is
+    scanned a constant number of times."""
+    from kafka_go_streamer_spark.plans.audit_ops import QI_LEN_BIN
+
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("nn"))
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt_s"))
+    out = None
+    for m in GEN_WIDTH_MULTS:
+        width = QI_LEN_BIN * m
+        cls = d.groupBy(
+            "lang", (F.col("n_chars") / width).cast("long").alias("len_bin")
+        ).agg(
+            F.count(F.lit(1)).alias("n_c"),
+            F.countDistinct("source").alias("l"),
+        )
+        cls_src = d.groupBy(
+            "lang",
+            (F.col("n_chars") / width).cast("long").alias("len_bin"),
+            "source",
+        ).agg(F.count(F.lit(1)).alias("cnt_cs"))
+        tv = (
+            cls.select("lang", "len_bin", "n_c")
+            .crossJoin(F.broadcast(srcs))
+            .join(cls_src, ["lang", "len_bin", "source"], "left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("lang", "len_bin")
+            .agg(
+                F.max("n_c").alias("n_c"),
+                F.max("nn").alias("nn"),
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("cnt_cs"), F.lit(0)) * F.col("nn")
+                        - F.col("cnt_s") * F.col("n_c")
+                    )
+                ).alias("tvnum"),
+            )
+            .agg(
+                stable_round(
+                    F.max(
+                        F.col("tvnum") * 1.0 / (2 * F.col("n_c") * F.col("nn"))
+                    ),
+                    6,
+                ).alias("max_tv")
+            )
+        )
+        summary = (
+            cls.crossJoin(F.broadcast(tot))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                stable_round(
+                    F.sum(
+                        F.when(F.col("n_c") < GEN_K, F.col("n_c")).otherwise(0)
+                    )
+                    * 1.0
+                    / F.max("nn"),
+                    6,
+                ).alias("kanon_doc_share"),
+                stable_round(
+                    F.sum(
+                        F.when(F.col("l") < GEN_L, F.col("n_c")).otherwise(0)
+                    )
+                    * 1.0
+                    / F.max("nn"),
+                    6,
+                ).alias("ldiv_doc_share"),
+            )
+            .crossJoin(F.broadcast(tv))
+            .select(
+                F.lit(m).cast("int").alias("width_mult"),
+                F.lit(width).cast("int").alias("bin_chars"),
+                "n_classes",
+                "kanon_doc_share",
+                "ldiv_doc_share",
+                "max_tv",
+            )
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+# --------------------------------------------------------- ann_nlist_tradeoff
+def _nlist_sql() -> str:
+    from kafka_go_streamer_spark.functions.vectors import cosine_sql
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    asg_ctes = []
+    fan_blocks = []
+    for nl in NLIST_GRID:
+        cent_ids = ", ".join(str(i) for i in range(1, nl + 1))
+        asg_ctes.append(f"""
+    asg{nl} AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({cosine_sql('e.embedding', 'c.cv')}, 6)
+                   DESC, c.cent_id ASC) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cv
+                    FROM embeddings
+                    WHERE vec_id IN ({cent_ids})) c
+      ) WHERE rn = 1
+    ),
+    cn{nl} AS (SELECT cell, count(*) AS cell_n FROM asg{nl} GROUP BY 1)""")
+        fan_blocks.append(f"""
+      SELECT {nl} AS nlist, s.q_id, s.vec_id, s.sim,
+             cn.cell_n, t.nn
+      FROM scored s
+      JOIN asg{nl} a ON a.vec_id = s.vec_id
+      JOIN asg{nl} qa ON qa.vec_id = s.q_id
+      JOIN cn{nl} cn ON cn.cell = qa.cell
+      CROSS JOIN (SELECT count(*) AS nn FROM embeddings) t
+      WHERE a.cell = qa.cell""")
+    ctes = ",".join(asg_ctes)
+    body = "\n      UNION ALL".join(fan_blocks)
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {PANEL_MAX_ID}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round({cosine_sql('e.embedding', 'q.qv')}, 6) AS sim
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.q_id
+    ),
+    gt AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= 10
+    ),{ctes},
+    fanned AS ({body}),
+    retrieved AS (
+      SELECT nlist, q_id, vec_id, cell_n, nn FROM (
+        SELECT nlist, q_id, vec_id, cell_n, nn,
+               row_number() OVER (PARTITION BY nlist, q_id
+                 ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM fanned) WHERE rn <= 10
+    ),
+    per_q AS (
+      SELECT r.nlist, r.q_id,
+             sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+               AS recall,
+             max(r.cell_n) * 1.0 / max(r.nn) AS scan_share
+      FROM retrieved r
+      LEFT JOIN gt g ON g.q_id = r.q_id AND g.vec_id = r.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT nlist::INTEGER AS nlist,
+           count(*)::BIGINT AS n_queries,
+           round(avg(recall), 4) AS mean_recall_at_10,
+           round(avg(scan_share), 6) AS mean_scan_share
+    FROM per_q GROUP BY 1
+    """
+
+
+@query("ann_nlist_tradeoff", oracle=_nlist_sql)
+def ann_nlist_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index's OTHER sizing axis: recall@10 and the share of
+    the corpus a single-probe query scans, at nlist ∈ NLIST_GRID
+    coarse centroids (deterministic bracketing of the deployed
+    4-centroid family). ``ann_nprobe_recall_curve`` fixes the
+    partitioning and sweeps probes; this fixes nprobe=1 and sweeps the
+    PARTITIONING — more cells mean cheaper probes and lower recall,
+    and the product of the two curves is the actual serving-cost
+    model (scan_share ~ 1/nlist, recall decays as the true neighbors
+    spread over more cells).
+
+    Scale: ground truth computed ONCE against the fixed panel
+    (PANEL_MAX_ID); per nlist the assignment pass is corpus x nlist
+    broadcast cosines (constant grid, linear in corpus); recall cuts
+    re-rank the panel-sized candidate frames only."""
+    from kafka_go_streamer_spark.functions.vectors import cosine
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
+
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PANEL_MAX_ID)
+    ).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    scored = pinned(
+        fan_out(emb).crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    gt = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", F.col("vec_id").alias("gt_id"))
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("nn"))
+    out = None
+    for nl in NLIST_GRID:
+        cents = emb.filter(
+            F.col("vec_id").isin(*range(1, nl + 1))
+        ).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+        )
+        assign = (
+            fan_out(emb).crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cent_id",
+                stable_round(
+                    cosine(F.col("embedding"), F.col("cv")), 6
+                ).alias("sim_c"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("sim_c"), -F.col("cent_id"))
+                ).alias("cell")
+            )
+        )
+        assign = pinned(assign)
+        # renamed key: cell_n shares lineage with `retrieved` (both
+        # descend from assign), so an unaliased cell == cell would be
+        # ambiguous/self-referential
+        cell_n = (
+            assign.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cell_n"))
+            .withColumnRenamed("cell", "cn_cell")
+        )
+        wnq = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        retrieved = (
+            scored.join(assign, "vec_id")
+            .join(
+                F.broadcast(
+                    assign.select(
+                        F.col("vec_id").alias("q_id"),
+                        F.col("cell").alias("qcell"),
+                    )
+                ),
+                "q_id",
+            )
+            .filter(F.col("cell") == F.col("qcell"))
+            .withColumn("rn", F.row_number().over(wnq))
+            .filter(F.col("rn") <= 10)
+        )
+        per_q = (
+            retrieved.join(
+                gt.withColumnRenamed("q_id", "gq_id"),
+                (F.col("q_id") == F.col("gq_id"))
+                & (F.col("vec_id") == F.col("gt_id")),
+                "left",
+            )
+            .join(F.broadcast(cell_n), F.col("qcell") == F.col("cn_cell"))
+            .crossJoin(F.broadcast(tot))
+            .groupBy("q_id")
+            .agg(
+                (
+                    F.sum(
+                        F.when(F.col("gt_id").isNotNull(), 1).otherwise(0)
+                    )
+                    / 10.0
+                ).alias("recall"),
+                (F.max("cell_n") * 1.0 / F.max("nn")).alias("scan_share"),
+            )
+        )
+        summary = per_q.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            stable_round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+            stable_round(F.avg("scan_share"), 6).alias("mean_scan_share"),
+        ).select(
+            F.lit(nl).cast("int").alias("nlist"),
+            "n_queries",
+            "mean_recall_at_10",
+            "mean_scan_share",
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+# --------------------------------------------------- events_return_probability
+@query(
+    "events_return_probability",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           {", ".join(
+             f"round(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= "
+             f"{h} * 3600000000 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)"
+             f" AS p_return_{h}h" for h in RETURN_H_GRID
+           )},
+           round(sum(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS censored_share
+    FROM seq GROUP BY 1
+    """,
+)
+def events_return_probability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Return hazard per event type: after a user fires this event,
+    the probability their NEXT action (of any type) arrives within
+    1 h / 6 h / 24 h, plus the censored share (no next event in the
+    horizon — the sequence's right edge). ``events_transition_dwell``
+    times each edge; this is the per-type comeback curve a
+    notification/timeout policy reads ("after an error, 30% return
+    within the hour; after a purchase, almost nobody does"), with
+    censoring made explicit instead of silently counted as
+    never-returned.
+
+    Scale: the same single user-partitioned window the dwell/
+    sessionize family shares (lead instead of lag); everything else
+    is one conditional aggregate onto the event-type domain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "event_type", (F.lead(us).over(w) - us).alias("gap_us")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    for h in RETURN_H_GRID:
+        aggs.append(
+            stable_round(
+                F.sum(
+                    F.when(
+                        F.col("gap_us").isNotNull()
+                        & (F.col("gap_us") <= h * 3_600_000_000),
+                        1,
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"p_return_{h}h")
+        )
+    aggs.append(
+        stable_round(
+            F.sum(F.when(F.col("gap_us").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("censored_share")
+    )
+    return seq.groupBy("event_type").agg(*aggs)
+
+
+# ---------------------------------------------------- dedup_shingle_selectivity
+def _shingle_k_sql(words_col: str, k: int) -> str:
+    w = words_col
+    joined = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({w}) >= {k} "
+        f"THEN list_distinct(list_transform("
+        f"range(1, len({w}) - {k - 2}), i -> {joined})) "
+        f"ELSE [array_to_string({w}, ' ')] END"
+    )
+
+
+def _shingle_selectivity_sql() -> str:
+    blocks = []
+    for k in SHINGLE_K_GRID:
+        blocks.append(f"""
+      SELECT {k} AS shingle_k, doc_id,
+             ('0x' || substr(md5(unnest({_shingle_k_sql('w', k)})), 1, 15))
+               ::BIGINT AS sh
+      FROM w0""")
+    body = "\n      UNION ALL".join(blocks)
+    return f"""
+    WITH w0 AS (
+      SELECT doc_id, {X.words_sql('text')} AS w FROM documents
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    ex AS ({body}),
+    df AS (
+      SELECT shingle_k, sh, count(DISTINCT doc_id) AS df FROM ex
+      GROUP BY 1, 2
+    ),
+    shared_docs AS (
+      SELECT e.shingle_k, count(DISTINCT e.doc_id) AS n_docs_sharing
+      FROM ex e JOIN df ON df.shingle_k = e.shingle_k AND df.sh = e.sh
+      WHERE df.df > 1
+      GROUP BY 1
+    )
+    SELECT d.shingle_k::INTEGER AS shingle_k,
+           count(*)::BIGINT AS n_shingles,
+           round(sum(df) * 1.0 / max(nd.n_docs), 4)
+             AS mean_shingles_per_doc,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS unique_share,
+           max(df)::BIGINT AS max_df,
+           round(max(s.n_docs_sharing) * 1.0 / max(nd.n_docs), 6)
+             AS docs_sharing_share
+    FROM df d
+    CROSS JOIN nd
+    LEFT JOIN shared_docs s ON s.shingle_k = d.shingle_k
+    GROUP BY 1
+    """
+
+
+@query("dedup_shingle_selectivity", oracle=_shingle_selectivity_sql)
+def dedup_shingle_selectivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocking-key selectivity of the shingle size: at k ∈ {2, 3, 5}
+    words (the deployed pipelines run k=3), the distinct-shingle
+    vocabulary, shingles per document, the share of shingles unique
+    to one document, the hottest shingle's document frequency, and
+    the share of documents that share ANY shingle with another. This
+    is the knob BEFORE the MinHash math: k=2 floods the banding with
+    shared keys (candidates everywhere, the cap works overtime), k=5
+    starves it (near-dups stop colliding) — the table picks the k at
+    which "shares a shingle" means something.
+
+    Scale: per k one explode into a map-side-combined (shingle, doc)
+    distinct + a vocabulary-frame aggregate; the docs-sharing count
+    joins the exploded frame back on the shingle equi-key (never
+    doc x doc); the |k-grid| fan is a constant multiplier on one
+    corpus scan."""
+    from kafka_go_streamer_spark.functions.text import words
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    d0 = load_table(spark, sf_dir, "documents")
+    nd = d0.agg(F.count(F.lit(1)).alias("n_docs"))
+    # the fixture parquet is one row group: without the fan the whole
+    # 3-way shingle explode runs in ONE task (measured 120 s at sf1
+    # single-threaded vs seconds fanned)
+    d = fan_out(d0)
+
+    def shingle_k(text, k):
+        w = words(text)
+        n = F.size(w)
+        make = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(k)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(n >= k, make).otherwise(F.array(F.concat_ws(" ", w)))
+        )
+
+    ex = None
+    for k in SHINGLE_K_GRID:
+        part = d.select(
+            F.lit(k).alias("shingle_k"),
+            "doc_id",
+            # hash each shingle to a 60-bit key BEFORE anything
+            # shuffles: the audit only counts, so the string never
+            # needs to survive the explode (same md5-slice family on
+            # both engines; measured 13.5 s -> ~4 s at sf0.1)
+            F.explode(
+                F.transform(shingle_k(F.col("text"), k), _md5long)
+            ).alias("sh"),
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    ex = pinned(ex)
+    df_frame = ex.groupBy("shingle_k", "sh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    shared = (
+        ex.join(
+            df_frame.filter(F.col("df") > 1).select("shingle_k", "sh"),
+            ["shingle_k", "sh"],
+        )
+        .groupBy("shingle_k")
+        .agg(F.countDistinct("doc_id").alias("n_docs_sharing"))
+    )
+    return (
+        df_frame.groupBy("shingle_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("uniq"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        .join(F.broadcast(shared), "shingle_k", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("shingle_k").cast("int").alias("shingle_k"),
+            "n_shingles",
+            stable_round(
+                F.col("sum_df") * 1.0 / F.col("n_docs"), 4
+            ).alias("mean_shingles_per_doc"),
+            stable_round(F.col("uniq") * 1.0 / F.col("n_shingles"), 6).alias(
+                "unique_share"
+            ),
+            "max_df",
+            stable_round(
+                F.coalesce(F.col("n_docs_sharing"), F.lit(0))
+                * 1.0
+                / F.col("n_docs"),
+                6,
+            ).alias("docs_sharing_share"),
+        )
+    )
+
+
+# ========================================================== r14 wave 3
+
+#: Strong-pair threshold for the cross-source rollup (the LSH strict
+#: banding's working definition of "near-duplicate").
+CROSS_SOURCE_MIN_J = 0.5
+
+
+# ------------------------------------------------------ text_oov_rate_heldout
+@query(
+    "text_oov_rate_heldout",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, text,
+             substr(md5(doc_id::VARCHAR), 1, 1) IN
+               ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')
+               AS is_train
+      FROM documents
+    ),
+    train_vocab AS (
+      SELECT DISTINCT unnest({X.words_sql('text')}) AS word
+      FROM assigned WHERE is_train
+    ),
+    ev AS (
+      SELECT source, doc_id, unnest({X.words_sql('text')}) AS word
+      FROM assigned WHERE NOT is_train
+    ),
+    flagged AS (
+      SELECT e.source, e.doc_id, e.word,
+             CASE WHEN t.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM ev e LEFT JOIN train_vocab t USING (word)
+    )
+    SELECT source,
+           count(DISTINCT doc_id)::BIGINT AS n_eval_docs,
+           count(*)::BIGINT AS n_tokens,
+           sum(oov)::BIGINT AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 6) AS oov_rate,
+           count(DISTINCT CASE WHEN oov = 1 THEN word END)::BIGINT
+             AS n_oov_types
+    FROM flagged GROUP BY source
+    """,
+)
+def text_oov_rate_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the held-out split against the TRAIN
+    split's vocabulary, per source — the tokenizer/vocab-design
+    number: a vocabulary fit on train that leaves x% of eval tokens
+    unseen understates eval loss by construction, and a SOURCE whose
+    eval shard runs hot is drifting away from the training
+    distribution. Reuses the exact hash-nibble split
+    ``sample_split_train_eval`` ships (membership is a pure function
+    of doc_id — the split never moves as the corpus grows), so this
+    table stays consistent with every other split-derived artifact.
+
+    Scale: the train vocabulary is a DISTINCT aggregate (vocab-sized,
+    not corpus-sized); eval tokens left-join it on the word equi-key
+    (broadcastable for real vocabularies); one rollup per source."""
+    from kafka_go_streamer_spark.functions.text import words
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = fan_out(d).select(
+        "doc_id",
+        "source",
+        "text",
+        nib.isin(*"0123456789abcd").alias("is_train"),
+    )
+    train_vocab = (
+        assigned.filter(F.col("is_train"))
+        .select(F.explode(words(F.col("text"))).alias("word"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    ev = assigned.filter(~F.col("is_train")).select(
+        "source", "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    flagged = ev.join(train_vocab, "word", "left").select(
+        "source",
+        "doc_id",
+        "word",
+        F.when(F.col("known").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        stable_round(F.sum("oov") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "oov_rate"
+        ),
+        F.countDistinct(
+            F.when(F.col("oov") == 1, F.col("word"))
+        )
+        .cast("long")
+        .alias("n_oov_types"),
+    )
+
+
+# --------------------------------------------------- dedup_cross_source_pairs
+def _cross_source_pairs_sql() -> str:
+    from kafka_go_streamer_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    return f"""
+    WITH pairs AS (
+      {minhash_lsh_pairs_sql("documents", "doc_id", "text",
+                             min_intersection=2)}
+    ),
+    tagged AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT src_a, src_b,
+           count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN jaccard >= {CROSS_SOURCE_MIN_J}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_strong,
+           round(avg(jaccard), 4) AS mean_jaccard,
+           (src_a <> src_b) AS is_cross_source
+    FROM tagged GROUP BY 1, 2
+    """
+
+
+@query("dedup_cross_source_pairs", oracle=_cross_source_pairs_sql)
+def dedup_cross_source_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHERE the near-duplicates come from: the verified MinHash-LSH
+    candidate pairs rolled up by (source, source) — within-feed pairs
+    are template reuse, CROSS-feed pairs are mirrors/syndication, and
+    a hot cross pair is the evidence for deduplicating (or dropping)
+    a whole feed rather than individual documents.
+    ``text_cross_source_overlap`` compares feed VOCABULARIES; this
+    counts actual near-duplicate documents crossing the boundary,
+    with the strong-pair (Jaccard >= CROSS_SOURCE_MIN_J) share.
+
+    Scale: rides the audited candidate path end to end (bounded
+    banding, capped buckets, exact Jaccard only on candidates); the
+    source tags join on doc_id equi-keys; the rollup frame is bounded
+    by |sources|²."""
+    from kafka_go_streamer_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d.select("doc_id", "text"), "doc_id", "text", min_intersection=2
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "id_a", "source": "sa"}),
+            "id_a",
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "id_b", "source": "sb"}),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("jaccard") >= CROSS_SOURCE_MIN_J, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_strong"),
+        stable_round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+        (F.col("src_a") != F.col("src_b")).alias("is_cross_source"),
     )

@@ -1567,3 +1567,87 @@ def test_kll_curve_one_pass_three_sketches(spark, sf_dir):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert set(specs) == {"k"}
+
+
+def test_gate_sweep_single_pass(spark, sf_dir):
+    """The 3x3 threshold sweep is ONE scan: no join, no window, all
+    grid counters in a single aggregate row fanned via Generate."""
+    plan = physical_plan(
+        QUERIES["quality_gate_threshold_sweep"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+
+
+def test_generalization_curve_class_frames(spark, sf_dir):
+    """Per width everything runs on the QI-class frame: window-free,
+    cartesian-free, sources/totals bound by broadcast; the widths
+    union bounded summaries."""
+    plan = physical_plan(
+        QUERIES["privacy_generalization_curve"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_nlist_tradeoff_panel_shapes(spark, sf_dir):
+    """The nlist sweep keeps the recall family's discipline: windows
+    only over panel-keyed frames (q_id rank cuts / vec_id assignment),
+    centroid binds broadcast, no cartesian of fact-sized sides."""
+    plan = physical_plan(QUERIES["ann_nlist_tradeoff"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs and specs <= {"q_id", "vec_id"}
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_return_probability_user_window_only(spark, sf_dir):
+    """The return-hazard table shares the dwell/sessionize shuffle:
+    one user-partitioned lead window, then one aggregate — no join."""
+    plan = physical_plan(
+        QUERIES["events_return_probability"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"user_id"}
+
+
+def test_shingle_selectivity_equijoins_only(spark, sf_dir):
+    """The selectivity audit never pairs documents: the docs-sharing
+    count joins the exploded frame back on the SHINGLE equi-key; no
+    window, no cartesian; the k-grid is a plain union of scans."""
+    plan = physical_plan(
+        QUERIES["dedup_shingle_selectivity"](spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.split("n_docs")[0]
+    # the exploded (k, doc, shingle) frame is pinned (it feeds both the
+    # df aggregate and the docs-sharing join), so the Generate lives
+    # above the checkpoint: the downstream plan reads it as an RDD scan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_oov_vocab_equijoin(spark, sf_dir):
+    """The OOV audit joins eval tokens to the DISTINCT train
+    vocabulary on the word equi-key — no window, no cartesian."""
+    plan = physical_plan(QUERIES["text_oov_rate_heldout"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_cross_source_pairs_rides_candidate_path(spark, sf_dir):
+    """The cross-source rollup rides the audited LSH candidate path:
+    banded equi-joins + doc_id tag joins only; the bucket cap's
+    window partitions by (band, key); no cartesian."""
+    plan = physical_plan(
+        QUERIES["dedup_cross_source_pairs"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"band", "key"}

@@ -370,10 +370,12 @@ HEADLINE = [
     "ann_nlist_tradeoff",
     "events_return_probability",
     "dedup_shingle_selectivity",
-    # r14 wave 3: the train-vocab equi-join OOV audit and the
-    # cross-feed rollup of the verified LSH candidate pairs
+    # r14 wave 3: the train-vocab equi-join OOV audit, the cross-feed
+    # rollup of the verified LSH candidate pairs, and the 3-cap
+    # packing sweep (shared (source, shard) Arrow folds)
     "text_oov_rate_heldout",
     "dedup_cross_source_pairs",
+    "pack_cap_sweep",
 ]
 
 

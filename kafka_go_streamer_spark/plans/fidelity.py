@@ -2262,3 +2262,162 @@ def dedup_cross_source_pairs(
         stable_round(F.avg("jaccard"), 4).alias("mean_jaccard"),
         (F.col("src_a") != F.col("src_b")).alias("is_cross_source"),
     )
+
+
+# --------------------------------------------------------- pack_cap_sweep
+#: Sequence-length caps for the packing sweep (the deployed packer
+#: runs PACK_CAP = 256; the grid brackets it).
+PACK_CAP_GRID = (128, 256, 512)
+
+
+def _pack_cap_sweep_sql() -> str:
+    from kafka_go_streamer_spark.plans.training_ops import PACK_SHARD_SPAN
+
+    blocks = []
+    for cap in PACK_CAP_GRID:
+        blocks.append(f"""
+    packed{cap} AS (
+      SELECT doc_id, source, shard, n_tokens, rn,
+             0 AS seq_id, n_tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.shard, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens <= {cap}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= {cap}
+                  THEN p.fill + t.n_tokens ELSE t.n_tokens END
+      FROM packed{cap} p
+      JOIN toks t ON t.source = p.source AND t.shard = p.shard
+                 AND t.rn = p.rn + 1
+    ),
+    seqs{cap} AS (
+      SELECT source, shard, seq_id,
+             sum(n_tokens) AS real_toks, count(*) AS n_docs
+      FROM packed{cap} GROUP BY 1, 2, 3
+    ),
+    agg{cap} AS (
+      SELECT {cap} AS cap,
+             count(*)::BIGINT AS n_sequences,
+             sum(real_toks)::BIGINT AS real_tokens,
+             sum(CASE WHEN real_toks <= {cap}
+                      THEN {cap} - real_toks ELSE 0 END)::BIGINT
+               AS pad_tokens,
+             round(sum(CASE WHEN real_toks <= {cap}
+                            THEN {cap} - real_toks ELSE 0 END) * 1.0
+                   / (count(*) * {cap}), 6) AS pad_share,
+             round(sum(n_docs) * 1.0 / count(*), 4) AS mean_docs_per_seq,
+             sum(CASE WHEN real_toks > {cap} THEN 1 ELSE 0 END)::BIGINT
+               AS n_oversized
+      FROM seqs{cap}
+    )""")
+    ctes = ",".join(blocks)
+    body = "\n    UNION ALL ".join(
+        f"SELECT * FROM agg{cap}" for cap in PACK_CAP_GRID
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, doc_id // {PACK_SHARD_SPAN} AS shard,
+             {X.token_count_sql('text')} AS n_tokens,
+             row_number() OVER (
+               PARTITION BY source, doc_id // {PACK_SHARD_SPAN}
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ),{ctes}
+    {body}
+    """
+
+
+@query("pack_cap_sweep", oracle=_pack_cap_sweep_sql)
+def pack_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length sizing for the greedy packer: the SAME
+    per-(source, shard) fold ``pack_sequences_greedy`` ships, replayed
+    at cap ∈ PACK_CAP_GRID — sequences produced, real vs pad tokens,
+    pad share, docs per sequence, and the documents too big for the
+    cap at all. This is the last sizing curve the training-prep
+    pipeline was missing: a short cap wastes compute on pad (every
+    sequence pays the cap), a long cap packs tighter but changes the
+    attention-window economics — the pad_share column is the number
+    that prices the choice, per cap, on the real token distribution.
+
+    Scale: token counting stays JVM-side; the |caps| folds share ONE
+    shuffle of (id, source, tokens) triples onto the bounded
+    (source, shard) groups (each fold is a linear Arrow pass over at
+    most PACK_SHARD_SPAN docs); everything after is a seqs-frame
+    aggregate. The oracle replays all three folds as recursive CTEs."""
+    import pandas as pd
+
+    from kafka_go_streamer_spark.plans.training_ops import (
+        PACK_SCHEMA,
+        with_pack_shard,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    sharded = with_pack_shard(d)
+
+    # single-arg closure per cap: a two-parameter function would be
+    # dispatched in applyInPandas' (key, pdf) form
+    def make_fold(_cap: int):
+        def pack_group_cap(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            seq = fill = 0
+            seq_ids, offsets = [], []
+            for i, t in enumerate(pdf["n_tokens"]):
+                if i > 0 and fill + t > _cap:
+                    seq += 1
+                    fill = 0
+                seq_ids.append(seq)
+                offsets.append(fill)
+                fill += t
+            pdf["seq_id"] = seq_ids
+            pdf["seq_offset"] = offsets
+            return pdf[
+                [
+                    "doc_id",
+                    "source",
+                    "shard",
+                    "n_tokens",
+                    "seq_id",
+                    "seq_offset",
+                ]
+            ]
+
+        return pack_group_cap
+
+    out = None
+    for cap in PACK_CAP_GRID:
+        packed = sharded.groupBy("source", "shard").applyInPandas(
+            make_fold(cap), PACK_SCHEMA
+        )
+        seqs = packed.groupBy("source", "shard", "seq_id").agg(
+            F.sum("n_tokens").alias("real_toks"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        pad = F.when(
+            F.col("real_toks") <= cap, F.lit(cap) - F.col("real_toks")
+        ).otherwise(0)
+        summary = seqs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_sequences"),
+            F.sum("real_toks").cast("long").alias("real_tokens"),
+            F.sum(pad).cast("long").alias("pad_tokens"),
+            stable_round(
+                F.sum(pad) * 1.0 / (F.count(F.lit(1)) * cap), 6
+            ).alias("pad_share"),
+            stable_round(
+                F.sum("n_docs") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("mean_docs_per_seq"),
+            F.sum(F.when(F.col("real_toks") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversized"),
+        ).select(
+            F.lit(cap).cast("int").alias("cap"),
+            "n_sequences",
+            "real_tokens",
+            "pad_tokens",
+            "pad_share",
+            "mean_docs_per_seq",
+            "n_oversized",
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out

@@ -1651,3 +1651,17 @@ def test_cross_source_pairs_rides_candidate_path(spark, sf_dir):
     assert "CartesianProduct" not in plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs <= {"band", "key"}
+
+
+def test_pack_cap_sweep_bounded_groups(spark, sf_dir):
+    """All |caps| folds ride the packer's (source, shard) grouping —
+    every FlatMapGroupsInPandas is bounded by PACK_SHARD_SPAN docs;
+    no cartesian; the per-cap summaries union."""
+    plan = physical_plan(QUERIES["pack_cap_sweep"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == len(
+        __import__(
+            "kafka_go_streamer_spark.plans.fidelity", fromlist=["x"]
+        ).PACK_CAP_GRID
+    )
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan

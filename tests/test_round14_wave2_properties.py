@@ -443,3 +443,50 @@ def test_cross_source_pairs_matches_python(spark, docs):
             _half_up(sum(js) / len(js), 4), abs=1e-9
         )
         assert r["is_cross_source"] == (key[0] != key[1])
+
+
+# --------------------------------------------------------------- pack_cap_sweep
+def test_pack_cap_sweep_matches_python(spark, docs):
+    from kafka_go_streamer_spark.plans.training_ops import (
+        PACK_SHARD_SPAN,
+    )
+
+    got = {
+        r["cap"]: r
+        for r in QUERIES["pack_cap_sweep"](spark, SF).collect()
+    }
+    toks = sorted(
+        (doc_id, source, len(re.findall(TOKEN_RE, text)))
+        for doc_id, text, _, source, _ in docs
+    )
+    groups = defaultdict(list)
+    for doc_id, source, t in toks:
+        groups[(source, doc_id // PACK_SHARD_SPAN)].append(t)
+    for cap in FID.PACK_CAP_GRID:
+        seqs = []
+        for ts in groups.values():
+            fill = None
+            for t in ts:
+                if fill is None or fill + t > cap:
+                    seqs.append([0, 0])
+                    fill = 0
+                seqs[-1][0] += t
+                seqs[-1][1] += 1
+                fill += t
+        r = got[cap]
+        assert r["n_sequences"] == len(seqs)
+        assert r["real_tokens"] == sum(s for s, _ in seqs)
+        pad = sum(cap - s for s, _ in seqs if s <= cap)
+        assert r["pad_tokens"] == pad
+        assert r["pad_share"] == pytest.approx(
+            _half_up(pad / (len(seqs) * cap), 6), abs=1e-9
+        )
+        assert r["mean_docs_per_seq"] == pytest.approx(
+            _half_up(sum(d for _, d in seqs) / len(seqs), 4), abs=1e-9
+        )
+        assert r["n_oversized"] == sum(1 for s, _ in seqs if s > cap)
+    # real tokens are conserved across caps; longer caps pack tighter
+    reals = {got[c]["real_tokens"] for c in FID.PACK_CAP_GRID}
+    assert len(reals) == 1
+    nseqs = [got[c]["n_sequences"] for c in sorted(FID.PACK_CAP_GRID)]
+    assert nseqs == sorted(nseqs, reverse=True)

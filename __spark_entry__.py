@@ -131,24 +131,21 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    # r14 code-touched queries (tests/test_rotation_staleness.py; the
-    # r13 four landed green in CORRECTNESS_r13 and rotate out). All
-    # six are ADVICE-r13 fixes — values unchanged on the driver
-    # fixtures, refronted so the verdicts can't go stale:
-    #   dedup_lsh_scurve_empirical — nn > 1 singleton-panel guard on
-    #     the hash-partner pairs (both engines)
-    #   sketch_bloom_fpr_curve — n_nonmembers > 0 guard on
-    #     fpr_measured/gap (both engines)
-    #   quality_gate_ablation / pipeline_training_prep /
-    #   pipeline_gate_funnel / pipeline_pretraining_full — the prep
-    #     gate thresholds hoisted to shared PREP_* constants
-    #     (plans/text.py) and imported everywhere they were inlined
-    "dedup_lsh_scurve_empirical",
-    "sketch_bloom_fpr_curve",
-    "quality_gate_ablation",
-    "pipeline_training_prep",
-    "pipeline_gate_funnel",
-    "pipeline_pretraining_full",
+    # r15 code-touched queries (tests/test_rotation_staleness.py; the
+    # r14 six landed green in CORRECTNESS_r14 with code unchanged
+    # since, so they rotate out). All three are ADVICE-r14 fixes —
+    # values unchanged on the driver fixtures, refronted so the
+    # verdicts can't go stale:
+    #   dedup_shingle_selectivity — oracle's docs_sharing_share now
+    #     coalesces the starved-grid NULL to 0 like the Spark side
+    #   route_rule_shadowing — oracle fan escapes single quotes in
+    #     pattern/topic literals (matches routing_case_sql)
+    #   dedup_minhash_width_curve — oracle pair columns generated from
+    #     NUM_HASHES instead of hardcoded sig0..sig3; module-load
+    #     assert max(MINHASH_R_GRID) <= NUM_HASHES
+    "dedup_shingle_selectivity",
+    "route_rule_shadowing",
+    "dedup_minhash_width_curve",
 )
 
 

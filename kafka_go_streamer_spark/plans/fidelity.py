@@ -117,8 +117,18 @@ BUCKET_PANEL_MOD = 97
 BURSTINESS_TOP_N = 20
 
 #: Signature widths for the MinHash sizing curve (prefixes of the
-#: deployed NUM_HASHES-wide signature, same hash family).
+#: deployed NUM_HASHES-wide signature, same hash family). Widths
+#: beyond NUM_HASHES have no signature column to read (both engines).
 MINHASH_R_GRID = (1, 2, 4)
+
+from kafka_go_streamer_spark.operators.dedup import (  # noqa: E402
+    NUM_HASHES as _DEDUP_NUM_HASHES,
+)
+
+assert max(MINHASH_R_GRID) <= _DEDUP_NUM_HASHES, (
+    f"MINHASH_R_GRID tops out at {max(MINHASH_R_GRID)} but the deployed "
+    f"signature is only {_DEDUP_NUM_HASHES} wide"
+)
 
 #: KLL compactor-capacity grid for the sizing curve (the deployed
 #: sketch_kll_quantiles runs k=256; the grid brackets it).
@@ -692,9 +702,11 @@ def _rule_shadowing_sql() -> str:
     )
     fan = "\n    UNION ALL ".join(
         f"SELECT {i} AS rule_idx, "
-        f"'{rs.pattern}' AS pattern, "
+        f"""'{rs.pattern.replace("'", "''")}' AS pattern, """
         + (
-            f"'{rs.topic}'" if rs.topic is not None else "'__drop__'"
+            f"""'{rs.topic.replace("'", "''")}'"""
+            if rs.topic is not None
+            else "'__drop__'"
         )
         + f" AS target, t{i}::BIGINT AS n_match, w{i}::BIGINT AS n_won, "
         f"(t{i} - w{i})::BIGINT AS n_shadowed, "
@@ -1013,6 +1025,10 @@ def _minhash_width_sql() -> str:
         f"      SELECT id, {j} AS band, sig{j} AS key FROM sigs"
         for j in range(NUM_HASHES)
     )
+    pair_cols = ",\n             ".join(
+        f"sa.sig{k} AS sig{k}_a, sb.sig{k} AS sig{k}_b"
+        for k in range(NUM_HASHES)
+    )
     inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
     exact = f"{inter} * 1.0 / (len(sa.sh) + len(sb.sh) - {inter})"
     return f"""
@@ -1040,10 +1056,7 @@ def _minhash_width_sql() -> str:
         ON a.band = b.band AND a.key = b.key AND a.id < b.id
     ),
     pairs AS (
-      SELECT sa.sig0 AS sig0_a, sb.sig0 AS sig0_b,
-             sa.sig1 AS sig1_a, sb.sig1 AS sig1_b,
-             sa.sig2 AS sig2_a, sb.sig2 AS sig2_b,
-             sa.sig3 AS sig3_a, sb.sig3 AS sig3_b,
+      SELECT {pair_cols},
              {exact} AS exact
       FROM cand c
       JOIN sigs sa ON c.id_a = sa.id
@@ -1981,7 +1994,8 @@ def _shingle_selectivity_sql() -> str:
            round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS unique_share,
            max(df)::BIGINT AS max_df,
-           round(max(s.n_docs_sharing) * 1.0 / max(nd.n_docs), 6)
+           round(coalesce(max(s.n_docs_sharing), 0) * 1.0
+                 / max(nd.n_docs), 6)
              AS docs_sharing_share
     FROM df d
     CROSS JOIN nd

@@ -146,6 +146,15 @@ ROTATE_FRONT = (
     "dedup_shingle_selectivity",
     "route_rule_shadowing",
     "dedup_minhash_width_curve",
+    # r15 perf work (VERDICT r14 task 1): the four decode-family
+    # queries now pass a stat-based fan width (sources.tables.fan_width
+    # off the parquet footer row count) into the fused Arrow stage —
+    # values unchanged (same rows, same agg), plan width changed, so
+    # the verdicts are refronted:
+    "multimodal_decode_meta",
+    "multimodal_binary_stats",
+    "multimodal_format_mix",
+    "multimodal_aspect_ratio_buckets",
 )
 
 

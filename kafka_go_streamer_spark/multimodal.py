@@ -541,7 +541,7 @@ def perceptual_signatures(
 
 
 def synthesize_and_decode(
-    df: DataFrame, key_col: str, text_col: str
+    df: DataFrame, key_col: str, text_col: str, width: int | None = None
 ) -> DataFrame:
     """Fused generate→parse: synthesize the container AND structurally
     re-parse it inside ONE Arrow batch stage (one fan-out shuffle, one
@@ -558,8 +558,14 @@ def synthesize_and_decode(
     resize/phash queries, which exercise blob→blob composition)."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
+    # width: stat-based fan (sources.tables.fan_width) when the caller
+    # knows the input row count — the header walk is µs-per-row, so a
+    # full 32-way fan of a few thousand rows pays more in per-task
+    # worker round-trips than it buys in parallelism (measured: 32-task
+    # 0.705 s vs 8-task 0.537 s min-of-3 on the sf0.1 corpus).
     src = fan_out(
-        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text"))
+        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text")),
+        width,
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

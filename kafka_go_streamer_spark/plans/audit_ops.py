@@ -713,9 +713,13 @@ def multimodal_aspect_ratio_buckets(
     map-side-combined aggregate on a (format × 5-bucket) key — decode
     scan speed at any corpus size."""
     from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+    from kafka_go_streamer_spark.sources.tables import fan_width, table_rows
 
     d = load_table(spark, sf_dir, "documents")
-    meta = synthesize_and_decode(d, "doc_id", "text")
+    meta = synthesize_and_decode(
+        d, "doc_id", "text",
+        width=fan_width(spark, table_rows(sf_dir, "documents")),
+    )
     bucket = (
         F.when(F.col("width") * 2 <= F.col("height"), "ultra_tall")
         .when(F.col("width") < F.col("height"), "tall")

@@ -54,9 +54,13 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     input splits, no shuffle; a pixel-level decoder drops into the same
     batch loop without changing the plan."""
     from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+    from kafka_go_streamer_spark.sources.tables import fan_width, table_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    meta = synthesize_and_decode(docs, "doc_id", "text")
+    meta = synthesize_and_decode(
+        docs, "doc_id", "text",
+        width=fan_width(spark, table_rows(sf_dir, "documents")),
+    )
     return meta.withColumn("channels", F.col("channels").cast("int"))
 
 
@@ -76,9 +80,13 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over decoded metadata: the decode -> shuffle-light
     rollup shape of a real media-ingest pipeline."""
     from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+    from kafka_go_streamer_spark.sources.tables import fan_width, table_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    meta = synthesize_and_decode(docs, "doc_id", "text")
+    meta = synthesize_and_decode(
+        docs, "doc_id", "text",
+        width=fan_width(spark, table_rows(sf_dir, "documents")),
+    )
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("byte_len").cast("bigint").alias("total_bytes"),
@@ -463,9 +471,13 @@ def multimodal_format_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     its (format, dims, bytes) projection — formats are single-digit
     cardinality."""
     from kafka_go_streamer_spark.multimodal import synthesize_and_decode
+    from kafka_go_streamer_spark.sources.tables import fan_width, table_rows
 
     d = load_table(spark, sf_dir, "documents")
-    meta = synthesize_and_decode(d, "doc_id", "text")
+    meta = synthesize_and_decode(
+        d, "doc_id", "text",
+        width=fan_width(spark, table_rows(sf_dir, "documents")),
+    )
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).cast("long").alias("n_blobs"),
         stable_round(F.avg("width"), 2).alias("mean_width"),

@@ -88,6 +88,41 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+#: Target rows per Arrow task for LIGHTWEIGHT pandas stages (µs-per-row
+#: work like the structural header decode): below roughly this many rows
+#: per task, the per-task Python-worker round-trip (~7 ms measured on
+#: this container: 32-task vs 8-task fan of the same 5k-row decode)
+#: costs more than the compute it parallelizes. CPU-dense stages
+#: (shingle explodes, brute-force panel scoring) should keep the full
+#: ``fan_out`` — their per-row cost is orders of magnitude higher.
+ARROW_TASK_ROWS = 2000
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — metadata only, no Spark job,
+    no scan. The stat a real catalog would serve."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ).num_rows
+
+
+def fan_width(
+    spark: SparkSession, rows: int, per_task: int = ARROW_TASK_ROWS
+) -> int:
+    """Stat-based fan-out width for lightweight Arrow stages: enough
+    tasks to amortize the Python-worker round-trip, capped at cluster
+    parallelism — the local analogue of AQE's stat-based partition
+    sizing, for the one-row-group fixture where the scan hands Spark no
+    split stats. On a real cluster the input arrives pre-split and
+    ``fan_out`` is skipped entirely (see its docstring)."""
+    return max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-rows // per_task)),
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for t in TABLES:

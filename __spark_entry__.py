@@ -155,6 +155,15 @@ ROTATE_FRONT = (
     "multimodal_binary_stats",
     "multimodal_format_mix",
     "multimodal_aspect_ratio_buckets",
+    # r15 perf work (VERDICT r14 task 3): the greedy-pack fold now runs
+    # group-batched (fold_packed: one hash exchange + pandas groupby
+    # inside mapInPandas) instead of per-group applyInPandas dispatch —
+    # identical per-group fold, same values, new plan shape:
+    "pack_sequences_greedy",
+    "pack_fill_rate_stats",
+    "pack_cap_sweep",
+    # composes the same fold for its packing stage:
+    "pipeline_pretraining_full",
 )
 
 

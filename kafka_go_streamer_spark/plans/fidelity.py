@@ -2361,7 +2361,7 @@ def pack_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from kafka_go_streamer_spark.plans.training_ops import (
-        PACK_SCHEMA,
+        fold_packed,
         with_pack_shard,
     )
 
@@ -2401,9 +2401,7 @@ def pack_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = None
     for cap in PACK_CAP_GRID:
-        packed = sharded.groupBy("source", "shard").applyInPandas(
-            make_fold(cap), PACK_SCHEMA
-        )
+        packed = fold_packed(sharded, fold=make_fold(cap))
         seqs = packed.groupBy("source", "shard", "seq_id").agg(
             F.sum("n_tokens").alias("real_toks"),
             F.count(F.lit(1)).alias("n_docs"),

@@ -16,6 +16,8 @@ greedy fold).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -115,6 +117,47 @@ def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
+def fold_packed(df: DataFrame, fold=pack_group) -> DataFrame:
+    """Run a per-(source, shard) greedy fold with MANY GROUPS PER TASK:
+    hash-partition on the group key, then dispatch the groups of each
+    partition through a pandas groupby inside ONE mapInPandas pass.
+
+    ``groupBy(...).applyInPandas`` pays a per-GROUP Arrow dispatch
+    (~6 ms measured on this container — the span-100 experiment above);
+    at 100 TB the group count is ~corpus/PACK_SHARD_SPAN (millions of
+    groups), so that dispatch overhead IS the job. Batching the groups
+    per partition makes the Arrow round-trip per-PARTITION while the
+    fold itself stays the identical pure per-group function.
+
+    Memory bound: a task materializes one partition = several
+    SPAN-bounded groups; partition count is the session's shuffle
+    parallelism, which a real cluster sizes so partitions fit executor
+    memory — the same contract every shuffle in the engine relies on.
+    Correctness does not depend on Arrow batch splitting: the iterator
+    spans the whole partition, and rows are re-grouped AFTER
+    concatenation, so a group cut across Arrow batches is reassembled
+    before the fold sees it."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(n, "source", "shard")
+
+    def per_partition(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        frames = list(it)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        out = [
+            fold(g)
+            for _, g in pdf.groupby(["source", "shard"], sort=False)
+        ]
+        yield pd.concat(out, ignore_index=True)
+
+    return src.mapInPandas(per_partition, PACK_SCHEMA)
+
+
 @query(
     "pack_sequences_greedy",
     oracle=f"""
@@ -168,11 +211,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
     )
-    return (
-        with_pack_shard(d)
-        .groupBy("source", "shard")
-        .applyInPandas(pack_group, PACK_SCHEMA)
-    )
+    return fold_packed(with_pack_shard(d))
 
 
 @query(
@@ -733,11 +772,7 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = cand.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "source", "n_tokens"
     )
-    return (
-        with_pack_shard(clean)
-        .groupBy("source", "shard")
-        .applyInPandas(pack_group, PACK_SCHEMA)
-    )
+    return fold_packed(with_pack_shard(clean))
 
 
 #: Hybrid retrieval: BM25 candidate pool size and the RRF damping

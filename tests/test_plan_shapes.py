@@ -328,8 +328,13 @@ def test_pack_sequences_single_group_shuffle(spark, sf_dir):
     id+count columns, never text)."""
     df = QUERIES["pack_sequences_greedy"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
+    # group-batched fold: ONE hash exchange on (source, shard), then
+    # MapInPandas dispatches every group of a partition in one Arrow
+    # pass (fold_packed — not per-group FlatMapGroupsInPandas)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert plan.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
     # the text column must be pruned before the exchange
     assert "text" not in re.search(r"Exchange [^\n]*", plan).group(0)
 
@@ -1658,10 +1663,11 @@ def test_pack_cap_sweep_bounded_groups(spark, sf_dir):
     every FlatMapGroupsInPandas is bounded by PACK_SHARD_SPAN docs;
     no cartesian; the per-cap summaries union."""
     plan = physical_plan(QUERIES["pack_cap_sweep"](spark, sf_dir))
-    assert plan.count("FlatMapGroupsInPandas") == len(
+    assert plan.count("MapInPandas") == len(
         __import__(
             "kafka_go_streamer_spark.plans.fidelity", fromlist=["x"]
         ).PACK_CAP_GRID
     )
+    assert "FlatMapGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "Union" in plan

@@ -121,6 +121,72 @@ def latest_state_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+#: Streaming twin of plans/fidelity.py:events_return_probability — the
+#: (predecessor type, inter-event gap) pairs that query derives with a
+#: lead() window, produced incrementally from a per-user last-event
+#: register.
+RETURN_GAPS_SCHEMA = "event_type string, gap_us bigint"
+_RETURN_STATE = "last_us bigint, last_type string"
+
+
+def _return_gaps(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_us, last_type = state.get
+    else:
+        last_us, last_type = None, None
+    types: list = []
+    gaps: list = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us, et in zip(pdf["us"].astype("int64"), pdf["event_type"]):
+            if last_us is not None:
+                types.append(last_type)
+                gaps.append(int(us) - int(last_us))
+            last_us, last_type = int(us), str(et)
+    if last_us is not None:
+        state.update((int(last_us), last_type))
+    yield pd.DataFrame(
+        {
+            "event_type": pd.Series(types, dtype="object"),
+            "gap_us": pd.Series(gaps, dtype="int64"),
+        }
+    )
+
+
+def return_gaps_stream(events: DataFrame) -> DataFrame:
+    """Per-user session-gap state machine: for each event after a
+    user's first, emit (type of the PREVIOUS event, gap to it in µs) —
+    the incremental form of ``events_return_probability``'s
+    lead() window. A user's last-seen (us, type) is the whole state;
+    the batch query's "censored" rows are exactly the registers still
+    held when the feed ends (one per user), so stream-side counts per
+    type plus the leftover state reproduce the batch hazard table.
+
+    Input needs ``user_id``, ``event_id``, ``us`` (epoch micros),
+    ``event_type``. Precondition: the feed delivers each user's events
+    in event-time order across batches (the fixture's arrival order; a
+    real deployment fronts this with a watermark-bounded sorter, the
+    lateness family's territory) — within a batch the operator sorts,
+    across batches the state register only ever moves forward.
+
+    Scale: state is one (long, enum) pair per user, hash-partitioned
+    like any streaming aggregation; each micro-batch touches only the
+    users present in it."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _return_gaps,
+        outputStructType=RETURN_GAPS_SCHEMA,
+        stateStructType=_RETURN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def hll_registers_stream(events: DataFrame) -> DataFrame:
     """Streaming HyperLogLog: maintain the per-(event_type, register)
     max-rho table over an unbounded event stream — the streaming twin

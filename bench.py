@@ -376,6 +376,14 @@ HEADLINE = [
     "text_oov_rate_heldout",
     "dedup_cross_source_pairs",
     "pack_cap_sweep",
+    # round 15 frontier wave: storage/packing/sampling operating
+    # tables, the embedding-norm health profile, and the joint IVF
+    # (nlist x nprobe) surface
+    "storage_compaction_economics",
+    "sample_temperature_sweep",
+    "embedding_norm_profile_by_label",
+    "pack_shard_span_sensitivity",
+    "ann_ivf_operating_surface",
 ]
 
 

@@ -13,6 +13,7 @@ from kafka_go_streamer_spark.plans import (  # noqa: E402,F401
     curation,
     dedup,
     fidelity,
+    frontier,
     insights,
     lateness,
     multimodal_queries,

@@ -1671,3 +1671,71 @@ def test_pack_cap_sweep_bounded_groups(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+# ---------------------------------------------------------- round-15 wave
+
+
+def test_compaction_economics_no_rescan_per_target(spark, sf_dir):
+    """The per-file frame (one corpus scan) is pinned and shared by
+    every target row: the plan must hold exactly ONE parquet scan of
+    documents, with the target rows reading the checkpointed frame."""
+    plan = physical_plan(
+        QUERIES["storage_compaction_economics"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_sweep_single_scan(spark, sf_dir):
+    """The source-mass frame is pinned: one documents scan feeds all
+    alpha rows; everything else is broadcast-scalar arithmetic."""
+    plan = physical_plan(QUERIES["sample_temperature_sweep"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_norm_profile_codegen_no_python(spark, sf_dir):
+    """The norm is a JVM higher-order fold: no Arrow stage, no window,
+    one map-side-combinable aggregate."""
+    plan = physical_plan(
+        QUERIES["embedding_norm_profile_by_label"](spark, sf_dir)
+    )
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_span_sensitivity_counts_tokens_once(spark, sf_dir):
+    """Token counting is span-independent: the (id, source, tokens)
+    triples are pinned and each span's fold is a MapInPandas over one
+    hash exchange — |spans| Arrow stages, ONE regex scan."""
+    from kafka_go_streamer_spark.plans.frontier import SPAN_GRID
+
+    plan = physical_plan(
+        QUERIES["pack_shard_span_sensitivity"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1
+    assert plan.count("MapInPandas") == len(SPAN_GRID)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_surface_shares_scored_and_assignment(spark, sf_dir):
+    """The joint surface re-ranks the PINNED panel-sized frames: no
+    cartesian anywhere, windows only partition by the query id (the
+    top-10 cuts and centroid ranks), and every grid cell reads the
+    checkpointed scored/assignment frames instead of re-scoring the
+    corpus."""
+    plan = physical_plan(
+        QUERIES["ann_ivf_operating_surface"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"q_id", "pq_id"}
+    assert "Scan ExistingRDD" in plan

@@ -384,6 +384,14 @@ HEADLINE = [
     "embedding_norm_profile_by_label",
     "pack_shard_span_sensitivity",
     "ann_ivf_operating_surface",
+    # round 15 wave 2: the decode error path, dedup chain-merge audit,
+    # dimension health, producer sizing, and the parquet encoding
+    # planner
+    "multimodal_decode_quarantine",
+    "dedup_weak_link_audit",
+    "embedding_dimension_health",
+    "route_topic_payload_profile",
+    "storage_column_encoding_planner",
 ]
 
 

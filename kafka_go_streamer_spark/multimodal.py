@@ -586,6 +586,68 @@ def synthesize_and_decode(
     return src.mapInPandas(batches, DECODE_SCHEMA)
 
 
+#: Every doc_id divisible by this gets its container's magic byte
+#: zeroed before the parse — the deterministic corruption model for the
+#: quarantine path (no container format starts with 0x00, so the parse
+#: MUST reject exactly these rows).
+QUARANTINE_MOD = 37
+
+QUARANTINE_SCHEMA = "key bigint, status_format string, byte_len int"
+
+
+def synthesize_decode_quarantine(
+    df: DataFrame, key_col: str, text_col: str, width: int | None = None
+) -> DataFrame:
+    """The fused synthesize→parse stage with the ERROR PATH a real
+    ingest needs: a crawler's blobs are routinely truncated or
+    bit-rotted, and a decoder that throws on the first bad payload
+    kills the whole task (then the stage, then the job, at 100 TB —
+    after hours). Here every blob whose key is divisible by
+    QUARANTINE_MOD is corrupted (magic byte zeroed) before the SAME
+    independent ``parse_image_header`` walk; a parse failure is caught
+    PER ROW and emitted as ``status_format = 'quarantined'`` instead
+    of propagating — the job completes, and the quarantine share is a
+    queryable output instead of a stack trace.
+
+    Emits (key, status_format, byte_len): the parsed container format
+    for healthy rows, 'quarantined' for rejects — only three small
+    columns leave the Arrow stage."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    src = fan_out(
+        df.select(F.col(key_col).alias("key"), F.col(text_col).alias("text")),
+        width,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            statuses = []
+            lens = []
+            for key, text in zip(pdf["key"], pdf["text"]):
+                content = str(text).encode("utf-8")
+                d = hashlib.sha256(content).digest()
+                fmt = ("png", "jpeg", "gif")[d[0] % 3]
+                blob = synthesize_image_blob(
+                    content, fmt, 64 + d[1] * 8, 64 + d[2] * 8
+                )
+                if int(key) % QUARANTINE_MOD == 0:
+                    blob = b"\x00" + blob[1:]
+                try:
+                    statuses.append(parse_image_header(blob)["format"])
+                except ValueError:
+                    statuses.append("quarantined")
+                lens.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "status_format": pd.Series(statuses, dtype="object"),
+                    "byte_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(batches, QUARANTINE_SCHEMA)
+
+
 def synthesize_and_sign(
     df: DataFrame, key_col: str, text_col: str
 ) -> DataFrame:

@@ -702,3 +702,370 @@ def pack_shard_span_sensitivity(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------- multimodal_decode_quarantine
+
+#: Weak-link threshold for the transitive-merge audit: the similarity
+#: the strict-mode dedup (`dedup_minhash_lsh_strict`) is tuned around.
+WEAK_LINK_J = 0.5
+
+
+def _quarantine_sql() -> str:
+    from kafka_go_streamer_spark.multimodal import QUARANTINE_MOD
+    from kafka_go_streamer_spark.plans.multimodal_queries import (
+        _FMT_SQL,
+        _OVERHEAD_SQL,
+    )
+
+    return f"""
+    WITH meta AS (
+      SELECT CASE WHEN doc_id % {QUARANTINE_MOD} = 0 THEN 'quarantined'
+                  ELSE {_FMT_SQL} END AS status_format,
+             octet_length(encode(text)) + {_OVERHEAD_SQL} AS byte_len
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM documents)
+    SELECT status_format,
+           count(*)::BIGINT AS n_blobs,
+           round(avg(byte_len), 2) AS mean_bytes,
+           round(count(*) * 1.0 / max(nn.n), 6) AS corpus_share
+    FROM meta CROSS JOIN nn GROUP BY 1
+    """
+
+
+@query("multimodal_decode_quarantine", oracle=_quarantine_sql)
+def multimodal_decode_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decode error path, priced: blobs whose key is divisible by
+    QUARANTINE_MOD arrive corrupted (magic byte zeroed — the fixture's
+    stand-in for truncated crawls and bit rot), the fused Arrow stage
+    catches the parse failure PER ROW, and this table reports the
+    healthy format mix beside the quarantine bucket. The number a real
+    ingest pages on: a quarantine share jumping from ~3% to 30% means
+    the upstream fetcher broke, and the pipeline kept running to tell
+    you so instead of dying mid-stage.
+
+    Oracle: the corruption set and every healthy row's format/bytes
+    are predicted from the generator's arithmetic — the parse MUST
+    reject exactly the corrupted keys (no container magic starts 0x00)
+    and must parse everything else.
+
+    Scale: the quarantine stage emits three small columns per blob
+    (signature-only consumer discipline — blobs never round-trip
+    through the JVM); the rollup is one tiny aggregate."""
+    from kafka_go_streamer_spark.multimodal import (
+        synthesize_decode_quarantine,
+    )
+    from kafka_go_streamer_spark.sources.tables import fan_width, table_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    meta = synthesize_decode_quarantine(
+        d, "doc_id", "text",
+        width=fan_width(spark, table_rows(sf_dir, "documents")),
+    )
+    # corpus size off the RAW table: one blob per document by
+    # construction, and counting meta instead would re-inline the
+    # Arrow stage into a second consumer
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        meta.groupBy("status_format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            stable_round(F.avg("byte_len"), 2).alias("mean_bytes"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "status_format",
+            "n_blobs",
+            "mean_bytes",
+            stable_round(F.col("n_blobs") * 1.0 / F.col("n"), 6).alias(
+                "corpus_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------- dedup_weak_link_audit
+def _weak_link_sql() -> str:
+    from kafka_go_streamer_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    pairs = minhash_lsh_pairs_sql(
+        "documents", "doc_id", "text", min_intersection=2
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    e(a, b) AS (
+      SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+    sizes AS (
+      SELECT comp, count(*) AS sz FROM comp GROUP BY 1 HAVING count(*) >= 2
+    ),
+    percomp AS (
+      SELECT c.comp, min(p.jaccard) AS min_j, count(*) AS n_edges
+      FROM pairs p JOIN comp c ON c.id = p.id_a GROUP BY 1
+    ),
+    j AS (
+      SELECT s.sz, pc.min_j
+      FROM sizes s JOIN percomp pc ON pc.comp = s.comp
+    )
+    SELECT CASE WHEN sz = 2 THEN '2' WHEN sz <= 4 THEN '3-4'
+                WHEN sz <= 8 THEN '5-8' ELSE '9+' END AS size_bucket,
+           count(*)::BIGINT AS n_components,
+           sum(CASE WHEN min_j < {WEAK_LINK_J} THEN 1 ELSE 0 END)::BIGINT
+             AS n_weak_linked,
+           round(sum(CASE WHEN min_j < {WEAK_LINK_J} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS weak_share,
+           min(min_j) AS min_jaccard
+    FROM j GROUP BY 1
+    """
+
+
+@query("dedup_weak_link_audit", oracle=_weak_link_sql)
+def dedup_weak_link_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-merge overreach in the dedup clusters: connected
+    components chain A~B~C into one group even when A and C share
+    nothing, so "keep one per cluster" can silently drop documents
+    that are NOT near-duplicates of the kept canonical. Per
+    component-size bucket: how many components contain at least one
+    verified edge below WEAK_LINK_J — the clusters a chain-merge-aware
+    dedup (or a higher band threshold) would split before dropping.
+
+    Scale: rides the audited candidate path (capped-band equi-joins,
+    exact-Jaccard verify) and the log-round graph contraction; the
+    audit itself is two aggregates on the component frame (bounded by
+    the duplicate population, ≪ corpus). Oracle: recursive-CTE closure
+    + the same min-edge fold."""
+    from kafka_go_streamer_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    sizes = (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") >= 2)
+        .withColumnRenamed("comp", "scomp")
+    )
+    percomp = (
+        pairs.join(
+            comp.select(
+                F.col("id").alias("id_a"), F.col("comp").alias("ecomp")
+            ),
+            "id_a",
+        )
+        .groupBy("ecomp")
+        .agg(F.min("jaccard").alias("min_j"))
+    )
+    j = sizes.join(percomp, F.col("scomp") == F.col("ecomp"))
+    bucket = (
+        F.when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    weak = F.when(F.col("min_j") < WEAK_LINK_J, 1).otherwise(0)
+    return j.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(weak).cast("long").alias("n_weak_linked"),
+        stable_round(F.sum(weak) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "weak_share"
+        ),
+        F.min("min_j").alias("min_jaccard"),
+    )
+
+
+# ------------------------------------------------ embedding_dimension_health
+@query(
+    "embedding_dimension_health",
+    oracle="""
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    )
+    SELECT dim,
+           count(*)::BIGINT AS n,
+           round(avg(v), 6) AS mean_v,
+           round(avg(v * v) - avg(v) * avg(v), 6) AS var_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v,
+           sum(CASE WHEN abs(v) < 0.000001 THEN 1 ELSE 0 END)::BIGINT
+             AS n_near_zero
+    FROM x GROUP BY 1
+    """,
+)
+def embedding_dimension_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension health of the embedding space: mean, population
+    variance, range, and the near-zero count for every coordinate. A
+    dead dimension (variance ~0) means wasted index width and a
+    truncation/projection bug upstream; a runaway mean means the
+    space isn't centered and cosine vs dot choices start to matter —
+    both show up here before any retrieval metric moves.
+
+    Scale: posexplode fans rows × dims (dims bounded at 64), then ONE
+    map-side-combined aggregate on the dim key. Variance is the
+    explicit two-moment formula on 6dp-rounded output — identical
+    accumulation on both engines, no engine-specific Welford."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "v0")).select(
+        "dim", F.col("v0").cast("double").alias("v")
+    )
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        stable_round(F.avg("v"), 6).alias("mean_v"),
+        stable_round(
+            F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6
+        ).alias("var_v"),
+        stable_round(F.min("v"), 6).alias("min_v"),
+        stable_round(F.max("v"), 6).alias("max_v"),
+        F.sum(F.when(F.abs(F.col("v")) < 0.000001, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_zero"),
+    )
+
+
+# ------------------------------------------------ route_topic_payload_profile
+def _payload_profile_sql() -> str:
+    from kafka_go_streamer_spark.plans.routing_queries import _DOCS_CASE
+
+    return f"""
+    WITH routed AS (
+      SELECT coalesce({_DOCS_CASE}, '__dropped__') AS topic,
+             octet_length(encode(text)) AS vbytes
+      FROM documents
+    )
+    SELECT topic,
+           count(*)::BIGINT AS n,
+           sum(vbytes)::BIGINT AS total_bytes,
+           round(avg(vbytes), 2) AS mean_bytes,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY vbytes), 2)
+             AS p95_bytes,
+           max(vbytes)::INTEGER AS max_bytes
+    FROM routed GROUP BY 1
+    """
+
+
+@query("route_topic_payload_profile", oracle=_payload_profile_sql)
+def route_topic_payload_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Producer-sizing table for the router's output topics: per topic
+    (dead-letter and dropped buckets included), message count, total
+    and mean payload bytes, p95 and max. This is what sizes the Kafka
+    producer's batch/linger and the per-topic partition counts the
+    reference's writer array fans into (main.go:371-377) — a topic
+    taking 1% of messages but 40% of bytes needs different batching
+    than its mirror image.
+
+    Scale: the router's own single codegen'd case-when pass plus one
+    map-side-combined aggregate onto the (tiny) topic domain."""
+    from kafka_go_streamer_spark.plans.routing_queries import DOCS_SPLITER
+    from kafka_go_streamer_spark.routing import route
+
+    docs = load_table(spark, sf_dir, "documents")
+    msgs = docs.select(F.col("text").alias("value"))
+    routed = route(msgs, DOCS_SPLITER)
+    return (
+        routed.select(
+            F.coalesce(F.col("topic"), F.lit("__dropped__")).alias("topic"),
+            F.octet_length("value").alias("vbytes"),
+        )
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vbytes").cast("long").alias("total_bytes"),
+            stable_round(F.avg("vbytes"), 2).alias("mean_bytes"),
+            stable_round(
+                F.percentile("vbytes", F.lit(0.95)), 2
+            ).alias("p95_bytes"),
+            F.max("vbytes").cast("int").alias("max_bytes"),
+        )
+    )
+
+
+# --------------------------------------------- storage_column_encoding_planner
+
+#: Columns of the documents table the encoding planner prices.
+ENCODING_PLAN_COLUMNS = ("source", "lang", "text", "n_chars")
+
+
+def _encoding_planner_sql() -> str:
+    blocks = []
+    for c in ENCODING_PLAN_COLUMNS:
+        blocks.append(f"""
+      SELECT '{c}' AS column_name,
+             sum(cnt)::BIGINT AS n_rows,
+             count(*)::BIGINT AS n_distinct,
+             round(count(*) * 1.0 / sum(cnt), 6) AS distinct_share,
+             round(max(cnt) * 1.0 / sum(cnt), 6) AS top1_share,
+             CASE WHEN count(*) * 100 <= sum(cnt)
+                       AND max(cnt) * 2 >= sum(cnt) THEN 'rle_dictionary'
+                  WHEN count(*) * 10 <= sum(cnt) THEN 'dictionary'
+                  ELSE 'plain' END AS encoding
+      FROM (SELECT {c} AS v, count(*) AS cnt FROM documents GROUP BY 1)""")
+    return "\n      UNION ALL".join(blocks)
+
+
+@query("storage_column_encoding_planner", oracle=_encoding_planner_sql)
+def storage_column_encoding_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet encoding recommendation per column: cardinality and
+    top-value concentration decide dictionary vs RLE-on-dictionary vs
+    plain — the writer knob that moves scan bytes more than any other
+    for enum-like columns. Thresholds compare via integer
+    cross-multiplication (distinct·100 ≤ rows, top1·2 ≥ rows), never a
+    float ratio, so the recommendation can't flip between engines.
+
+    Scale: one column-pruned scan + map-side-combined groupBy per
+    priced column (the groupBy keys differ, so the scans can't fuse —
+    each reads exactly one column); the verdict frame is
+    |columns|-rows. At 100 TB the same pass runs on a sample or reads
+    the existing files' footer statistics instead."""
+    d = load_table(spark, sf_dir, "documents")
+    out = None
+    for c in ENCODING_PLAN_COLUMNS:
+        g = d.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        row = g.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("cnt").alias("top1"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_distinct",
+            stable_round(
+                F.col("n_distinct") * 1.0 / F.col("n_rows"), 6
+            ).alias("distinct_share"),
+            stable_round(F.col("top1") * 1.0 / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            F.when(
+                (F.col("n_distinct") * 100 <= F.col("n_rows"))
+                & (F.col("top1") * 2 >= F.col("n_rows")),
+                "rle_dictionary",
+            )
+            .when(F.col("n_distinct") * 10 <= F.col("n_rows"), "dictionary")
+            .otherwise("plain")
+            .alias("encoding"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

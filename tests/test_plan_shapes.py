@@ -1739,3 +1739,65 @@ def test_ivf_surface_shares_scored_and_assignment(spark, sf_dir):
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs <= {"q_id", "pq_id"}
     assert "Scan ExistingRDD" in plan
+
+
+def test_quarantine_stage_emits_small_columns_only(spark, sf_dir):
+    """The quarantine decode is ONE Arrow stage emitting (key, status,
+    bytes) — blobs never cross to the JVM; the rollup is an aggregate
+    over those three columns."""
+    plan = physical_plan(
+        QUERIES["multimodal_decode_quarantine"](spark, sf_dir)
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_weak_link_rides_candidate_path(spark, sf_dir):
+    """The weak-link audit reuses the capped-band candidate machinery:
+    window partitions only on (band, key) (the bucket cap), no
+    cartesian anywhere in pairs + contraction + audit."""
+    plan = physical_plan(QUERIES["dedup_weak_link_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"band", "key"}
+
+
+def test_dimension_health_single_aggregate(spark, sf_dir):
+    """posexplode then ONE map-side-combined aggregate on dim — no
+    join, no window, no Python stage."""
+    plan = physical_plan(
+        QUERIES["embedding_dimension_health"](spark, sf_dir)
+    )
+    assert "Generate posexplode" in plan or "Generate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_payload_profile_single_pass(spark, sf_dir):
+    """The router's case-when plus one aggregate — no join, no
+    Python, one scan."""
+    plan = physical_plan(
+        QUERIES["route_topic_payload_profile"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_encoding_planner_column_pruned_scans(spark, sf_dir):
+    """Each priced column reads exactly one column from the scan
+    (ReadSchema pruned), aggregates map-side, unions — no join."""
+    from kafka_go_streamer_spark.plans.frontier import (
+        ENCODING_PLAN_COLUMNS,
+    )
+
+    plan = physical_plan(
+        QUERIES["storage_column_encoding_planner"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == len(ENCODING_PLAN_COLUMNS)
+    # every scan projects a single column
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1).count(":") == 1

@@ -392,6 +392,10 @@ HEADLINE = [
     "embedding_dimension_health",
     "route_topic_payload_profile",
     "storage_column_encoding_planner",
+    # round 15 wave 3: per-label effective rank and the gate/dedup
+    # ordering decision table (two full LSH+contraction passes)
+    "embedding_effective_dimensionality",
+    "pipeline_dedup_order_sensitivity",
 ]
 
 

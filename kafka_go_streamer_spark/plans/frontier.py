@@ -1069,3 +1069,226 @@ def storage_column_encoding_planner(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------------------------ embedding_effective_dimensionality
+@query(
+    "embedding_effective_dimensionality",
+    oracle="""
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    dv AS (
+      SELECT label, dim,
+             round(avg(v * v) - avg(v) * avg(v), 6) AS var_v
+      FROM x GROUP BY 1, 2
+    )
+    SELECT label,
+           count(*)::INTEGER AS n_dims,
+           round(sum(var_v), 6) AS total_var,
+           round(sum(var_v) * sum(var_v) / sum(var_v * var_v), 4)
+             AS participation_ratio,
+           round(max(var_v) / sum(var_v), 6) AS top1_var_share,
+           sum(CASE WHEN var_v < 0.000001 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dead
+    FROM dv GROUP BY 1
+    """,
+)
+def embedding_effective_dimensionality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How many dimensions each label's embeddings ACTUALLY use: the
+    participation ratio (Σv)²/Σv² of the per-dimension variances — 64
+    when variance spreads evenly, 1 when a single axis carries
+    everything — plus the top axis' variance share and the dead-axis
+    count. The axis-aligned effective-rank proxy that says whether an
+    IVF/PQ index gets its money's worth from the declared width, per
+    label slice (a collapsed label = a degenerate encoder head).
+
+    Scale: bounded posexplode (rows × 64) into one (label, dim)
+    map-side aggregate, then a label-domain rollup of the 6dp-rounded
+    variances — both engines fold identical quanta, no
+    eigendecomposition anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v0")
+    ).select("label", "dim", F.col("v0").cast("double").alias("v"))
+    dv = x.groupBy("label", "dim").agg(
+        stable_round(
+            F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6
+        ).alias("var_v")
+    )
+    return dv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+        stable_round(F.sum("var_v"), 6).alias("total_var"),
+        stable_round(
+            F.sum("var_v")
+            * F.sum("var_v")
+            / F.sum(F.col("var_v") * F.col("var_v")),
+            4,
+        ).alias("participation_ratio"),
+        stable_round(F.max("var_v") / F.sum("var_v"), 6).alias(
+            "top1_var_share"
+        ),
+        F.sum(F.when(F.col("var_v") < 0.000001, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dead"),
+    )
+
+
+# -------------------------------------------- pipeline_dedup_order_sensitivity
+def _order_sensitivity_sql() -> str:
+    from kafka_go_streamer_spark.functions import text as X
+    from kafka_go_streamer_spark.operators.dedup import minhash_lsh_pairs_sql
+    from kafka_go_streamer_spark.plans.text import (
+        PREP_LANG,
+        PREP_MIN_ALPHA,
+        PREP_MIN_WORDS,
+    )
+
+    gate = (
+        f"{X.word_count_sql('text')} >= {PREP_MIN_WORDS} "
+        f"AND {X.alpha_ratio_sql('text')} > {PREP_MIN_ALPHA} "
+        f"AND {X.lang_id_sql('text')} = '{PREP_LANG}'"
+    )
+    pa = minhash_lsh_pairs_sql("gated", "doc_id", "text", min_intersection=2)
+    pb = minhash_lsh_pairs_sql(
+        "documents", "doc_id", "text", min_intersection=2
+    )
+    return f"""
+    WITH RECURSIVE gated AS (
+      SELECT doc_id, source, text FROM documents WHERE {gate}
+    ),
+    pa AS ({pa}),
+    ea(a, b) AS (
+      SELECT id_a, id_b FROM pa UNION ALL SELECT id_b, id_a FROM pa
+    ),
+    reacha(id, r) AS (
+      SELECT doc_id, doc_id FROM gated
+      UNION
+      SELECT ea.b, reacha.r FROM ea JOIN reacha ON ea.a = reacha.id
+    ),
+    kept_a AS (
+      SELECT id FROM (SELECT id, min(r) AS comp FROM reacha GROUP BY id)
+      WHERE id = comp
+    ),
+    pb AS ({pb}),
+    eb(a, b) AS (
+      SELECT id_a, id_b FROM pb UNION ALL SELECT id_b, id_a FROM pb
+    ),
+    reachb(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT eb.b, reachb.r FROM eb JOIN reachb ON eb.a = reachb.id
+    ),
+    kept_b AS (
+      SELECT c.id FROM (SELECT id, min(r) AS comp FROM reachb GROUP BY id) c
+      JOIN gated g ON g.doc_id = c.id
+      WHERE c.id = c.comp
+    )
+    SELECT d.source,
+           sum(CASE WHEN ka.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_gate_first,
+           sum(CASE WHEN kb.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_dedup_first,
+           sum(CASE WHEN ka.id IS NOT NULL AND kb.id IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_common,
+           sum(CASE WHEN ka.id IS NOT NULL AND kb.id IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_only_gate_first,
+           sum(CASE WHEN ka.id IS NULL AND kb.id IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_only_dedup_first
+    FROM documents d
+    LEFT JOIN kept_a ka ON ka.id = d.doc_id
+    LEFT JOIN kept_b kb ON kb.id = d.doc_id
+    GROUP BY 1
+    """
+
+
+@query(
+    "pipeline_dedup_order_sensitivity", oracle=_order_sensitivity_sql
+)
+def pipeline_dedup_order_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does gate-then-dedup keep the same corpus as dedup-then-gate?
+    No — and this table shows exactly where. Gate-first removes docs
+    BEFORE clustering, so a cluster whose min-id canonical fails the
+    gates elects a different (kept) representative; dedup-first elects
+    canonicals over the full corpus and THEN gates them, silently
+    dropping every cluster whose canonical fails — its surviving
+    members and all. Per source: kept counts under each order, the
+    agreement, and both disagreement arms. The pipeline-design
+    decision most corpus builds get wrong once.
+
+    Scale: two passes of the audited LSH candidate path + log-round
+    contraction (one on the gated subset, one full) — each is the
+    `dedup_connected_components` machinery unchanged; the comparison
+    is two broadcast-able id-set joins and one source-domain
+    aggregate. Oracle: the same two closures as recursive CTEs."""
+    from kafka_go_streamer_spark.functions import text as X
+    from kafka_go_streamer_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from kafka_go_streamer_spark.plans.text import (
+        PREP_LANG,
+        PREP_MIN_ALPHA,
+        PREP_MIN_WORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        (X.word_count(F.col("text")) >= PREP_MIN_WORDS)
+        & (X.alpha_ratio(F.col("text")) > PREP_MIN_ALPHA)
+        & (X.lang_id(F.col("text")) == PREP_LANG)
+    )
+    gated = docs.filter(gate).select("doc_id", "text")
+
+    pairs_a = minhash_lsh_pairs(gated, "doc_id", "text", min_intersection=2)
+    comp_a = connected_components(
+        gated.select(F.col("doc_id").alias("id")),
+        pairs_a.select("id_a", "id_b"),
+    )
+    kept_a = (
+        comp_a.filter(F.col("id") == F.col("comp"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("in_a", F.lit(1))
+    )
+
+    pairs_b = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", min_intersection=2
+    )
+    comp_b = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs_b.select("id_a", "id_b"),
+    )
+    kept_b = (
+        comp_b.filter(F.col("id") == F.col("comp"))
+        .join(
+            gated.select(F.col("doc_id").alias("id")),
+            "id",
+            "left_semi",
+        )
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("in_b", F.lit(1))
+    )
+
+    t = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(kept_a), "doc_id", "left")
+        .join(F.broadcast(kept_b), "doc_id", "left")
+    )
+    a, b = F.col("in_a").isNotNull(), F.col("in_b").isNotNull()
+    return t.groupBy("source").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_gate_first"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("long").alias("n_dedup_first"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n_common"),
+        F.sum(F.when(a & ~b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_gate_first"),
+        F.sum(F.when(~a & b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_dedup_first"),
+    )

@@ -1801,3 +1801,26 @@ def test_encoding_planner_column_pruned_scans(spark, sf_dir):
     # every scan projects a single column
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert m.group(1).count(":") == 1
+
+
+def test_effective_dimensionality_two_aggregates(spark, sf_dir):
+    """Bounded posexplode into a (label, dim) aggregate, then a
+    label-domain rollup — no join, no window, no Python stage."""
+    plan = physical_plan(
+        QUERIES["embedding_effective_dimensionality"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_order_sensitivity_broadcast_id_sets(spark, sf_dir):
+    """The kept-id sets join back broadcast; windows belong to the LSH
+    bucket caps and the contraction only; no cartesian."""
+    plan = physical_plan(
+        QUERIES["pipeline_dedup_order_sensitivity"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"band", "key"}

@@ -371,6 +371,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     min_intersection: int = 2,
     band_r: int = 1,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH + exact-Jaccard
     verification.
@@ -403,9 +404,16 @@ def minhash_lsh_pairs(
     # dead cache entries. At cluster scale this is the standard
     # "signature table" materialization; swap for a real checkpoint/
     # table write when executor loss matters.
-    sigs = with_minhash(
-        df.select(F.col(id_col), F.col(text_col)), text_col
-    ).localCheckpoint(eager=True)
+    # Callers running SEVERAL LSH passes over overlapping corpora (the
+    # order-sensitivity table: full corpus + gated subset) can hand in
+    # a pre-materialized signature table via ``sigs`` and skip the
+    # hashing pass entirely — the bucket cap still applies per pass, on
+    # the subset's own band frame, so candidate semantics are those of
+    # an independent run over that subset.
+    if sigs is None:
+        sigs = with_minhash(
+            df.select(F.col(id_col), F.col(text_col)), text_col
+        ).localCheckpoint(eager=True)
     bands = cap_bucket(band_rows(sigs, id_col, band_r), "band", "key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

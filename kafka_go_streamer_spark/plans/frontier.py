@@ -1238,6 +1238,8 @@ def pipeline_dedup_order_sensitivity(
         PREP_MIN_WORDS,
     )
 
+    from kafka_go_streamer_spark.operators.dedup import with_minhash
+
     docs = load_table(spark, sf_dir, "documents")
     gate = (
         (X.word_count(F.col("text")) >= PREP_MIN_WORDS)
@@ -1246,7 +1248,21 @@ def pipeline_dedup_order_sensitivity(
     )
     gated = docs.filter(gate).select("doc_id", "text")
 
-    pairs_a = minhash_lsh_pairs(gated, "doc_id", "text", min_intersection=2)
+    # hash ONCE: the gated pass's signatures are a row-subset of the
+    # full corpus' — materialize the signature table a single time and
+    # run both LSH passes off it (per-pass bucket caps still apply to
+    # each pass's own band frame, so semantics match two independent
+    # runs; measured 11.9 s -> the shared-signature form at sf0.1)
+    sigs_full = with_minhash(
+        docs.select("doc_id", "text"), "text"
+    ).localCheckpoint(eager=True)
+    sigs_gated = sigs_full.join(
+        gated.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    pairs_a = minhash_lsh_pairs(
+        gated, "doc_id", "text", min_intersection=2, sigs=sigs_gated
+    )
     comp_a = connected_components(
         gated.select(F.col("doc_id").alias("id")),
         pairs_a.select("id_a", "id_b"),
@@ -1258,7 +1274,11 @@ def pipeline_dedup_order_sensitivity(
     )
 
     pairs_b = minhash_lsh_pairs(
-        docs.select("doc_id", "text"), "doc_id", "text", min_intersection=2
+        docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        min_intersection=2,
+        sigs=sigs_full,
     )
     comp_b = connected_components(
         docs.select(F.col("doc_id").alias("id")),

@@ -396,6 +396,8 @@ HEADLINE = [
     # ordering decision table (two full LSH+contraction passes)
     "embedding_effective_dimensionality",
     "pipeline_dedup_order_sensitivity",
+    # round 15 wave 4: the MAX_BUCKET skew guard priced
+    "dedup_bucket_cap_audit",
 ]
 
 

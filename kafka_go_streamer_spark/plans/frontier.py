@@ -1312,3 +1312,101 @@ def pipeline_dedup_order_sensitivity(
         .cast("long")
         .alias("n_only_dedup_first"),
     )
+
+
+# ----------------------------------------------------- dedup_bucket_cap_audit
+def _bucket_cap_sql() -> str:
+    from kafka_go_streamer_spark.functions import text as X
+    from kafka_go_streamer_spark.operators.dedup import (
+        MAX_BUCKET,
+        NUM_HASHES,
+        minhash_sig_sql,
+        shingles_sql,
+    )
+
+    sig_cols = ",\n           ".join(
+        f"{minhash_sig_sql('sh', k)} AS sig{k}" for k in range(NUM_HASHES)
+    )
+    band_union = "\n      UNION ALL\n".join(
+        f"      SELECT id, {j} AS band, sig{j} AS key FROM sigs"
+        for j in range(NUM_HASHES)
+    )
+    return f"""
+    WITH w0 AS (
+      SELECT doc_id AS id, {X.words_sql('text')} AS w FROM documents
+    ),
+    docs AS (SELECT id, {shingles_sql('w')} AS sh FROM w0),
+    sigs AS (
+      SELECT id, sh,
+           {sig_cols}
+      FROM docs
+    ),
+    bands0 AS (
+{band_union}
+    ),
+    sz AS (
+      SELECT band, key, count(*) AS n FROM bands0 GROUP BY 1, 2
+    )
+    SELECT band,
+           count(*)::BIGINT AS n_buckets,
+           max(n)::BIGINT AS max_bucket,
+           sum(CASE WHEN n > {MAX_BUCKET} THEN 1 ELSE 0 END)::BIGINT
+             AS n_capped,
+           sum(CASE WHEN n > {MAX_BUCKET} THEN n ELSE 0 END)::BIGINT
+             AS rows_dropped,
+           sum(CASE WHEN n > {MAX_BUCKET}
+                    THEN n * (n - 1) // 2 ELSE 0 END)::BIGINT
+             AS pairs_forgone,
+           sum(CASE WHEN n <= {MAX_BUCKET}
+                    THEN n * (n - 1) // 2 ELSE 0 END)::BIGINT
+             AS pairs_kept_bound
+    FROM sz GROUP BY 1
+    """
+
+
+@query("dedup_bucket_cap_audit", oracle=_bucket_cap_sql)
+def dedup_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the engine's own skew guard costs: the MAX_BUCKET cap
+    (operators/dedup.py:cap_bucket) DROPS every band bucket larger
+    than the cap before the candidate self-join — the guarantee that
+    no boilerplate-heavy key can go quadratic. This table prices that
+    guarantee per band: bucket count, the hottest bucket, how many
+    buckets/rows the cap removes, and the candidate pairs forgone
+    (n·(n-1)/2 per dropped bucket) next to the kept-pair bound. A
+    pairs_forgone spike says the corpus grew a new boilerplate family
+    and recall is leaking — raise the cap, or better, add the
+    boilerplate to the line-dedup pass upstream.
+
+    Scale: the signature build is the audited one-pass form; bucket
+    sizing is one map-side-combined (band, key) aggregate; the verdict
+    frame is |bands| rows. Integer pair arithmetic (n·(n-1) is always
+    even) — no float anywhere."""
+    from kafka_go_streamer_spark.operators.dedup import (
+        MAX_BUCKET,
+        band_rows,
+        with_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = with_minhash(docs.select("doc_id", "text"), "text")
+    sz = (
+        band_rows(sigs, "doc_id")
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    over = F.col("n") > MAX_BUCKET
+    pairs = F.expr("n * (n - 1) div 2")
+    return sz.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_capped"),
+        F.sum(F.when(over, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_dropped"),
+        F.sum(F.when(over, pairs).otherwise(0))
+        .cast("long")
+        .alias("pairs_forgone"),
+        F.sum(F.when(~over, pairs).otherwise(0))
+        .cast("long")
+        .alias("pairs_kept_bound"),
+    )

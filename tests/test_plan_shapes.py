@@ -1824,3 +1824,13 @@ def test_order_sensitivity_broadcast_id_sets(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs <= {"band", "key"}
+
+
+def test_bucket_cap_audit_no_self_join(spark, sf_dir):
+    """The cap audit sizes buckets WITHOUT running the candidate
+    self-join — one (band, key) aggregate after the signature build,
+    no join on the band frame, no window."""
+    plan = physical_plan(QUERIES["dedup_bucket_cap_audit"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

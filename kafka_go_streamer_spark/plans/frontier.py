@@ -566,6 +566,11 @@ def ann_ivf_operating_surface(
                     "mean_recall_at_10",
                     "mean_scan_share",
                 )
+                # a grid cell where NO query retrieves a candidate
+                # (degenerate corpus: every probed cell holds only the
+                # query itself) must vanish like the oracle's grouped
+                # row does — not surface as an n_queries=0/NULL row
+                .filter(F.col("n_queries") > 0)
             )
             out = row if out is None else out.unionByName(row)
     return out
@@ -1239,6 +1244,7 @@ def pipeline_dedup_order_sensitivity(
     )
 
     from kafka_go_streamer_spark.operators.dedup import with_minhash
+    from kafka_go_streamer_spark.operators.iterate import pinned
 
     docs = load_table(spark, sf_dir, "documents")
     gate = (
@@ -1246,7 +1252,10 @@ def pipeline_dedup_order_sensitivity(
         & (X.alpha_ratio(F.col("text")) > PREP_MIN_ALPHA)
         & (X.lang_id(F.col("text")) == PREP_LANG)
     )
-    gated = docs.filter(gate).select("doc_id", "text")
+    # pinned: the triple-regex gate scan feeds the gated signature
+    # subset, comp_a's node set, and kept_b's semi-join — without the
+    # barrier Catalyst re-inlines the regex scan into each consumer
+    gated = pinned(docs.filter(gate).select("doc_id", "text"))
 
     # hash ONCE: the gated pass's signatures are a row-subset of the
     # full corpus' — materialize the signature table a single time and

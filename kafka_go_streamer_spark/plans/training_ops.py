@@ -137,8 +137,12 @@ def fold_packed(df: DataFrame, fold=pack_group) -> DataFrame:
     spans the whole partition, and rows are re-grouped AFTER
     concatenation, so a group cut across Arrow batches is reassembled
     before the fold sees it."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    src = df.repartition(n, "source", "shard")
+    # no explicit partition count: honor spark.sql.shuffle.partitions,
+    # the knob a cluster sizes so shuffle partitions fit executor
+    # memory — pinning defaultParallelism (core count) here would
+    # concentrate 1 TB of triples into ~cores frames regardless of
+    # that sizing
+    src = df.repartition("source", "shard")
 
     def per_partition(
         it: Iterator[pd.DataFrame],

@@ -140,11 +140,18 @@ def _return_gaps(
         last_us, last_type = None, None
     types: list = []
     gaps: list = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["us", "event_id"])
-        for us, et in zip(pdf["us"].astype("int64"), pdf["event_type"]):
+    # concatenate the WHOLE batch before sorting: a >maxRecordsPerBatch
+    # group arrives as several Arrow chunks, and chunk-local sorts
+    # would interleave out-of-order (negative gaps, wrong predecessor
+    # attribution) — same reassembly rule as fold_packed
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["us", "event_id"]
+        )
+        for us, et in zip(
+            batch["us"].astype("int64"), batch["event_type"]
+        ):
             if last_us is not None:
                 types.append(last_type)
                 gaps.append(int(us) - int(last_us))

@@ -125,9 +125,9 @@ def test_order_sensitivity_arithmetic_and_dedup_first_recomputed(spark):
     assert got == dict(expected)
     # gate-first keeps one representative per gated-subgraph component,
     # so it can never keep more docs than pass the gates — and both
-    # orders must disagree somewhere on this fixture for the query to
-    # be worth running
+    # orders must disagree somewhere on this fixture (measured: 1 doc
+    # at sf0.001, 4 at sf0.01) or the query degenerates to noise
     assert sum(r["n_gate_first"] for r in rows.values()) <= len(gate_ok)
     assert sum(r["n_only_dedup_first"] for r in rows.values()) + sum(
         r["n_only_gate_first"] for r in rows.values()
-    ) >= 0
+    ) > 0

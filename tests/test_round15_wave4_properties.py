@@ -105,6 +105,11 @@ def test_quarantine_stream_equals_batch(spark, tmp_path):
 
     files = sorted(staged.glob("part-*.parquet"))
     assert len(files) > 1
+    # feed fully staged BEFORE start(): availableNow snapshots the
+    # files available at query start, so copying afterwards races
+    # batch planning against the copy loop
+    for p in files:
+        shutil.copy(p, feed / p.name)
     q = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", "1")
@@ -115,8 +120,6 @@ def test_quarantine_stream_equals_batch(spark, tmp_path):
         .start()
     )
     try:
-        for p in files:
-            shutil.copy(p, feed / p.name)
         q.awaitTermination(300)
     finally:
         if q.isActive:

@@ -1230,8 +1230,10 @@ def pipeline_dedup_order_sensitivity(
     Scale: two passes of the audited LSH candidate path + log-round
     contraction (one on the gated subset, one full) — each is the
     `dedup_connected_components` machinery unchanged; the comparison
-    is two broadcast-able id-set joins and one source-domain
-    aggregate. Oracle: the same two closures as recursive CTEs."""
+    is two doc_id-keyed joins against O(corpus) kept-sets (left to
+    AQE — deliberately NOT hinted broadcast, which would blow the
+    8 GB cap at scale) and one source-domain aggregate. Oracle: the
+    same two closures as recursive CTEs."""
     from kafka_go_streamer_spark.functions import text as X
     from kafka_go_streamer_spark.operators.dedup import (
         connected_components,
@@ -1304,10 +1306,16 @@ def pipeline_dedup_order_sensitivity(
         .withColumn("in_b", F.lit(1))
     )
 
+    # No broadcast hint on kept_a/kept_b: both are one row per SURVIVING
+    # document — O(corpus) frames. A forced broadcast would hit the 8 GB
+    # cap (driver assembly, executor OOM) at the 100-TB design point for
+    # zero benefit; both joins are doc_id-keyed so AQE picks a sort-merge
+    # or (at small SF) its own runtime broadcast. Plan-shape pinned in
+    # tests/test_plan_shapes.py (no ResolvedHint on corpus-scaled sides).
     t = (
         docs.select("doc_id", "source")
-        .join(F.broadcast(kept_a), "doc_id", "left")
-        .join(F.broadcast(kept_b), "doc_id", "left")
+        .join(kept_a, "doc_id", "left")
+        .join(kept_b, "doc_id", "left")
     )
     a, b = F.col("in_a").isNotNull(), F.col("in_b").isNotNull()
     return t.groupBy("source").agg(

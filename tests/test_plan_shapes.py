@@ -1814,14 +1814,20 @@ def test_effective_dimensionality_two_aggregates(spark, sf_dir):
     assert "MapInPandas" not in plan
 
 
-def test_order_sensitivity_broadcast_id_sets(spark, sf_dir):
-    """The kept-id sets join back broadcast; windows belong to the LSH
+def test_order_sensitivity_no_corpus_broadcast_hint(spark, sf_dir):
+    """kept_a/kept_b are one row per SURVIVING document — O(corpus)
+    frames. A user broadcast hint there is a guaranteed 100 TB failure
+    (8 GB broadcast cap, driver assembly); the query must carry ZERO
+    user hints and leave the doc_id-keyed joins to AQE. At sf fixtures
+    AQE may still pick a runtime broadcast — that's fine; the pinned
+    property is that WE never force one. Windows belong to the LSH
     bucket caps and the contraction only; no cartesian."""
-    plan = physical_plan(
-        QUERIES["pipeline_dedup_order_sensitivity"](spark, sf_dir)
-    )
+    df = QUERIES["pipeline_dedup_order_sensitivity"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+    plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs <= {"band", "key"}
 

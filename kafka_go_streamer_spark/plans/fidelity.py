@@ -125,10 +125,13 @@ from kafka_go_streamer_spark.operators.dedup import (  # noqa: E402
     NUM_HASHES as _DEDUP_NUM_HASHES,
 )
 
-assert max(MINHASH_R_GRID) <= _DEDUP_NUM_HASHES, (
-    f"MINHASH_R_GRID tops out at {max(MINHASH_R_GRID)} but the deployed "
-    f"signature is only {_DEDUP_NUM_HASHES} wide"
-)
+# A plain `if` (not `assert`): this guard must survive `python -O`,
+# which strips assert statements.
+if max(MINHASH_R_GRID) > _DEDUP_NUM_HASHES:
+    raise ValueError(
+        f"MINHASH_R_GRID tops out at {max(MINHASH_R_GRID)} but the deployed "
+        f"signature is only {_DEDUP_NUM_HASHES} wide"
+    )
 
 #: KLL compactor-capacity grid for the sizing curve (the deployed
 #: sketch_kll_quantiles runs k=256; the grid brackets it).

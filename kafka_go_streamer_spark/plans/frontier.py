@@ -1093,9 +1093,11 @@ def storage_column_encoding_planner(
     SELECT label,
            count(*)::INTEGER AS n_dims,
            round(sum(var_v), 6) AS total_var,
-           round(sum(var_v) * sum(var_v) / sum(var_v * var_v), 4)
+           round(CASE WHEN sum(var_v * var_v) <> 0
+                 THEN sum(var_v) * sum(var_v) / sum(var_v * var_v) END, 4)
              AS participation_ratio,
-           round(max(var_v) / sum(var_v), 6) AS top1_var_share,
+           round(CASE WHEN sum(var_v) <> 0
+                 THEN max(var_v) / sum(var_v) END, 6) AS top1_var_share,
            sum(CASE WHEN var_v < 0.000001 THEN 1 ELSE 0 END)::BIGINT
              AS n_dead
     FROM dv GROUP BY 1
@@ -1128,15 +1130,23 @@ def embedding_effective_dimensionality(
     return dv.groupBy("label").agg(
         F.count(F.lit(1)).cast("int").alias("n_dims"),
         stable_round(F.sum("var_v"), 6).alias("total_var"),
-        stable_round(
-            F.sum("var_v")
-            * F.sum("var_v")
-            / F.sum(F.col("var_v") * F.col("var_v")),
-            4,
+        # denominator guards: a label whose every 6dp-rounded variance
+        # is zero has sum == 0; Spark's non-ANSI divide yields NULL but
+        # DuckDB float division yields inf/NaN — both engines must emit
+        # NULL for the degenerate constant-vector label
+        F.when(
+            F.sum(F.col("var_v") * F.col("var_v")) != 0,
+            stable_round(
+                F.sum("var_v")
+                * F.sum("var_v")
+                / F.sum(F.col("var_v") * F.col("var_v")),
+                4,
+            ),
         ).alias("participation_ratio"),
-        stable_round(F.max("var_v") / F.sum("var_v"), 6).alias(
-            "top1_var_share"
-        ),
+        F.when(
+            F.sum("var_v") != 0,
+            stable_round(F.max("var_v") / F.sum("var_v"), 6),
+        ).alias("top1_var_share"),
         F.sum(F.when(F.col("var_v") < 0.000001, 1).otherwise(0))
         .cast("long")
         .alias("n_dead"),

@@ -153,11 +153,13 @@ def fold_packed(df: DataFrame, fold=pack_group) -> DataFrame:
         pdf = pd.concat(frames, ignore_index=True)
         if pdf.empty:
             return
-        out = [
-            fold(g)
-            for _, g in pdf.groupby(["source", "shard"], sort=False)
-        ]
-        yield pd.concat(out, ignore_index=True)
+        # yield per-GROUP frames: the Arrow writer streams group-sized
+        # batches while the input concat is still alive, instead of
+        # holding a second partition-sized output frame next to it
+        # (which would double peak task memory past the documented
+        # one-partition bound)
+        for _, g in pdf.groupby(["source", "shard"], sort=False):
+            yield fold(g)
 
     return src.mapInPandas(per_partition, PACK_SCHEMA)
 

@@ -131,3 +131,56 @@ def test_order_sensitivity_arithmetic_and_dedup_first_recomputed(spark):
     assert sum(r["n_only_dedup_first"] for r in rows.values()) + sum(
         r["n_only_gate_first"] for r in rows.values()
     ) > 0
+
+
+def test_effective_dimensionality_degenerate_label_nulls(spark, tmp_path):
+    """A label whose vectors are all identical has every 6dp-rounded
+    per-dimension variance == 0, so both ratio denominators are 0.
+    Spark's non-ANSI divide yields NULL and DuckDB float division
+    yields inf/NaN — the explicit denominator guards must make BOTH
+    engines emit NULL (and agree on the healthy label)."""
+    import duckdb
+    import pyarrow as pa
+
+    from kafka_go_streamer_spark.plans import ORACLES
+
+    const = [[1.5] * 8] * 5                      # label 0: constant vectors
+    rng = np.random.default_rng(7)
+    healthy = rng.normal(size=(5, 8)).astype(np.float32).tolist()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in const + healthy],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 5 + [1] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["label"]: r
+        for r in QUERIES["embedding_effective_dimensionality"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    ora = {
+        int(r["label"]): r
+        for _, r in con.execute(
+            ORACLES["embedding_effective_dimensionality"]
+        ).df().iterrows()
+    }
+
+    assert got[0]["participation_ratio"] is None
+    assert got[0]["top1_var_share"] is None
+    assert got[0]["total_var"] == 0.0
+    assert pd.isna(ora[0]["participation_ratio"])
+    assert pd.isna(ora[0]["top1_var_share"])
+    for col in ("participation_ratio", "top1_var_share", "total_var"):
+        assert float(got[1][col]) == float(ora[1][col])

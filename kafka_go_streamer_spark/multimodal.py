@@ -177,6 +177,81 @@ def synthetic_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Hash-indexed image-format palette for the blob synthesizer.
+IMAGE_FORMATS = ("png", "jpeg", "gif")
+
+
+def image_params_for(content: bytes) -> tuple:
+    """SINGLE source of truth for the deterministic synthesis
+    arithmetic (Python half): ``(format, width, height)`` derived from
+    ``sha256(content)`` — format = IMAGE_FORMATS[d[0] % 3], width =
+    64 + d[1]*8, height = 64 + d[2]*8 where ``d`` is the digest. Byte
+    ``d[k]`` corresponds to hex ``substr(sha256(text), 2k+1, 2)`` on
+    the SQL side — see ``image_fmt_sql``/``image_width_sql``/
+    ``image_height_sql``, the mirrored DuckDB half. Every synthesis
+    site (and, via the SQL builders, every oracle) consumes THIS
+    function so the arithmetic cannot silently diverge."""
+    d = hashlib.sha256(content).digest()
+    return IMAGE_FORMATS[d[0] % 3], 64 + d[1] * 8, 64 + d[2] * 8
+
+
+def image_blob_for_text(text) -> bytes:
+    """Synthesize the canonical container for a text payload: utf-8
+    bytes ride as the content body; format/dims from
+    ``image_params_for``. The one call every Arrow synthesis stage
+    makes per row."""
+    content = str(text).encode("utf-8")
+    fmt, w, h = image_params_for(content)
+    return synthesize_image_blob(content, fmt, w, h)
+
+
+def image_fmt_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``image_params_for``'s format arm (digest byte
+    0 == hex chars 1..2)."""
+    return (
+        f"CASE ('0x' || substr(sha256({col}), 1, 2))::INT % 3 "
+        "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END"
+    )
+
+
+def image_width_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``image_params_for``'s width arm (digest byte
+    1 == hex chars 3..4)."""
+    return f"(64 + ('0x' || substr(sha256({col}), 3, 2))::INT * 8)"
+
+
+def image_height_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``image_params_for``'s height arm (digest byte
+    2 == hex chars 5..6)."""
+    return f"(64 + ('0x' || substr(sha256({col}), 5, 2))::INT * 8)"
+
+
+def wav_params_for(pcm: bytes) -> tuple:
+    """SINGLE source of truth for the WAV synthesis arithmetic
+    (Python half): ``(sample_rate, channels)`` from sha256 digest
+    bytes 3 and 4 — rate = WAV_RATES[d[3] % 4], channels =
+    1 + d[4] % 2. SQL mirrors: ``wav_rate_sql``/``wav_channels_sql``."""
+    d = hashlib.sha256(pcm).digest()
+    return WAV_RATES[d[3] % 4], 1 + d[4] % 2
+
+
+def wav_rate_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``wav_params_for``'s rate arm (digest byte 3
+    == hex chars 7..8)."""
+    rates = WAV_RATES
+    return (
+        f"CASE ('0x' || substr(sha256({col}), 7, 2))::INT % 4 "
+        f"WHEN 0 THEN {rates[0]} WHEN 1 THEN {rates[1]} "
+        f"WHEN 2 THEN {rates[2]} ELSE {rates[3]} END"
+    )
+
+
+def wav_channels_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``wav_params_for``'s channels arm (digest byte
+    4 == hex chars 9..10)."""
+    return f"(1 + ('0x' || substr(sha256({col}), 9, 2))::INT % 2)"
+
+
 def synthetic_image_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """Build a (key, blob) frame of structurally-valid image containers
     from a text column: format and dimensions derive deterministically
@@ -191,16 +266,7 @@ def synthetic_image_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFra
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = []
-            for text in pdf["text"]:
-                content = str(text).encode("utf-8")
-                d = hashlib.sha256(content).digest()
-                fmt = ("png", "jpeg", "gif")[d[0] % 3]
-                blobs.append(
-                    synthesize_image_blob(
-                        content, fmt, 64 + d[1] * 8, 64 + d[2] * 8
-                    )
-                )
+            blobs = [image_blob_for_text(text) for text in pdf["text"]]
             yield pd.DataFrame({"key": pdf["key"], "blob": blobs})
 
     from kafka_go_streamer_spark.sources.tables import fan_out
@@ -347,12 +413,8 @@ def synthetic_wav_blobs(df: DataFrame, key_col: str, text_col: str) -> DataFrame
             blobs = []
             for text in pdf["text"]:
                 pcm = str(text).encode("utf-8")
-                d = hashlib.sha256(pcm).digest()
-                blobs.append(
-                    synthesize_wav_blob(
-                        pcm, WAV_RATES[d[3] % 4], 1 + d[4] % 2
-                    )
-                )
+                rate, ch = wav_params_for(pcm)
+                blobs.append(synthesize_wav_blob(pcm, rate, ch))
             yield pd.DataFrame({"key": pdf["key"], "blob": blobs})
 
     from kafka_go_streamer_spark.sources.tables import fan_out
@@ -572,13 +634,7 @@ def synthesize_and_decode(
         for pdf in it:
             metas = []
             for text in pdf["text"]:
-                content = str(text).encode("utf-8")
-                d = hashlib.sha256(content).digest()
-                fmt = ("png", "jpeg", "gif")[d[0] % 3]
-                blob = synthesize_image_blob(
-                    content, fmt, 64 + d[1] * 8, 64 + d[2] * 8
-                )
-                metas.append(parse_image_header(blob))
+                metas.append(parse_image_header(image_blob_for_text(text)))
             out = pd.DataFrame(metas)
             out.insert(0, "key", pdf["key"].values)
             yield out
@@ -624,12 +680,7 @@ def synthesize_decode_quarantine(
             statuses = []
             lens = []
             for key, text in zip(pdf["key"], pdf["text"]):
-                content = str(text).encode("utf-8")
-                d = hashlib.sha256(content).digest()
-                fmt = ("png", "jpeg", "gif")[d[0] % 3]
-                blob = synthesize_image_blob(
-                    content, fmt, 64 + d[1] * 8, 64 + d[2] * 8
-                )
+                blob = image_blob_for_text(text)
                 if int(key) % QUARANTINE_MOD == 0:
                     blob = b"\x00" + blob[1:]
                 try:
@@ -674,14 +725,7 @@ def synthesize_and_sign(
         for pdf in it:
             sigs = []
             for text in pdf["text"]:
-                content = str(text).encode("utf-8")
-                d = hashlib.sha256(content).digest()
-                fmt = ("png", "jpeg", "gif")[d[0] % 3]
-                blob = bytes(
-                    synthesize_image_blob(
-                        content, fmt, 64 + d[1] * 8, 64 + d[2] * 8
-                    )
-                )
+                blob = bytes(image_blob_for_text(text))
                 meta = parse_image_header(blob)
                 body = _content_of(blob, meta["format"])
                 sigs.append(int(hashlib.md5(body).hexdigest()[:15], 16))

@@ -15,15 +15,24 @@ from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.multimodal import (
     CONTAINER_OVERHEAD,
     decode_images,
+    image_fmt_sql,
+    image_height_sql,
+    image_width_sql,
     synthetic_image_blobs,
+    wav_channels_sql,
+    wav_rate_sql,
 )
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
-_FMT_SQL = (
-    "CASE ('0x' || substr(sha256(text), 1, 2))::INT % 3 "
-    "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END"
-)
+# The synthesis arithmetic has ONE source of truth in multimodal.py
+# (image_params_for + its *_sql mirrors); oracles consume the builders
+# so the Python and SQL halves cannot silently diverge.
+_FMT_SQL = image_fmt_sql()
+_W_SQL = image_width_sql()
+_H_SQL = image_height_sql()
+_RATE_SQL = wav_rate_sql()
+_CH_SQL = wav_channels_sql()
 _OVERHEAD_SQL = (
     f"CASE {_FMT_SQL} WHEN 'png' THEN {CONTAINER_OVERHEAD['png']} "
     f"WHEN 'jpeg' THEN {CONTAINER_OVERHEAD['jpeg']} "
@@ -37,8 +46,8 @@ _OVERHEAD_SQL = (
     SELECT doc_id AS key,
            (octet_length(encode(text)) + {_OVERHEAD_SQL})::INTEGER AS byte_len,
            {_FMT_SQL} AS format,
-           (64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8)::INTEGER AS width,
-           (64 + ('0x' || substr(sha256(text), 5, 2))::INT * 8)::INTEGER AS height,
+           {_W_SQL}::INTEGER AS width,
+           {_H_SQL}::INTEGER AS height,
            3 AS channels,
            sha256(text) AS content_hash
     FROM documents
@@ -127,24 +136,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_audio_meta",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS key,
            (octet_length(encode(text)) + 44)::INTEGER AS byte_len,
-           CASE ('0x' || substr(sha256(text), 7, 2))::INT % 4
-             WHEN 0 THEN 8000 WHEN 1 THEN 16000
-             WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
-           (1 + ('0x' || substr(sha256(text), 9, 2))::INT % 2)::INTEGER
-             AS channels,
+           {_RATE_SQL} AS sample_rate,
+           {_CH_SQL}::INTEGER AS channels,
            16 AS bits_per_sample,
-           (octet_length(encode(text))
-              // ((1 + ('0x' || substr(sha256(text), 9, 2))::INT % 2) * 2)
-           )::INTEGER AS n_samples,
-           (octet_length(encode(text))
-              // ((1 + ('0x' || substr(sha256(text), 9, 2))::INT % 2) * 2))
-             * 1000.0
-             / CASE ('0x' || substr(sha256(text), 7, 2))::INT % 4
-                 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                 WHEN 2 THEN 22050 ELSE 44100 END AS duration_ms,
+           (octet_length(encode(text)) // ({_CH_SQL} * 2))::INTEGER
+             AS n_samples,
+           (octet_length(encode(text)) // ({_CH_SQL} * 2)) * 1000.0
+             / {_RATE_SQL} AS duration_ms,
            sha256(text) AS content_hash
     FROM documents
     """,
@@ -182,8 +183,8 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH dims AS (
       SELECT doc_id AS key, text,
-             (64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8) AS w,
-             (64 + ('0x' || substr(sha256(text), 5, 2))::INT * 8) AS h
+             {_W_SQL} AS w,
+             {_H_SQL} AS h
       FROM documents
     ),
     r AS (

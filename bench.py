@@ -398,6 +398,9 @@ HEADLINE = [
     "pipeline_dedup_order_sensitivity",
     # round 15 wave 4: the MAX_BUCKET skew guard priced
     "dedup_bucket_cap_audit",
+    # round 16: the joint layout x workload chooser composing the
+    # three storage audits
+    "storage_layout_chooser",
 ]
 
 

@@ -731,11 +731,15 @@ def storage_zorder_skipping_audit(
     rectangles."""
     g = 1 << Z_GRID_BITS
     e = load_table(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.min(F.unix_micros("ts")).alias("lo"),
-        F.max(F.unix_micros("ts")).alias("hi"),
-        F.min("user_id").alias("ulo"),
-        F.max("user_id").alias("uhi"),
+    # pinned: bounds feeds the binning crossJoin AND the three probe
+    # grids — one column-pruned min/max scan instead of two.
+    bounds = pinned(
+        e.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+        )
     )
     binned = (
         e.select(F.unix_micros("ts").alias("us"), "user_id")
@@ -822,5 +826,338 @@ def storage_zorder_skipping_audit(
                 / (Z_N_PROBES * Z_N_FILES),
                 4,
             ).alias("skip_rate"),
+        )
+    )
+
+
+# ------------------------------------------------- storage_layout_chooser
+
+#: Files per candidate layout and probes per workload shape.
+LAYOUT_FILES = 64
+LAYOUT_N_PROBES = 8
+#: Workload mix the chooser prices: range scans dominate an analytics
+#: table, point lookups come second, 2-D rectangles (dashboard
+#: drill-ins) last. Integer weights so the ranking key stays integer.
+LAYOUT_W_TIME = 5
+LAYOUT_W_POINT = 3
+LAYOUT_W_RECT = 2
+LAYOUT_W_SUM = LAYOUT_W_TIME + LAYOUT_W_POINT + LAYOUT_W_RECT
+
+_Z_EXPR_SQL = (
+    "((tb % 2) + 2 * (ub % 2) + 4 * ((tb // 2) % 2)"
+    " + 8 * ((ub // 2) % 2) + 16 * ((tb // 4) % 2)"
+    " + 32 * ((ub // 4) % 2))"
+)
+
+
+def _layout_chooser_sql() -> str:
+    from kafka_go_streamer_spark.plans.fidelity import _md5long_sql
+
+    g = 1 << Z_GRID_BITS
+    nf, np_, = LAYOUT_FILES, LAYOUT_N_PROBES
+    n_sql = "(SELECT n FROM tot)"
+    wnum = (
+        f"({LAYOUT_W_TIME} * num_t + {LAYOUT_W_POINT} * num_p"
+        f" + {LAYOUT_W_RECT} * num_r)"
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi,
+             min(user_id) AS ulo, max(user_id) AS uhi
+      FROM events
+    ),
+    binned AS (
+      SELECT epoch_us(ts) AS us, user_id,
+             ((epoch_us(ts) - lo) * {g}) // (hi - lo + 1) AS tb,
+             ((user_id - ulo) * {g}) // (uhi - ulo + 1) AS ub,
+             ((epoch_us(ts) - lo) * {nf}) // (hi - lo + 1) AS tb64,
+             {_md5long_sql("user_id::VARCHAR")} % {nf} AS ubkt
+      FROM events CROSS JOIN bounds
+    ),
+    files AS (
+      SELECT layout,
+             CASE layout WHEN 'time_sorted' THEN tb64
+                  WHEN 'zorder' THEN {_Z_EXPR_SQL}
+                  ELSE ubkt END AS file_id,
+             min(us) AS f_tmin, max(us) AS f_tmax,
+             min(user_id) AS f_umin, max(user_id) AS f_umax,
+             count(*) AS cnt
+      FROM binned CROSS JOIN (
+        VALUES ('time_sorted'), ('zorder'), ('user_bucket')
+      ) l(layout)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n FROM events),
+    tp AS (
+      SELECT lo + ((hi - lo + 1) * a) // {g} AS p_tlo,
+             lo + ((hi - lo + 1) * (a + 2)) // {g} - 1 AS p_thi
+      FROM (
+        SELECT ('0x' || substr(md5(i::VARCHAR || 'lt'), 1, 15))::BIGINT
+                 % {g - 1} AS a
+        FROM generate_series(1, {np_}) t(i)
+      ) CROSS JOIN bounds
+    ),
+    up AS (
+      SELECT p_u,
+             ('0x' || substr(md5(p_u::VARCHAR), 1, 15))::BIGINT % {nf}
+               AS p_bucket
+      FROM (
+        SELECT ulo + ((uhi - ulo + 1) * k) // {nf} AS p_u
+        FROM (
+          SELECT ('0x' || substr(md5(i::VARCHAR || 'lu'), 1, 15))::BIGINT
+                   % {nf} AS k
+          FROM generate_series(1, {np_}) t(i)
+        ) CROSS JOIN bounds
+      )
+    ),
+    rp AS (
+      SELECT lo + ((hi - lo + 1) * a) // {g} AS p_tlo,
+             lo + ((hi - lo + 1) * (a + 2)) // {g} - 1 AS p_thi,
+             ulo + ((uhi - ulo + 1) * b) // {g} AS p_ulo,
+             ulo + ((uhi - ulo + 1) * (b + 2)) // {g} - 1 AS p_uhi
+      FROM (
+        SELECT ('0x' || substr(md5(i::VARCHAR || 'za'), 1, 15))::BIGINT
+                 % {g - 1} AS a,
+               ('0x' || substr(md5(i::VARCHAR || 'zb'), 1, 15))::BIGINT
+                 % {g - 1} AS b
+        FROM generate_series(1, {np_}) t(i)
+      ) CROSS JOIN bounds
+    ),
+    nt AS (
+      SELECT layout, sum(CASE WHEN f_tmin <= p_thi AND f_tmax >= p_tlo
+                              THEN cnt ELSE 0 END) AS num_t
+      FROM files CROSS JOIN tp GROUP BY 1
+    ),
+    np AS (
+      SELECT layout,
+             sum(CASE WHEN (layout = 'user_bucket' AND file_id = p_bucket)
+                        OR (layout <> 'user_bucket'
+                            AND f_umin <= p_u AND f_umax >= p_u)
+                 THEN cnt ELSE 0 END) AS num_p
+      FROM files CROSS JOIN up GROUP BY 1
+    ),
+    nr AS (
+      SELECT layout, sum(CASE WHEN f_tmin <= p_thi AND f_tmax >= p_tlo
+                               AND f_umin <= p_uhi AND f_umax >= p_ulo
+                              THEN cnt ELSE 0 END) AS num_r
+      FROM files CROSS JOIN rp GROUP BY 1
+    )
+    SELECT nt.layout AS layout,
+           round(num_t * 1.0 / ({np_} * {n_sql}), 6)
+             AS scan_share_time_range,
+           round(num_p * 1.0 / ({np_} * {n_sql}), 6)
+             AS scan_share_user_point,
+           round(num_r * 1.0 / ({np_} * {n_sql}), 6) AS scan_share_rect,
+           round({wnum} * 1.0 / ({LAYOUT_W_SUM} * {np_} * {n_sql}), 6)
+             AS weighted_scan_share,
+           row_number() OVER (ORDER BY {wnum}, nt.layout)::INT
+             AS cost_rank
+    FROM nt
+    JOIN np ON nt.layout = np.layout
+    JOIN nr ON nt.layout = nr.layout
+    """
+
+
+@query("storage_layout_chooser", oracle=_layout_chooser_sql)
+def storage_layout_chooser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE layout decision table: which physical layout of the events
+    fact should the writer produce? Composes the three storage audits
+    (1-D min-max skipping, 2-D Z-order skipping, hash-bucket pruning —
+    this module and ``fidelity.py``) into one joint layout x workload
+    price sheet. Three candidate 64-file layouts — a plain time sort,
+    a Z-order interleave of time and user bits (what
+    ``operators/zorder.py`` writes), and a user-hash bucketing (what
+    ``operators/bucketing.py`` writes) — are each priced against the
+    same three-shape workload: time-range scans, user point lookups,
+    and time x user rectangles (the Z-audit's exact probe
+    rectangles). Pruning is layout-honest: zone-map overlap for sort
+    layouts, bucket identity for the hash layout's point lookups (a
+    hash file's min/max spans everything; a range probe can't prune
+    buckets). Output per layout: row-weighted expected scan share per
+    shape, the workload-weighted total (weights 5/3/2 = range-heavy
+    analytics mix), and an integer-keyed rank — cost_rank 1 IS the
+    chooser's answer, the layout the writer should produce.
+
+    Scale: one scan of the fact fans each row to its 3 (layout, file)
+    assignments — a single map-side-combined aggregate builds all 192
+    zone-map rows (no per-layout rescan; the union-per-layout shape
+    would scan the fact 3x); probes are broadcast grids off one
+    bounds row; everything downstream is 192 x 8 arithmetic. The
+    ranking window runs over 3 rows.
+
+    Reference parity: the reference has no storage at all (its only
+    sink is Kafka, main.go:544-651) — this is engine-extension
+    machinery for the tables this repo materializes."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.plans.fidelity import _md5long
+
+    g = 1 << Z_GRID_BITS
+    e = load_table(spark, sf_dir, "events")
+    # pinned: bounds feeds the binning crossJoin AND the three probe
+    # grids — one column-pruned min/max scan instead of two.
+    bounds = pinned(
+        e.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+        )
+    )
+    binned = (
+        e.select(F.unix_micros("ts").alias("us"), "user_id")
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "us",
+            "user_id",
+            f"((us - lo) * {g}) div (hi - lo + 1) AS tb",
+            f"((user_id - ulo) * {g}) div (uhi - ulo + 1) AS ub",
+            f"((us - lo) * {LAYOUT_FILES}) div (hi - lo + 1) AS tb64",
+        )
+        .withColumn(
+            "ubkt",
+            (_md5long(F.col("user_id").cast("string"))
+             % LAYOUT_FILES).cast("long"),
+        )
+    )
+    z = F.expr(
+        "(tb % 2) + 2 * (ub % 2) + 4 * ((tb div 2) % 2)"
+        " + 8 * ((ub div 2) % 2) + 16 * ((tb div 4) % 2)"
+        " + 32 * ((ub div 4) % 2)"
+    )
+    # ONE fact scan: fan each row to its 3 (layout, file) assignments,
+    # then a single map-side-combined aggregate builds every layout's
+    # zone maps together (vs. the 3-scan union-per-layout shape).
+    fan = F.explode(
+        F.array(
+            F.struct(
+                F.lit("time_sorted").alias("layout"),
+                F.col("tb64").cast("long").alias("file_id"),
+            ),
+            F.struct(
+                F.lit("zorder").alias("layout"),
+                z.cast("long").alias("file_id"),
+            ),
+            F.struct(
+                F.lit("user_bucket").alias("layout"),
+                F.col("ubkt").cast("long").alias("file_id"),
+            ),
+        )
+    ).alias("lf")
+    # pinned: the <=192-row zone-map frame feeds three probe joins;
+    # without the barrier Catalyst re-inlines the full fact scan into
+    # each consumer (the re-inline trap, see minhash_lsh_pairs).
+    files = pinned(
+        binned.select(fan, "us", "user_id")
+        .select("lf.layout", "lf.file_id", "us", "user_id")
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("us").alias("f_tmin"),
+            F.max("us").alias("f_tmax"),
+            F.min("user_id").alias("f_umin"),
+            F.max("user_id").alias("f_umax"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    seq = bounds.select(
+        F.explode(F.expr(f"sequence(1, {LAYOUT_N_PROBES})")).alias("i"),
+        "lo", "hi", "ulo", "uhi",
+    )
+    tp = seq.selectExpr(
+        f"conv(substring(md5(concat(cast(i as string), 'lt')), 1, 15),"
+        f" 16, 10) % {g - 1} AS a",
+        "lo", "hi",
+    ).selectExpr(
+        f"lo + ((hi - lo + 1) * a) div {g} AS p_tlo",
+        f"lo + ((hi - lo + 1) * (a + 2)) div {g} - 1 AS p_thi",
+    )
+    up = seq.selectExpr(
+        f"conv(substring(md5(concat(cast(i as string), 'lu')), 1, 15),"
+        f" 16, 10) % {LAYOUT_FILES} AS k",
+        "ulo", "uhi",
+    ).selectExpr(
+        f"ulo + ((uhi - ulo + 1) * k) div {LAYOUT_FILES} AS p_u"
+    ).selectExpr(
+        "p_u",
+        f"conv(substring(md5(cast(p_u as string)), 1, 15), 16, 10)"
+        f" % {LAYOUT_FILES} AS p_bucket",
+    )
+    rp = seq.selectExpr(
+        f"conv(substring(md5(concat(cast(i as string), 'za')), 1, 15),"
+        f" 16, 10) % {g - 1} AS a",
+        f"conv(substring(md5(concat(cast(i as string), 'zb')), 1, 15),"
+        f" 16, 10) % {g - 1} AS b",
+        "lo", "hi", "ulo", "uhi",
+    ).selectExpr(
+        f"lo + ((hi - lo + 1) * a) div {g} AS p_tlo",
+        f"lo + ((hi - lo + 1) * (a + 2)) div {g} - 1 AS p_thi",
+        f"ulo + ((uhi - ulo + 1) * b) div {g} AS p_ulo",
+        f"ulo + ((uhi - ulo + 1) * (b + 2)) div {g} - 1 AS p_uhi",
+    )
+    t_hit = (F.col("f_tmin") <= F.col("p_thi")) & (
+        F.col("f_tmax") >= F.col("p_tlo")
+    )
+    p_hit = F.when(
+        F.col("layout") == "user_bucket",
+        F.col("file_id") == F.col("p_bucket"),
+    ).otherwise(
+        (F.col("f_umin") <= F.col("p_u"))
+        & (F.col("f_umax") >= F.col("p_u"))
+    )
+    r_hit = (
+        t_hit
+        & (F.col("f_umin") <= F.col("p_uhi"))
+        & (F.col("f_umax") >= F.col("p_ulo"))
+    )
+    nt = (
+        files.crossJoin(F.broadcast(tp))
+        .groupBy("layout")
+        .agg(F.sum(F.when(t_hit, F.col("cnt")).otherwise(0)).alias("num_t"))
+    )
+    np_ = (
+        files.crossJoin(F.broadcast(up))
+        .groupBy("layout")
+        .agg(F.sum(F.when(p_hit, F.col("cnt")).otherwise(0)).alias("num_p"))
+    )
+    nr = (
+        files.crossJoin(F.broadcast(rp))
+        .groupBy("layout")
+        .agg(F.sum(F.when(r_hit, F.col("cnt")).otherwise(0)).alias("num_r"))
+    )
+    # total rows from the PINNED zone maps (each layout's cnt sums to
+    # n by construction) — not another fact scan
+    tot = (
+        files.filter(F.col("layout") == "time_sorted")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    wnum = (
+        F.lit(LAYOUT_W_TIME) * F.col("num_t")
+        + F.lit(LAYOUT_W_POINT) * F.col("num_p")
+        + F.lit(LAYOUT_W_RECT) * F.col("num_r")
+    )
+    denom = F.lit(LAYOUT_N_PROBES) * F.col("n")
+    # np_/nr are <= 3 rows (one per LAYOUT, never corpus-scaled) —
+    # safe, bounded broadcast hints
+    return (
+        nt.join(F.broadcast(np_), "layout")
+        .join(F.broadcast(nr), "layout")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "layout",
+            stable_round(F.col("num_t") * 1.0 / denom, 6).alias(
+                "scan_share_time_range"
+            ),
+            stable_round(F.col("num_p") * 1.0 / denom, 6).alias(
+                "scan_share_user_point"
+            ),
+            stable_round(F.col("num_r") * 1.0 / denom, 6).alias(
+                "scan_share_rect"
+            ),
+            stable_round(
+                wnum * 1.0 / (F.lit(LAYOUT_W_SUM) * denom), 6
+            ).alias("weighted_scan_share"),
+            F.row_number()
+            .over(Window.orderBy(wnum.asc(), F.col("layout").asc()))
+            .cast("int")
+            .alias("cost_rank"),
         )
     )

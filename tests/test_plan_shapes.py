@@ -1840,3 +1840,17 @@ def test_bucket_cap_audit_no_self_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_layout_chooser_pinned_barriers_and_bounded_joins(spark, sf_dir):
+    """The chooser's heavy work happens ONCE behind pinned barriers
+    (bounds scan + single fanned zone-map build); the final plan joins
+    192-row zone maps against broadcast probe grids and <=3-row
+    aggregate frames — zero parquet re-scans downstream, no
+    SortMergeJoin, no raw cartesian, and the only window is the 3-row
+    ranking."""
+    df = QUERIES["storage_layout_chooser"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -131,39 +131,49 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    # r15 code-touched queries (tests/test_rotation_staleness.py; the
-    # r14 six landed green in CORRECTNESS_r14 with code unchanged
-    # since, so they rotate out). All three are ADVICE-r14 fixes —
-    # values unchanged on the driver fixtures, refronted so the
-    # verdicts can't go stale:
-    #   dedup_shingle_selectivity — oracle's docs_sharing_share now
-    #     coalesces the starved-grid NULL to 0 like the Spark side
-    #   route_rule_shadowing — oracle fan escapes single quotes in
-    #     pattern/topic literals (matches routing_case_sql)
-    #   dedup_minhash_width_curve — oracle pair columns generated from
-    #     NUM_HASHES instead of hardcoded sig0..sig3; module-load
-    #     assert max(MINHASH_R_GRID) <= NUM_HASHES
-    "dedup_shingle_selectivity",
-    "route_rule_shadowing",
-    "dedup_minhash_width_curve",
-    # r15 perf work (VERDICT r14 task 1): the four decode-family
-    # queries now pass a stat-based fan width (sources.tables.fan_width
-    # off the parquet footer row count) into the fused Arrow stage —
-    # values unchanged (same rows, same agg), plan width changed, so
-    # the verdicts are refronted:
+    # r16 code-touched queries (tests/test_rotation_staleness.py; the
+    # r15 refronts all landed green in CORRECTNESS_r15 with code
+    # unchanged since, so they rotate out).
+    # Mechanical (span changed since newest green round):
+    #   pipeline_dedup_order_sensitivity — corpus-scaled broadcast
+    #     hints on kept_a/kept_b removed (VERDICT r15 task 1)
+    #   embedding_effective_dimensionality — zero-denominator guards
+    #     on participation_ratio/top1_var_share, both engines
+    #   multimodal_audio_meta / multimodal_resize — oracles now
+    #     interpolate the shared synthesis SQL builders
+    #   storage_zorder_skipping_audit — module shared with the new
+    #     layout-chooser constants
+    "pipeline_dedup_order_sensitivity",
+    "embedding_effective_dimensionality",
+    "multimodal_audio_meta",
+    "multimodal_resize",
+    "storage_zorder_skipping_audit",
+    # Helper-drift refronts the span fingerprint cannot see:
+    #   blob-synthesis arithmetic extracted to one helper
+    #   (multimodal.image_params_for + *_sql builders) consumed by
+    #   every synthesis site and the decode-family oracles:
     "multimodal_decode_meta",
     "multimodal_binary_stats",
     "multimodal_format_mix",
     "multimodal_aspect_ratio_buckets",
-    # r15 perf work (VERDICT r14 task 3): the greedy-pack fold now runs
-    # group-batched (fold_packed: one hash exchange + pandas groupby
-    # inside mapInPandas) instead of per-group applyInPandas dispatch —
-    # identical per-group fold, same values, new plan shape:
+    "multimodal_decode_quarantine",
+    "multimodal_phash_hamming_hist",
+    "multimodal_phash_bands",
+    "multimodal_dedup_blobs",
+    #   fold_packed now yields per-group frames (ADVICE r15 memory
+    #   fix) — same values, new Arrow batch shape:
     "pack_sequences_greedy",
     "pack_fill_rate_stats",
     "pack_cap_sweep",
-    # composes the same fold for its packing stage:
+    "pack_shard_span_sensitivity",
     "pipeline_pretraining_full",
+    #   fidelity.py module guard rewritten -O-proof (width grid):
+    "dedup_minhash_width_curve",
+    #   operators/ivf_store.py drifted since this query's only green
+    #   round (r7: in-plan probe added d088e6b, serve-side dedup,
+    #   this round's pool param) — the shared-helper blind spot
+    #   VERDICT r16 task 4 calls out:
+    "ann_ivf_store_probe",
 )
 
 

@@ -399,8 +399,9 @@ HEADLINE = [
     # round 15 wave 4: the MAX_BUCKET skew guard priced
     "dedup_bucket_cap_audit",
     # round 16: the joint layout x workload chooser composing the
-    # three storage audits
+    # three storage audits, and the persisted-IVF append/probe path
     "storage_layout_chooser",
+    "ann_ivf_store_append_probe",
 ]
 
 

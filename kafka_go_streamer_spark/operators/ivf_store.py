@@ -113,6 +113,51 @@ def ensure_ivf_index(
     return base
 
 
+def ensure_ivf_index_with_append(
+    emb: DataFrame,
+    new_emb: DataFrame,
+    sf_dir: str,
+    *,
+    tag: str = "append",
+    iters: int = 2,
+    k: int | None = None,
+) -> str:
+    """Build an index from ``emb`` and fold ``new_emb`` in through the
+    INCREMENTAL path (``append_to_ivf_index``) exactly once, returning
+    the base path. This is the ledger-facing twin of the offline-build
+    / online-append split: the fingerprint sidecar covers source
+    fixture + build params + tag, so the build+append pair runs once
+    per corpus and every later call is a pure read. A stale or missing
+    marker rebuilds from scratch (build_ivf_index overwrites both
+    artifacts) before re-appending, so a crash between build and
+    append can never leave a half-appended store behind a valid
+    marker."""
+    base = default_index_base(sf_dir) + "_" + tag
+    marker = os.path.join(base, "_fingerprint.json")
+    fp = {
+        **_source_fingerprint(sf_dir),
+        "iters": iters,
+        "k": k,
+        "tag": tag,
+    }
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (centroids_path(base), vectors_path(base))
+    )
+    if done and os.path.exists(marker):
+        try:
+            if json.load(open(marker)) == fp:
+                return base
+        except (OSError, ValueError):
+            pass
+    build_ivf_index(emb, base, iters=iters, k=k)
+    append_to_ivf_index(new_emb.sparkSession, base, new_emb)
+    os.makedirs(base, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump(fp, f)
+    return base
+
+
 def train_centroids(
     emb: DataFrame, iters: int = 2, k: int | None = None
 ) -> DataFrame:
@@ -294,6 +339,7 @@ def probe_ivf_store(
     topk: int = 5,
     exclude_id: int | None = None,
     min_cell_sim: float = -1.0,
+    pool=None,
 ) -> DataFrame:
     """In-plan variant of :func:`probe_ivf_index`: the query vector is a
     ONE-ROW DataFrame with a single array column ``qv`` (e.g. selected
@@ -339,6 +385,10 @@ def probe_ivf_store(
     vecs = spark.read.parquet(vectors_path(base))
     if exclude_id is not None:
         vecs = vecs.filter(F.col("vec_id") != exclude_id)
+    if pool is not None:
+        # restrict the CANDIDATE pool (e.g. appended-only) — the cell
+        # ranking above still runs over the full stored quantizer
+        vecs = vecs.filter(pool)
     from pyspark.sql import Window
 
     cand = (

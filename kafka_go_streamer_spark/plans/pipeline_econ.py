@@ -731,15 +731,11 @@ def storage_zorder_skipping_audit(
     rectangles."""
     g = 1 << Z_GRID_BITS
     e = load_table(spark, sf_dir, "events")
-    # pinned: bounds feeds the binning crossJoin AND the three probe
-    # grids — one column-pruned min/max scan instead of two.
-    bounds = pinned(
-        e.agg(
-            F.min(F.unix_micros("ts")).alias("lo"),
-            F.max(F.unix_micros("ts")).alias("hi"),
-            F.min("user_id").alias("ulo"),
-            F.max("user_id").alias("uhi"),
-        )
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
     )
     binned = (
         e.select(F.unix_micros("ts").alias("us"), "user_id")

@@ -14,9 +14,15 @@ from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.functions.vectors import cosine, cosine_sql
 from kafka_go_streamer_spark.operators.ivf_store import (
     ensure_ivf_index,
+    ensure_ivf_index_with_append,
     probe_ivf_store,
 )
-from kafka_go_streamer_spark.operators.kmeans import lloyd, lloyd_ctes, lloyd_sql
+from kafka_go_streamer_spark.operators.kmeans import (
+    _assign_sql,
+    lloyd,
+    lloyd_ctes,
+    lloyd_sql,
+)
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -423,6 +429,145 @@ def ann_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_store(
         spark, base, q_emb, nprobe=2, topk=5, exclude_id=0
     )
+
+
+#: Held-out slice for the incremental-append store: vec_id % MOD == REM
+#: arrives AFTER the offline build and is folded in through
+#: append_to_ivf_index (assign to nearest STORED centroid, append into
+#: the cell partitions) — never retrained on.
+IVF_APPEND_MOD = 10
+IVF_APPEND_REM = 7
+
+
+def _store_append_probe_sql() -> str:
+    m, r = IVF_APPEND_MOD, IVF_APPEND_REM
+    base_tbl = f"(SELECT * FROM embeddings WHERE vec_id % {m} <> {r})"
+    ctes, final = lloyd_ctes(base_tbl, "(SELECT k FROM kk)", iters=2)
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH kk AS (
+      SELECT ceil(sqrt(count(*)))::BIGINT AS k FROM embeddings
+      WHERE vec_id % {m} <> {r}
+    ),
+    {joined_ctes},
+    exnew AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1)::INTEGER AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings WHERE vec_id % {m} = {r}
+    ),
+    asgnew AS ({_assign_sql('exnew', 'cent2')}),
+    store AS (
+      SELECT vec_id, cid AS cell FROM ({final})
+      UNION ALL
+      SELECT vec_id, cid AS cell FROM asgnew
+    ),
+    cells AS (
+      SELECT s.vec_id, s.cell, e.embedding
+      FROM store s JOIN embeddings e USING (vec_id)
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qlong AS (
+      SELECT (generate_subscripts(embedding, 1) - 1)::INTEGER AS pos,
+             unnest(embedding)::DOUBLE AS q
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qn AS (SELECT sqrt(sum(q * q)) AS qn FROM qlong),
+    cellrank AS (
+      SELECT c.cid,
+             round(sum(c.c * ql.q)
+                   / (sqrt(sum(c.c * c.c)) * (SELECT qn FROM qn)), 6)
+               AS qsim
+      FROM cent2 c JOIN qlong ql USING (pos)
+      GROUP BY c.cid
+    ),
+    topcells AS (
+      SELECT cid AS cell FROM cellrank WHERE qsim > -1.0
+      ORDER BY qsim DESC, cid ASC LIMIT 2
+    ),
+    scoredc AS (
+      SELECT cl.vec_id, cl.cell::BIGINT AS cell,
+             round(({cosine_sql('cl.embedding', 'q.qv')}), 6) AS cos_sim,
+             CASE WHEN cl.vec_id % {m} = {r} THEN 1 ELSE 0 END
+               AS is_appended
+      FROM cells cl JOIN topcells USING (cell) CROSS JOIN q
+      WHERE cl.vec_id <> 0
+    )
+    SELECT 'all' AS pool, vec_id, cell, cos_sim, is_appended FROM (
+      SELECT * FROM scoredc ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    )
+    UNION ALL
+    SELECT 'appended' AS pool, vec_id, cell, cos_sim, is_appended FROM (
+      SELECT * FROM scoredc WHERE is_appended = 1
+      ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    )
+    """
+
+
+@query("ann_ivf_store_append_probe", oracle=_store_append_probe_sql)
+def ann_ivf_store_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index-MAINTENANCE half of the persisted-store split, in the
+    oracle ledger: the quantizer trains offline on the resident corpus
+    (vec_id % 10 != 7), the held-out 10% arrives later and folds in
+    through ``append_to_ivf_index`` — assigned to its nearest STORED
+    centroid and appended into the cell partitions, no retrain — and
+    the online probe then serves top-5 over the merged store (plus the
+    top-5 among appended vectors only, so the appended rows' cell
+    assignments and scores are ALWAYS attested in the output, not just
+    when one cracks the overall top-5).
+
+    Scale: the append costs |new| x k assignment against broadcast
+    centroids + one partitioned write — independent of resident index
+    size; the probe is the same DPP-pruned online path as
+    ``ann_ivf_store_probe``. Oracle: Lloyd CTEs on the resident
+    subset, the appended slice assigned to cent2 via the same
+    (d2, cid) argmin, probe replayed over the union.
+
+    Reference parity: the reference holds no state between messages
+    (main.go:348-367 consume->route->produce); this is north-star ANN
+    serving machinery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    resident = emb.filter(
+        F.col("vec_id") % IVF_APPEND_MOD != IVF_APPEND_REM
+    )
+    arriving = emb.filter(
+        F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_REM
+    )
+    base = ensure_ivf_index_with_append(
+        resident, arriving, sf_dir, tag="append", iters=2
+    )
+    q_emb = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    appended = (
+        F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_REM
+    )
+
+    def tagged(df: DataFrame, pool_name: str) -> DataFrame:
+        return df.select(
+            F.lit(pool_name).alias("pool"),
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "cos_sim",
+            F.when(appended, 1).otherwise(0).cast("int").alias(
+                "is_appended"
+            ),
+        )
+
+    full = tagged(
+        probe_ivf_store(spark, base, q_emb, nprobe=2, topk=5, exclude_id=0),
+        "all",
+    )
+    app_only = tagged(
+        probe_ivf_store(
+            spark, base, q_emb, nprobe=2, topk=5, exclude_id=0,
+            pool=appended,
+        ),
+        "appended",
+    )
+    return full.unionByName(app_only)
 
 
 @query(

@@ -358,3 +358,73 @@ def test_replayed_append_never_serves_duplicate_ids(spark, tmp_path):
     assert len(many_ids) == len(set(many_ids))
     # the replayed duplicate of vec_id 0 is still excludable / servable
     assert 0 in many_ids or len(many_ids) == 5
+
+
+def test_ensure_with_append_builds_once_and_appends_once(
+    spark, tmp_path, monkeypatch
+):
+    """The build+append pair must run exactly once per fingerprint: a
+    second ensure call is a pure read (same file set, same row count —
+    a re-run append would double the held-out slice), and the merged
+    store holds resident + appended with appended rows assigned to
+    stored cells."""
+    from kafka_go_streamer_spark.operators.ivf_store import (
+        ensure_ivf_index_with_append,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_DIR", str(tmp_path / "cache"))
+    emb = _load_emb(spark)
+    resident = emb.filter(F.col("vec_id") % 10 != 7)
+    arriving = emb.filter(F.col("vec_id") % 10 == 7)
+    base = ensure_ivf_index_with_append(
+        resident, arriving, SF_DIR, tag="append", iters=2
+    )
+    vecs = spark.read.parquet(vectors_path(base))
+    n_total = emb.count()
+    assert vecs.count() == n_total
+    assert (
+        vecs.filter(F.col("vec_id") % 10 == 7).count()
+        == arriving.count()
+    )
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(vectors_path(base))
+        for f in fs
+    )
+    base2 = ensure_ivf_index_with_append(
+        resident, arriving, SF_DIR, tag="append", iters=2
+    )
+    assert base2 == base
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(vectors_path(base))
+        for f in fs
+    )
+    assert files_after == files_before
+    assert spark.read.parquet(vectors_path(base)).count() == n_total
+
+
+def test_probe_pool_restricts_candidates_not_cells(spark, tmp_path):
+    """`pool=` filters the CANDIDATE set only: every returned id
+    satisfies the predicate, and the probed cells (cell ranking) are
+    unchanged — the pooled results are a subset of the unpooled
+    candidate cells."""
+    emb = _load_emb(spark)
+    base = str(tmp_path / "ivf")
+    build_ivf_index(emb, base, iters=2)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    pooled = probe_ivf_store(
+        spark, base, q, nprobe=2, topk=5, exclude_id=0,
+        pool=F.col("vec_id") % 10 == 7,
+    ).collect()
+    assert pooled, "pool filter returned nothing"
+    assert all(r["vec_id"] % 10 == 7 for r in pooled)
+    full_cells = {
+        r["cell"]
+        for r in probe_ivf_store(
+            spark, base, q, nprobe=2, topk=1000, exclude_id=0
+        ).collect()
+    }
+    assert {r["cell"] for r in pooled} <= full_cells

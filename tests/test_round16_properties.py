@@ -1,5 +1,6 @@
 """Pure-Python property oracles for the round-16 queries
-(plans/pipeline_econ.py storage_layout_chooser) at sf0.001."""
+(storage_layout_chooser, stats_cardinality_estimate_audit,
+quality_constraint_conformance) at sf0.001."""
 
 from __future__ import annotations
 
@@ -157,3 +158,100 @@ def test_layout_chooser_chosen_dominates(spark):
     )
     ranks = sorted(r["cost_rank"] for r in rows.values())
     assert ranks == [1, 2, 3]
+
+
+def test_cardinality_audit_recomputed(spark):
+    """Every estimate/actual/q-error must match a pure-pandas replay of
+    the independence and System-R formulas; q_error >= 1 by
+    construction."""
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    l = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp("1995-06-17")
+    n_o, n_l = len(o), len(l)
+    c_prio = int((o.o_orderpriority == "1-URGENT").sum())
+    c_stat = int((o.o_orderstatus == "F").sum())
+    c_both = int(
+        ((o.o_orderpriority == "1-URGENT") & (o.o_orderstatus == "F")).sum()
+    )
+    c_rf = int((l.l_returnflag == "R").sum())
+    c_ls = int((l.l_linestatus == "F").sum())
+    c_rfls = int(((l.l_returnflag == "R") & (l.l_linestatus == "F")).sum())
+    c_ship = int((l.l_shipdate <= cutoff).sum())
+    c_rship = int(
+        ((l.l_returnflag == "R") & (l.l_shipdate <= cutoff)).sum()
+    )
+    ndv = max(o.o_orderkey.nunique(), l.l_orderkey.nunique())
+    urgent = set(o.loc[o.o_orderpriority == "1-URGENT", "o_orderkey"])
+    act_join = int(l.l_orderkey.isin(urgent).sum())
+    expect = {
+        "orders_priority_and_status": (c_prio * c_stat / n_o, c_both),
+        "lineitem_flag_and_status": (c_rf * c_ls / n_l, c_rfls),
+        "lineitem_flag_and_shipdate": (c_rf * c_ship / n_l, c_rship),
+        "join_urgent_orders_lineitem": (c_prio * n_l / ndv, act_join),
+    }
+    got = {
+        r["est_case"]: r
+        for r in QUERIES["stats_cardinality_estimate_audit"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for name, (est, act) in expect.items():
+        g = got[name]
+        assert abs(g["est_rows"] - est) < 0.01
+        assert g["actual_rows"] == act
+        qe = max(est, act) / min(est, act)
+        assert abs(g["q_error"] - qe) < 1e-3
+        assert g["q_error"] >= 1.0
+
+
+def test_constraint_conformance_recomputed(spark):
+    """Each contract's (checked, violations) must equal a pandas
+    replay; keys/domains conform on the fixtures while the temporal
+    and arithmetic contracts genuinely fail (the mixed signal the
+    audit exists to surface)."""
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    l = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    j = l.merge(
+        o[["o_orderkey", "o_orderdate", "o_totalprice"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    per_order = j.assign(
+        chg=j.l_extendedprice * (1 - j.l_discount) * (1 + j.l_tax)
+    ).groupby("o_orderkey").agg(
+        tp=("o_totalprice", "first"), s=("chg", "sum")
+    )
+    expect = {
+        "fk_lineitem_orderkey": (
+            len(l), int((~l.l_orderkey.isin(set(o.o_orderkey))).sum())
+        ),
+        "fk_orders_custkey": (
+            len(o), int((~o.o_custkey.isin(set(c.c_custkey))).sum())
+        ),
+        "domain_quantity_1_50": (
+            len(l), int(((l.l_quantity < 1) | (l.l_quantity > 50)).sum())
+        ),
+        "order_placed_before_ship": (
+            len(j), int((j.l_shipdate < j.o_orderdate).sum())
+        ),
+        "totalprice_equals_line_sum": (
+            len(per_order),
+            int(((per_order.tp - per_order.s).abs() > 0.01).sum()),
+        ),
+    }
+    got = {
+        r["constraint_name"]: r
+        for r in QUERIES["quality_constraint_conformance"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for name, (n, v) in expect.items():
+        assert got[name]["n_checked"] == n, name
+        assert got[name]["n_violations"] == v, name
+        assert abs(got[name]["violation_share"] - v / n) < 2e-6
+    assert got["fk_lineitem_orderkey"]["n_violations"] == 0
+    assert got["domain_quantity_1_50"]["n_violations"] == 0
+    assert got["order_placed_before_ship"]["n_violations"] > 0
+    assert got["totalprice_equals_line_sum"]["violation_share"] == 1.0

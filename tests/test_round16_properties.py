@@ -255,3 +255,51 @@ def test_constraint_conformance_recomputed(spark):
     assert got["domain_quantity_1_50"]["n_violations"] == 0
     assert got["order_placed_before_ship"]["n_violations"] > 0
     assert got["totalprice_equals_line_sum"]["violation_share"] == 1.0
+
+
+def test_deletion_propagation_recomputed(spark):
+    """Cascade counts, touched-partition sets and amplification must
+    match a pandas replay; structural invariants: amplification >= 1
+    wherever something is deleted, and the COW rewrite volume always
+    bounds the MOR tombstone volume."""
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    l = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    e = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    del_c = c[c.c_custkey % 101 == 0]
+    del_o = o[o.o_custkey % 101 == 0]
+    del_l = l[l.l_orderkey.isin(set(del_o.o_orderkey))]
+    del_e = e[e.user_id % 17 == 0]
+    om = o.o_orderdate.dt.to_period("M")
+    lm = l.l_shipdate.dt.to_period("M")
+    ed = e.ts.dt.floor("D")
+    expect = {
+        "customer": (len(c), len(del_c),
+                     del_c.c_nationkey.nunique(),
+                     int(c.c_nationkey.isin(set(del_c.c_nationkey)).sum())),
+        "orders": (len(o), len(del_o),
+                   del_o.o_orderdate.dt.to_period("M").nunique(),
+                   int(om.isin(set(del_o.o_orderdate.dt.to_period("M"))).sum())),
+        "lineitem": (len(l), len(del_l),
+                     del_l.l_shipdate.dt.to_period("M").nunique(),
+                     int(lm.isin(set(del_l.l_shipdate.dt.to_period("M"))).sum())),
+        "events": (len(e), len(del_e),
+                   del_e.ts.dt.floor("D").nunique(),
+                   int(ed.isin(set(del_e.ts.dt.floor("D"))).sum())),
+    }
+    got = {
+        r["tbl"]: r
+        for r in QUERIES["privacy_deletion_propagation"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for tbl, (n, d, p, rt) in expect.items():
+        g = got[tbl]
+        assert g["n_rows"] == n, tbl
+        assert g["n_delete"] == d, tbl
+        assert g["parts_touched"] == p, tbl
+        assert g["rows_in_touched_parts"] == rt, tbl
+        if d > 0:
+            assert g["rewrite_amplification"] >= 1.0
+            assert g["rows_in_touched_parts"] >= g["n_delete"]

@@ -83,19 +83,13 @@ def _source_fingerprint(sf_dir: str) -> dict:
         return {"size": -1, "mtime": -1}
 
 
-def ensure_ivf_index(
-    emb: DataFrame, sf_dir: str, iters: int = 2, k: int | None = None
-) -> str:
-    """Build the IVF index for ``sf_dir`` exactly once (offline step),
-    returning its base path. A fingerprint sidecar invalidates the cache
-    if the source fixture changes; otherwise every later call is a pure
-    read — the offline-train / online-probe split at the API level."""
-    base = default_index_base(sf_dir)
+def _ensure_cached(base: str, fp: dict, build) -> str:
+    """The shared build-once protocol: if both artifacts carry
+    ``_SUCCESS`` and the fingerprint sidecar matches ``fp``, the call
+    is a pure read; otherwise run ``build()`` (which must overwrite
+    both artifacts from scratch — a crash mid-build leaves no valid
+    marker, so the next call rebuilds cleanly) and stamp the marker."""
     marker = os.path.join(base, "_fingerprint.json")
-    # Fingerprint covers the BUILD PARAMETERS too, not just the source
-    # fixture — otherwise a later call with different iters/k silently
-    # reuses the index trained under the old parameters.
-    fp = {**_source_fingerprint(sf_dir), "iters": iters, "k": k}
     done = all(
         os.path.exists(os.path.join(p, "_SUCCESS"))
         for p in (centroids_path(base), vectors_path(base))
@@ -106,11 +100,28 @@ def ensure_ivf_index(
                 return base
         except (OSError, ValueError):
             pass
-    build_ivf_index(emb, base, iters=iters, k=k)
+    build()
     os.makedirs(base, exist_ok=True)
     with open(marker, "w") as f:
         json.dump(fp, f)
     return base
+
+
+def ensure_ivf_index(
+    emb: DataFrame, sf_dir: str, iters: int = 2, k: int | None = None
+) -> str:
+    """Build the IVF index for ``sf_dir`` exactly once (offline step),
+    returning its base path. A fingerprint sidecar invalidates the cache
+    if the source fixture changes; otherwise every later call is a pure
+    read — the offline-train / online-probe split at the API level.
+    The fingerprint covers the BUILD PARAMETERS too, not just the
+    source fixture — otherwise a later call with different iters/k
+    silently reuses the index trained under the old parameters."""
+    base = default_index_base(sf_dir)
+    fp = {**_source_fingerprint(sf_dir), "iters": iters, "k": k}
+    return _ensure_cached(
+        base, fp, lambda: build_ivf_index(emb, base, iters=iters, k=k)
+    )
 
 
 def ensure_ivf_index_with_append(
@@ -124,38 +135,38 @@ def ensure_ivf_index_with_append(
 ) -> str:
     """Build an index from ``emb`` and fold ``new_emb`` in through the
     INCREMENTAL path (``append_to_ivf_index``) exactly once, returning
-    the base path. This is the ledger-facing twin of the offline-build
-    / online-append split: the fingerprint sidecar covers source
-    fixture + build params + tag, so the build+append pair runs once
-    per corpus and every later call is a pure read. A stale or missing
-    marker rebuilds from scratch (build_ivf_index overwrites both
-    artifacts) before re-appending, so a crash between build and
-    append can never leave a half-appended store behind a valid
-    marker."""
+    the base path — the ledger-facing twin of the offline-build /
+    online-append split, on the same ``_ensure_cached`` protocol (a
+    crash between build and append leaves no valid marker, so the next
+    call rebuilds from scratch and can never double-append).
+
+    ``emb`` is usually a holdout-filtered SUBSET of the corpus, whose
+    id space has holes below k; seeding the quantizer from raw
+    ``vec_id < k`` there would silently yield fewer than k cells
+    (operators/kmeans.py seed_centroids' documented precondition), so
+    training runs on a densely RE-KEYED view (row_number over vec_id)
+    while the stored vectors keep their original ids — centroid cids
+    are just labels."""
+
+    def build() -> None:
+        from pyspark.sql import Window
+
+        train = emb.withColumn(
+            "vec_id",
+            F.row_number().over(Window.orderBy("vec_id")) - 1,
+        )
+        build_ivf_index(emb, base, iters=iters, k=k, train_emb=train)
+        append_to_ivf_index(new_emb.sparkSession, base, new_emb)
+
     base = default_index_base(sf_dir) + "_" + tag
-    marker = os.path.join(base, "_fingerprint.json")
     fp = {
         **_source_fingerprint(sf_dir),
         "iters": iters,
         "k": k,
         "tag": tag,
+        "train": "rekeyed",
     }
-    done = all(
-        os.path.exists(os.path.join(p, "_SUCCESS"))
-        for p in (centroids_path(base), vectors_path(base))
-    )
-    if done and os.path.exists(marker):
-        try:
-            if json.load(open(marker)) == fp:
-                return base
-        except (OSError, ValueError):
-            pass
-    build_ivf_index(emb, base, iters=iters, k=k)
-    append_to_ivf_index(new_emb.sparkSession, base, new_emb)
-    os.makedirs(base, exist_ok=True)
-    with open(marker, "w") as f:
-        json.dump(fp, f)
-    return base
+    return _ensure_cached(base, fp, build)
 
 
 def train_centroids(
@@ -176,13 +187,22 @@ def train_centroids(
 
 
 def build_ivf_index(
-    emb: DataFrame, base: str, iters: int = 2, k: int | None = None
+    emb: DataFrame,
+    base: str,
+    iters: int = 2,
+    k: int | None = None,
+    train_emb: DataFrame | None = None,
 ) -> None:
     """OFFLINE: train the quantizer and persist the two index artifacts
     (see module docstring). The vectors table is written partitioned by
     cell — the write shuffles once on the assignment, and every later
-    probe prunes to its cells' files."""
-    cents = train_centroids(emb, iters=iters, k=k)
+    probe prunes to its cells' files. ``train_emb`` optionally
+    substitutes the TRAINING view (e.g. a densely re-keyed copy when
+    ``emb``'s id space has holes below k — seeding draws from
+    ``vec_id < k``); the stored vectors always come from ``emb``."""
+    cents = train_centroids(
+        emb if train_emb is None else train_emb, iters=iters, k=k
+    )
     cents.write.mode("overwrite").parquet(centroids_path(base))
     ex = explode_vectors(emb)
     assigned = assign_nearest(ex, cents).select(

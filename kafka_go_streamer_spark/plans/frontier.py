@@ -1480,20 +1480,20 @@ CARD_SHIP_CUTOFF = "1995-06-17"
     ),
     cases AS (
       SELECT 'orders_priority_and_status' AS est_case,
-             round(c_prio * c_stat * 1.0 / n_o, 2) AS est_rows,
+             round(c_prio * 1.0 * c_stat / n_o, 2) AS est_rows,
              c_both::BIGINT AS actual_rows
       FROM oagg
       UNION ALL
       SELECT 'lineitem_flag_and_status',
-             round(c_rf * c_ls * 1.0 / n_l, 2), c_rfls::BIGINT
+             round(c_rf * 1.0 * c_ls / n_l, 2), c_rfls::BIGINT
       FROM lagg
       UNION ALL
       SELECT 'lineitem_flag_and_shipdate',
-             round(c_rf * c_ship * 1.0 / n_l, 2), c_rship::BIGINT
+             round(c_rf * 1.0 * c_ship / n_l, 2), c_rship::BIGINT
       FROM lagg
       UNION ALL
       SELECT 'join_urgent_orders_lineitem',
-             round(c_prio * n_l * 1.0 / greatest(ndv_o, ndv_l), 2),
+             round(c_prio * 1.0 * n_l / greatest(ndv_o, ndv_l), 2),
              (SELECT act_join FROM jact)::BIGINT
       FROM oagg CROSS JOIN lagg
     )
@@ -1531,7 +1531,10 @@ def stats_cardinality_estimate_audit(
 
     Scale: one conditional-aggregate scan per table (every counter in
     a single pass, map-side combined), one keyed join for the actual
-    join count, then 4-row arithmetic — the audit costs two scans +
+    join count, then 4-row arithmetic (estimates promote to double
+    BEFORE the second counter multiplies in — two 100-TB-scale row
+    counters multiplied as longs would wrap in Spark's non-ANSI mode
+    and overflow-error in DuckDB) — the audit costs two scans +
     one join regardless of width of the case list. No broadcast hints
     on corpus-scaled frames; the filtered-orders join side is left to
     AQE.
@@ -1583,20 +1586,20 @@ def stats_cardinality_estimate_audit(
     cases = (
         case_row(
             "orders_priority_and_status",
-            F.col("c_prio") * F.col("c_stat") * 1.0 / F.col("n_o"),
+            F.col("c_prio") * 1.0 * F.col("c_stat") / F.col("n_o"),
             F.col("c_both"),
         )
         .unionByName(
             case_row(
                 "lineitem_flag_and_status",
-                F.col("c_rf") * F.col("c_ls") * 1.0 / F.col("n_l"),
+                F.col("c_rf") * 1.0 * F.col("c_ls") / F.col("n_l"),
                 F.col("c_rfls"),
             )
         )
         .unionByName(
             case_row(
                 "lineitem_flag_and_shipdate",
-                F.col("c_rf") * F.col("c_ship") * 1.0 / F.col("n_l"),
+                F.col("c_rf") * 1.0 * F.col("c_ship") / F.col("n_l"),
                 F.col("c_rship"),
             )
         )
@@ -1604,8 +1607,8 @@ def stats_cardinality_estimate_audit(
             case_row(
                 "join_urgent_orders_lineitem",
                 F.col("c_prio")
-                * F.col("n_l")
                 * 1.0
+                * F.col("n_l")
                 / F.greatest(F.col("ndv_o"), F.col("ndv_l")),
                 F.col("act_join"),
             )
@@ -1627,10 +1630,26 @@ def stats_cardinality_estimate_audit(
 @query(
     "quality_constraint_conformance",
     oracle="""
-    WITH fk_l AS (
-      SELECT count(*) AS n,
-             sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+    WITH jo AS (
+      SELECT l.l_orderkey, count(*) AS n_lines,
+             max(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS orphan,
+             sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                      THEN 1 ELSE 0 END) AS ship_v,
+             CASE WHEN round(abs(any_value(o.o_totalprice)
+                    - sum(l.l_extendedprice * (1 - l.l_discount)
+                          * (1 + l.l_tax))), 2) > 0.01
+                  THEN 1 ELSE 0 END AS tp_v
       FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ),
+    fold AS (
+      SELECT sum(n_lines) AS fk_n, sum(orphan * n_lines) AS fk_v,
+             sum((1 - orphan) * n_lines) AS shp_n,
+             sum((1 - orphan) * ship_v) AS shp_v,
+             sum(1 - orphan) AS tp_n,
+             sum((1 - orphan) * tp_v) AS tp_v
+      FROM jo
     ),
     fk_o AS (
       SELECT count(*) AS n,
@@ -1643,39 +1662,22 @@ def stats_cardinality_estimate_audit(
                       THEN 1 ELSE 0 END) AS v
       FROM lineitem
     ),
-    shp AS (
-      SELECT count(*) AS n,
-             sum(CASE WHEN l.l_shipdate < o.o_orderdate
-                      THEN 1 ELSE 0 END) AS v
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    ),
-    tp AS (
-      SELECT count(*) AS n,
-             sum(CASE WHEN abs(o_totalprice - s) > 0.01
-                      THEN 1 ELSE 0 END) AS v
-      FROM (
-        SELECT o.o_orderkey, any_value(o.o_totalprice) AS o_totalprice,
-               sum(l.l_extendedprice * (1 - l.l_discount)
-                   * (1 + l.l_tax)) AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        GROUP BY o.o_orderkey
-      )
+    allrows AS (
+      SELECT 'fk_lineitem_orderkey' AS constraint_name,
+             fk_n AS n, fk_v AS v FROM fold
+      UNION ALL
+      SELECT 'fk_orders_custkey', n, v FROM fk_o
+      UNION ALL
+      SELECT 'domain_quantity_1_50', n, v FROM dom
+      UNION ALL
+      SELECT 'order_placed_before_ship', shp_n, shp_v FROM fold
+      UNION ALL
+      SELECT 'totalprice_equals_line_sum', tp_n, tp_v FROM fold
     )
-    SELECT 'fk_lineitem_orderkey' AS constraint_name,
-           n::BIGINT AS n_checked, v::BIGINT AS n_violations,
-           round(v * 1.0 / n, 6) AS violation_share FROM fk_l
-    UNION ALL
-    SELECT 'fk_orders_custkey', n::BIGINT, v::BIGINT,
-           round(v * 1.0 / n, 6) FROM fk_o
-    UNION ALL
-    SELECT 'domain_quantity_1_50', n::BIGINT, v::BIGINT,
-           round(v * 1.0 / n, 6) FROM dom
-    UNION ALL
-    SELECT 'order_placed_before_ship', n::BIGINT, v::BIGINT,
-           round(v * 1.0 / n, 6) FROM shp
-    UNION ALL
-    SELECT 'totalprice_equals_line_sum', n::BIGINT, v::BIGINT,
-           round(v * 1.0 / n, 6) FROM tp
+    SELECT constraint_name, n::BIGINT AS n_checked,
+           v::BIGINT AS n_violations,
+           round(v * 1.0 / n, 6) AS violation_share
+    FROM allrows
     """,
 )
 def quality_constraint_conformance(
@@ -1686,10 +1688,11 @@ def quality_constraint_conformance(
     two referential (every lineitem names a real order, every order a
     real customer), one domain (quantity in [1, 50]), one temporal
     (nothing ships before its order date), one arithmetic
-    (o_totalprice reproduces the line-level charge sum within a
-    cent) — each reported as (checked, violations, share). The
-    Deequ-shaped check suite: a 100 TB drop with a nonzero FK-orphan
-    share gets quarantined, not joined.
+    (o_totalprice reproduces the line-level charge sum within a cent
+    after cent-rounding — the rounded comparison keeps the boundary
+    engine-stable) — each reported as (checked, violations, share).
+    The Deequ-shaped check suite: a 100 TB drop with a nonzero
+    FK-orphan share gets quarantined, not joined.
 
     (On these synthetic fixtures the audit FINDS real violations: the
     generator draws ship dates and total prices independently of the
@@ -1697,39 +1700,71 @@ def quality_constraint_conformance(
     and 100% while keys and domains conform — exactly the mixed
     signal a contract table exists to surface.)
 
-    Scale: each referential/temporal/arithmetic check is one keyed
-    join (no hints — both sides corpus-scaled, AQE decides) +
-    conditional aggregate; the domain check is a single map-side
-    scan; output is 5 rows. Checks share scans where keyed the same.
+    Scale: the three lineitem-orders contracts (referential, temporal,
+    arithmetic) share ONE left join + ONE order-grain aggregate, then
+    fold to a single pinned 1-row frame the three report rows select
+    from (unpinned, each row would re-run the join); the
+    orders-customer check is one more keyed join and the domain check
+    a map-side scan. No hints — every join side is corpus-scaled, AQE
+    decides.
 
     Reference parity: the reference validates only its config, never
     payloads (main.go:339-345 fail-fast) — payload contracts are
     engine-extension surface."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
 
-    def share_row(name: str, agg: DataFrame) -> DataFrame:
-        return agg.select(
-            F.lit(name).alias("constraint_name"),
-            F.col("n").cast("long").alias("n_checked"),
-            F.col("v").cast("long").alias("n_violations"),
-            stable_round(F.col("v") * 1.0 / F.col("n"), 6).alias(
-                "violation_share"
-            ),
-        )
-
-    fk_l = (
-        l.select("l_orderkey")
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (
+        1 + F.col("l_tax")
+    )
+    jo = (
+        l.select("l_orderkey", "l_shipdate", charge.alias("chg"))
         .join(
-            o.select(F.col("o_orderkey").alias("l_orderkey"))
-            .withColumn("_hit", F.lit(1)),
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderdate",
+                "o_totalprice",
+            ).withColumn("_hit", F.lit(1)),
             "l_orderkey",
             "left",
         )
+        .groupBy("l_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("v"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.when(F.max("_hit").isNull(), 1).otherwise(0).alias("orphan"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+                .otherwise(0)
+            ).alias("ship_v"),
+            F.when(
+                stable_round(
+                    F.abs(
+                        F.any_value(F.col("o_totalprice")) - F.sum("chg")
+                    ),
+                    2,
+                )
+                > 0.01,
+                1,
+            )
+            .otherwise(0)
+            .alias("tp_v"),
+        )
+    )
+    # ONE fold over the order-grain frame, pinned: the three report
+    # rows below each select from it — unpinned, Catalyst would
+    # re-inline the join per row
+    ok = 1 - F.col("orphan")
+    fold = pinned(
+        jo.agg(
+            F.sum("n_lines").alias("fk_n"),
+            F.sum(F.col("orphan") * F.col("n_lines")).alias("fk_v"),
+            F.sum(ok * F.col("n_lines")).alias("shp_n"),
+            F.sum(ok * F.col("ship_v")).alias("shp_v"),
+            F.sum(ok).alias("tp_n"),
+            F.sum(ok * F.col("tp_v")).alias("tp_v"),
         )
     )
     fk_o = (
@@ -1753,53 +1788,23 @@ def quality_constraint_conformance(
             ).otherwise(0)
         ).alias("v"),
     )
-    shp = (
-        l.select("l_orderkey", "l_shipdate")
-        .join(
-            o.select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+
+    def row(name: str, src: DataFrame, n: str, v: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(n).cast("long").alias("n_checked"),
+            F.col(v).cast("long").alias("n_violations"),
+            stable_round(F.col(v) * 1.0 / F.col(n), 6).alias(
+                "violation_share"
             ),
-            "l_orderkey",
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
-                .otherwise(0)
-            ).alias("v"),
-        )
-    )
-    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (
-        1 + F.col("l_tax")
-    )
-    tp = (
-        l.select("l_orderkey", charge.alias("chg"))
-        .join(
-            o.select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
-            ),
-            "l_orderkey",
-        )
-        .groupBy("l_orderkey")
-        .agg(
-            F.any_value(F.col("o_totalprice")).alias("o_totalprice"),
-            F.sum("chg").alias("s"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(
-                    F.abs(F.col("o_totalprice") - F.col("s")) > 0.01, 1
-                ).otherwise(0)
-            ).alias("v"),
-        )
-    )
+
     return (
-        share_row("fk_lineitem_orderkey", fk_l)
-        .unionByName(share_row("fk_orders_custkey", fk_o))
-        .unionByName(share_row("domain_quantity_1_50", dom))
-        .unionByName(share_row("order_placed_before_ship", shp))
-        .unionByName(share_row("totalprice_equals_line_sum", tp))
+        row("fk_lineitem_orderkey", fold, "fk_n", "fk_v")
+        .unionByName(row("fk_orders_custkey", fk_o, "n", "v"))
+        .unionByName(row("domain_quantity_1_50", dom, "n", "v"))
+        .unionByName(row("order_placed_before_ship", fold, "shp_n", "shp_v"))
+        .unionByName(row("totalprice_equals_line_sum", fold, "tp_n", "tp_v"))
     )
 
 

@@ -441,8 +441,16 @@ IVF_APPEND_REM = 7
 
 def _store_append_probe_sql() -> str:
     m, r = IVF_APPEND_MOD, IVF_APPEND_REM
-    base_tbl = f"(SELECT * FROM embeddings WHERE vec_id % {m} <> {r})"
-    ctes, final = lloyd_ctes(base_tbl, "(SELECT k FROM kk)", iters=2)
+    # training runs on the densely RE-KEYED resident view (the holdout
+    # punches holes below k in the raw id space, which would seed fewer
+    # than k cells — kmeans.py seed_centroids' precondition); the store
+    # keeps original ids, so the resident assignment is a separate
+    # original-id pass against the trained cent2
+    rekeyed = (
+        f"(SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, "
+        f"embedding FROM embeddings WHERE vec_id % {m} <> {r})"
+    )
+    ctes, _final = lloyd_ctes(rekeyed, "(SELECT k FROM kk)", iters=2)
     joined_ctes = ",\n    ".join(ctes)
     return f"""
     WITH kk AS (
@@ -450,6 +458,13 @@ def _store_append_probe_sql() -> str:
       WHERE vec_id % {m} <> {r}
     ),
     {joined_ctes},
+    exres AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1)::INTEGER AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings WHERE vec_id % {m} <> {r}
+    ),
+    asgres AS ({_assign_sql('exres', 'cent2')}),
     exnew AS (
       SELECT vec_id,
              (generate_subscripts(embedding, 1) - 1)::INTEGER AS pos,
@@ -458,7 +473,7 @@ def _store_append_probe_sql() -> str:
     ),
     asgnew AS ({_assign_sql('exnew', 'cent2')}),
     store AS (
-      SELECT vec_id, cid AS cell FROM ({final})
+      SELECT vec_id, cid AS cell FROM asgres
       UNION ALL
       SELECT vec_id, cid AS cell FROM asgnew
     ),
@@ -521,9 +536,12 @@ def ann_ivf_store_append_probe(
     Scale: the append costs |new| x k assignment against broadcast
     centroids + one partitioned write — independent of resident index
     size; the probe is the same DPP-pruned online path as
-    ``ann_ivf_store_probe``. Oracle: Lloyd CTEs on the resident
-    subset, the appended slice assigned to cent2 via the same
-    (d2, cid) argmin, probe replayed over the union.
+    ``ann_ivf_store_probe``. Training seeds from a densely RE-KEYED
+    resident view (raw resident ids have holdout holes below k, which
+    would silently seed ~10% fewer cells); stored ids stay original.
+    Oracle: Lloyd CTEs on the re-keyed resident, both slices assigned
+    to cent2 via the same (d2, cid) argmin, probe replayed over the
+    union.
 
     Reference parity: the reference holds no state between messages
     (main.go:348-367 consume->route->produce); this is north-star ANN

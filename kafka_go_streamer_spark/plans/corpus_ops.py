@@ -655,41 +655,62 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    out = None
-    for p in NPROBE_SWEEP:
-        cand = (
-            scored.filter(F.col("crank") <= p)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-                ),
-            )
-            .filter(F.col("rn") <= 10)
-            .select("q_id", F.col("vec_id").alias("cand_id"))
+    # nprobe as a DATA dimension instead of |sweep| unioned branches:
+    # the cuts explode onto the pinned panel-sized candidate frame and
+    # one window/join/aggregate serves the whole sweep (same collapse
+    # as ann_ivf_operating_surface; fewer jobs, one linear plan)
+    cand_all = (
+        scored.select(
+            "q_id",
+            "vec_id",
+            "crank",
+            "sim",
+            F.explode(
+                F.array(*[F.lit(p) for p in NPROBE_SWEEP])
+            ).alias("cnprobe"),
         )
-        hits = (
-            gt.join(
-                cand,
-                (gt.q_id == cand.q_id) & (gt.vec_id == cand.cand_id),
-                "left",
-            )
-            .groupBy(gt.q_id)
-            .agg(F.count("cand_id").alias("hits"))
+        .filter(F.col("crank") <= F.col("cnprobe"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cnprobe", "q_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id").asc()
+                )
+            ),
         )
-        row = (
-            hits.agg(F.sum("hits").alias("tot_hits"))
-            .crossJoin(F.broadcast(nq))
-            .select(
-                F.lit(p).cast("int").alias("nprobe"),
-                "n_queries",
-                stable_round(
-                    F.col("tot_hits") * 1.0 / (10 * F.col("n_queries")), 6
-                ).alias("mean_recall_at_10"),
-            )
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("q_id").alias("cq_id"),
+            F.col("vec_id").alias("cand_id"),
+            "cnprobe",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    gtp = gt.select(
+        "q_id",
+        "vec_id",
+        F.explode(
+            F.array(*[F.lit(p) for p in NPROBE_SWEEP])
+        ).alias("nprobe"),
+    )
+    return (
+        gtp.join(
+            cand_all,
+            (F.col("q_id") == F.col("cq_id"))
+            & (F.col("vec_id") == F.col("cand_id"))
+            & (F.col("nprobe") == F.col("cnprobe")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(F.count("cand_id").alias("tot_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_queries",
+            stable_round(
+                F.col("tot_hits") * 1.0 / (10 * F.col("n_queries")), 6
+            ).alias("mean_recall_at_10"),
+        )
+    )
 
 
 #: Stopword-ratio thresholds swept by the quality-budget frontier.
@@ -1003,31 +1024,48 @@ def ann_recall_at_k_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "rn")
     )
     nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    out = None
-    for k in RECALL_K_GRID:
-        g = gt.filter(F.col("rn") <= k).select("q_id", "vec_id")
-        c = cand.filter(F.col("rn") <= k).select(
-            "q_id", F.col("vec_id").alias("cand_id")
+    # k as a DATA dimension: gt and cand both carry their rank, so one
+    # equi-join gives every (gt, cand) agreement with rmax =
+    # greatest(rank_gt, rank_cand), and hits@k is simply rmax <= k —
+    # |grid| unioned join branches collapse to one join + one
+    # conditional aggregate (same collapse as ann_ivf_operating_surface)
+    j = gt.join(
+        cand.select(
+            F.col("q_id").alias("cq_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.col("rn").alias("crn"),
+        ),
+        (F.col("q_id") == F.col("cq_id"))
+        & (F.col("vec_id") == F.col("cand_id")),
+    ).select(F.greatest("rn", "crn").alias("rmax"))
+    tot = j.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rmax") <= k, 1).otherwise(0)), F.lit(0)
+            ).alias(f"h{k}")
+            for k in RECALL_K_GRID
+        ]
+    )
+    return (
+        tot.crossJoin(F.broadcast(nq))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("k"),
+                            F.col("n_queries").alias("n_queries"),
+                            stable_round(
+                                F.col(f"h{k}")
+                                * 1.0
+                                / (k * F.col("n_queries")),
+                                6,
+                            ).alias("mean_recall_at_k"),
+                        )
+                        for k in RECALL_K_GRID
+                    ]
+                )
+            ).alias("s")
         )
-        hits = (
-            g.join(
-                c,
-                (g.q_id == c.q_id) & (g.vec_id == c.cand_id),
-                "left",
-            )
-            .groupBy(g.q_id)
-            .agg(F.count("cand_id").alias("hits"))
-        )
-        row = (
-            hits.agg(F.sum("hits").alias("tot"))
-            .crossJoin(F.broadcast(nq))
-            .select(
-                F.lit(k).cast("int").alias("k"),
-                "n_queries",
-                stable_round(
-                    F.col("tot") * 1.0 / (k * F.col("n_queries")), 6
-                ).alias("mean_recall_at_k"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .select("s.k", "s.n_queries", "s.mean_recall_at_k")
+    )

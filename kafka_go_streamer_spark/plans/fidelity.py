@@ -1765,9 +1765,11 @@ def ann_nlist_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread over more cells).
 
     Scale: ground truth computed ONCE against the fixed panel
-    (PANEL_MAX_ID); per nlist the assignment pass is corpus x nlist
-    broadcast cosines (constant grid, linear in corpus); recall cuts
-    re-rank the panel-sized candidate frames only."""
+    (PANEL_MAX_ID); the centroid sets are nested prefixes (ids 1..nl),
+    so ONE corpus x max(nlist) broadcast cosine pass assigns every
+    (vec, nlist) cell via prefix-restricted argmax, nlist rides as a
+    data dimension (no per-nlist branch), and recall cuts re-rank the
+    panel-sized candidate frames only."""
     from kafka_go_streamer_spark.functions.vectors import cosine
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.similarity import PANEL_MAX_ID
@@ -1798,88 +1800,120 @@ def ann_nlist_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("gt_id"))
     )
     tot = emb.agg(F.count(F.lit(1)).alias("nn"))
-    out = None
-    for nl in NLIST_GRID:
-        cents = emb.filter(
-            F.col("vec_id").isin(*range(1, nl + 1))
-        ).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+
+    # ONE corpus x max-nlist cosine pass instead of one per nlist (the
+    # centroid sets are nested prefixes, ids 1..nl) and nlist as a DATA
+    # dimension instead of |grid| unioned branches — same collapse as
+    # ann_ivf_operating_surface (3 pinned passes -> 1, measured ~2x).
+    max_nl = max(NLIST_GRID)
+    cents = emb.filter(F.col("vec_id").isin(*range(1, max_nl + 1))).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    assign_all = pinned(
+        fan_out(emb)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            stable_round(
+                cosine(F.col("embedding"), F.col("cv")), 6
+            ).alias("sim_c"),
         )
-        assign = (
-            fan_out(emb).crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "cent_id",
-                stable_round(
-                    cosine(F.col("embedding"), F.col("cv")), 6
-                ).alias("sim_c"),
-            )
-            .groupBy("vec_id")
-            .agg(
+        .groupBy("vec_id")
+        .agg(
+            *[
                 F.max_by(
-                    "cent_id", F.struct(F.col("sim_c"), -F.col("cent_id"))
-                ).alias("cell")
-            )
+                    F.when(F.col("cent_id") <= nl, F.col("cent_id")),
+                    F.when(
+                        F.col("cent_id") <= nl,
+                        F.struct(F.col("sim_c"), -F.col("cent_id")),
+                    ),
+                ).alias(f"cell_{nl}")
+                for nl in NLIST_GRID
+            ]
         )
-        assign = pinned(assign)
-        # renamed key: cell_n shares lineage with `retrieved` (both
-        # descend from assign), so an unaliased cell == cell would be
-        # ambiguous/self-referential
-        cell_n = (
-            assign.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("cell_n"))
-            .withColumnRenamed("cell", "cn_cell")
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(nl).alias("nlist"),
+                            F.col(f"cell_{nl}").alias("cell"),
+                        )
+                        for nl in NLIST_GRID
+                    ]
+                )
+            ).alias("nc"),
         )
-        wnq = Window.partitionBy("q_id").orderBy(
-            F.col("sim").desc(), F.col("vec_id").asc()
+        .select("vec_id", "nc.nlist", "nc.cell")
+    )
+    # renamed keys: cell_n and the query-side assignment share lineage
+    # with `retrieved` (all descend from assign_all), so unaliased
+    # cell == cell joins would be ambiguous/self-referential
+    cell_n = assign_all.groupBy("nlist", "cell").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    ).select(
+        F.col("nlist").alias("cn_nlist"),
+        F.col("cell").alias("cn_cell"),
+        "cell_n",
+    )
+    wnq = Window.partitionBy("nlist", "q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    retrieved = (
+        scored.join(assign_all, "vec_id")
+        .join(
+            F.broadcast(
+                assign_all.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("nlist").alias("qnlist"),
+                    F.col("cell").alias("qcell"),
+                )
+            ),
+            "q_id",
         )
-        retrieved = (
-            scored.join(assign, "vec_id")
-            .join(
-                F.broadcast(
-                    assign.select(
-                        F.col("vec_id").alias("q_id"),
-                        F.col("cell").alias("qcell"),
-                    )
-                ),
-                "q_id",
-            )
-            .filter(F.col("cell") == F.col("qcell"))
-            .withColumn("rn", F.row_number().over(wnq))
-            .filter(F.col("rn") <= 10)
+        .filter(
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("nlist") == F.col("qnlist"))
         )
-        per_q = (
-            retrieved.join(
-                gt.withColumnRenamed("q_id", "gq_id"),
-                (F.col("q_id") == F.col("gq_id"))
-                & (F.col("vec_id") == F.col("gt_id")),
-                "left",
-            )
-            .join(F.broadcast(cell_n), F.col("qcell") == F.col("cn_cell"))
-            .crossJoin(F.broadcast(tot))
-            .groupBy("q_id")
-            .agg(
-                (
-                    F.sum(
-                        F.when(F.col("gt_id").isNotNull(), 1).otherwise(0)
-                    )
-                    / 10.0
-                ).alias("recall"),
-                (F.max("cell_n") * 1.0 / F.max("nn")).alias("scan_share"),
-            )
+        .withColumn("rn", F.row_number().over(wnq))
+        .filter(F.col("rn") <= 10)
+    )
+    per_q = (
+        retrieved.join(
+            gt.withColumnRenamed("q_id", "gq_id"),
+            (F.col("q_id") == F.col("gq_id"))
+            & (F.col("vec_id") == F.col("gt_id")),
+            "left",
         )
-        summary = per_q.agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            stable_round(F.avg("recall"), 4).alias("mean_recall_at_10"),
-            stable_round(F.avg("scan_share"), 6).alias("mean_scan_share"),
-        ).select(
-            F.lit(nl).cast("int").alias("nlist"),
-            "n_queries",
-            "mean_recall_at_10",
-            "mean_scan_share",
+        .join(
+            F.broadcast(cell_n),
+            (F.col("qcell") == F.col("cn_cell"))
+            & (F.col("nlist") == F.col("cn_nlist")),
         )
-        out = summary if out is None else out.unionByName(summary)
-    return out
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nlist", "q_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("gt_id").isNotNull(), 1).otherwise(0)
+                )
+                / 10.0
+            ).alias("recall"),
+            (F.max("cell_n") * 1.0 / F.max("nn")).alias("scan_share"),
+        )
+    )
+    return per_q.groupBy("nlist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        stable_round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+        stable_round(F.avg("scan_share"), 6).alias("mean_scan_share"),
+    ).select(
+        F.col("nlist").cast("int").alias("nlist"),
+        "n_queries",
+        "mean_recall_at_10",
+        "mean_scan_share",
+    )
 
 
 # --------------------------------------------------- events_return_probability

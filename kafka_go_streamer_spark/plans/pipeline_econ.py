@@ -598,41 +598,88 @@ def ann_recall_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     ncorpus = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
-    out = None
-    for p in FRONTIER_NPROBES:
-        cut = scored.filter(F.col("crank") <= p)
-        top = cut.withColumn(
+    # nprobe as a DATA dimension (same collapse as the other ANN grid
+    # queries): the cuts explode onto the pinned panel-sized candidate
+    # frame for the per-p top-10 windows, the scan cost is a plain
+    # conditional aggregate over `scored` (no explode needed), and the
+    # |grid| unioned branches become one linear plan.
+    top_all = (
+        scored.select(
+            "q_id",
+            "vec_id",
+            "crank",
+            "sim",
+            F.explode(
+                F.array(*[F.lit(p) for p in FRONTIER_NPROBES])
+            ).alias("pp"),
+        )
+        .filter(F.col("crank") <= F.col("pp"))
+        .withColumn(
             "rn",
             F.row_number().over(
-                wq.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+                Window.partitionBy("pp", "q_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id").asc()
+                )
             ),
-        ).filter(F.col("rn") <= 10)
-        hits = top.join(gt, ["q_id", "vec_id"]).agg(
-            F.count(F.lit(1)).cast("long").alias("n_hits")
         )
-        nscan = cut.agg(F.count(F.lit(1)).cast("long").alias("n_scanned"))
-        row = (
-            hits.crossJoin(F.broadcast(nscan))
-            .crossJoin(F.broadcast(nq))
-            .crossJoin(F.broadcast(ncorpus))
-            .select(
-                F.lit(p).cast("int").alias("nprobe"),
-                stable_round(
-                    F.col("n_hits") * 1.0 / (10 * F.col("n_queries")), 6
-                ).alias("mean_recall_at_10"),
-                stable_round(
-                    F.col("n_scanned") * 1.0 / F.col("n_queries"), 2
-                ).alias("mean_scanned"),
-                stable_round(
-                    F.col("n_scanned")
-                    * 1.0
-                    / (F.col("n_queries") * F.col("n_corpus")),
-                    6,
-                ).alias("scan_share"),
+        .filter(F.col("rn") <= 10)
+        .select("pp", "q_id", "vec_id")
+    )
+    hits = top_all.join(gt, ["q_id", "vec_id"]).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("pp") == p, 1).otherwise(0)), F.lit(0)
             )
+            .cast("long")
+            .alias(f"h{p}")
+            for p in FRONTIER_NPROBES
+        ]
+    )
+    nscan = scored.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("crank") <= p, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"s{p}")
+            for p in FRONTIER_NPROBES
+        ]
+    )
+    return (
+        hits.crossJoin(F.broadcast(nscan))
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(ncorpus))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).cast("int").alias("nprobe"),
+                            stable_round(
+                                F.col(f"h{p}")
+                                * 1.0
+                                / (10 * F.col("n_queries")),
+                                6,
+                            ).alias("mean_recall_at_10"),
+                            stable_round(
+                                F.col(f"s{p}") * 1.0 / F.col("n_queries"),
+                                2,
+                            ).alias("mean_scanned"),
+                            stable_round(
+                                F.col(f"s{p}")
+                                * 1.0
+                                / (F.col("n_queries") * F.col("n_corpus")),
+                                6,
+                            ).alias("scan_share"),
+                        )
+                        for p in FRONTIER_NPROBES
+                    ]
+                )
+            ).alias("s")
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .select("s.nprobe", "s.mean_recall_at_10", "s.mean_scanned", "s.scan_share")
+    )
 
 
 # ------------------------------------------- storage_zorder_skipping_audit

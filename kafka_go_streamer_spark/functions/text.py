@@ -251,51 +251,51 @@ def winnow_fingerprint_rows(df, id_col: str = "doc_id", text_col: str = "text"):
     """Winnowing fingerprints as ROWS ``(id_col, fingerprint)`` — the
     scale form of :func:`winnow_fingerprints`.
 
-    Shape: split once, posexplode words, build each k-gram hash ONCE via
-    ``lead()`` over word position, then take the w-window minimum with a
-    ``min() OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` — the
-    relational window-min. Total work is O(words) md5 calls per document
-    (vs O(words^2) for the collapsed array-expression form; measured
-    ~50x faster at 500 docs). Both windows share the same partitioning
-    key, so the whole pipeline costs ONE shuffle on ``id_col``, and
-    parallelism is rows x words at any corpus size.
-    """
-    from pyspark.sql import Window
+    Shape: in-row array pipeline with every intermediate BOUND in its
+    own projection — words, then gram hashes, then window minima.
+    Binding is what makes the array form safe: each stage references
+    the PREVIOUS stage's column as a cheap attribute, so each k-gram
+    is md5-hashed exactly once and each window-min slices w bound
+    hashes — O(words·w) per document, ZERO shuffles (the old
+    relational lead()/window-min form paid a doc_id exchange plus two
+    WindowExecs and a distinct shuffle over the gram rows; measured
+    0.87 s → 0.40 s for the fingerprint frame at sf0.1, identical
+    rows). The UNBOUND array form stays the documented O(words²) trap
+    (see :func:`winnow_fingerprints`): project collapse inlines the
+    gram array into every window-min element. ``fan_out`` parallelizes
+    the per-row pipeline over the single-row-group fixture; a real
+    cluster's pre-split scan skips it."""
+    from kafka_go_streamer_spark.sources.tables import fan_out
 
     k, w = WINNOW_K, WINNOW_W
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
+    w0 = fan_out(df).select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
     )
-    word_win = Window.partitionBy(id_col).orderBy("_pos")
-    gram = F.md5(
-        F.concat_ws(
-            " ",
-            F.col("_w"),
-            *[F.lead("_w", i).over(word_win) for i in range(1, k)],
-        )
+    n = F.size(F.col("_w"))
+    gh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("_w"), i + j + 1)
+                        for j in range(k)
+                    ],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w0.select(F.col(id_col), gh.alias("_gh"))
+    m = F.size(F.col("_gh"))
+    wins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(0), m - w),
+            lambda j: F.array_min(F.slice(F.col("_gh"), j + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return g.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
-    grams = (
-        toks.select(
-            F.col(id_col),
-            F.col("_pos"),
-            gram.alias("_gh"),
-            F.lead("_w", k - 1).over(word_win).alias("_complete"),
-        )
-        .filter(F.col("_complete").isNotNull())  # drop ragged tail grams
-        .drop("_complete")
-    )
-    gram_win = (
-        Window.partitionBy(id_col)
-        .orderBy("_pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    wins = grams.select(
-        F.col(id_col),
-        F.min("_gh").over(gram_win).alias("fingerprint"),
-        # a window starting at _pos is complete iff a gram exists w-1 later
-        F.lead("_pos", w - 1).over(Window.partitionBy(id_col).orderBy("_pos"))
-        .isNotNull()
-        .alias("_full"),
-    )
-    return wins.filter(F.col("_full")).select(id_col, "fingerprint").distinct()

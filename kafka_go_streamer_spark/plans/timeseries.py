@@ -2315,7 +2315,11 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
-        kept = pinned(deg.filter(F.col("deg") >= KCORE_K).select("node"))
+        # kept stays UNPINNED: it derives from one aggregate over the
+        # round's pinned edge frame, so its three consumers (both join
+        # sides + the report count) re-derive a cheap subtree instead
+        # of paying a localCheckpoint job per round
+        kept = deg.filter(F.col("deg") >= KCORE_K).select("node")
         e = pinned(
             e.join(kept.withColumnRenamed("node", "a"), "a").join(
                 kept.withColumnRenamed("node", "b"), "b"

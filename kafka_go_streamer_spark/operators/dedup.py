@@ -527,29 +527,28 @@ def connected_components(
       per plan on million-bit BigInteger products (a real observed
       hang, not a theoretical one — see iterate.py).
     """
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        # materialize ONCE: without this the whole upstream
-        # pair-generation pipeline (e.g. MinHash-LSH) re-executes per
-        # round. The edge set is O(candidate pairs) — orders of
-        # magnitude smaller than the corpus — so pinning it is cheap
-        # even at scale. ``pinned`` (not raw localCheckpoint) also cuts
-        # the carried-stats lineage — see operators/iterate.py for why
-        # that matters in a loop.
+    # materialize the DIRECTED edge list ONCE, BEFORE the symmetric
+    # union: the union references ``edges`` twice, so pinning after it
+    # (the previous shape) evaluated the whole upstream pair-generation
+    # pipeline (e.g. the MinHash-LSH verify join) once per branch. The
+    # edge set is O(candidate pairs) — orders of magnitude smaller than
+    # the corpus — so pinning it is cheap even at scale, and sym /
+    # touched / the initial work set all derive from the checkpoint
+    # with narrow ops (no further pins needed before the loop).
+    # ``pinned`` (not raw localCheckpoint) also cuts the carried-stats
+    # lineage — see operators/iterate.py for why that matters in a loop.
+    e0 = pinned(edges.select(F.col("id_a"), F.col("id_b")))
+    sym = e0.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        e0.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    sym = pinned(sym)
     touched = sym.select(F.col("src").alias("id")).distinct()
     labels = touched.select(F.col("id"), F.col("id").alias("comp"))
     # working edge set between component representatives, one row per
     # undirected edge
-    work = pinned(
-        sym.filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    work = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
     for rnd in range(max_iter):
         both = work.unionByName(

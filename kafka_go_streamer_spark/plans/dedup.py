@@ -478,29 +478,46 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how hot a span is; the window, the per-doc rollup, and the
     final left join all share the doc_id key.
     """
-    from pyspark.sql import Window
+    from kafka_go_streamer_spark.functions.text import words
+    from kafka_go_streamer_spark.operators.iterate import pinned
+    from kafka_go_streamer_spark.sources.tables import fan_out
 
     k = SPAN_WORDS
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    toks = d.select("doc_id", F.posexplode(ws).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)]
-    )
-    spans = (
-        toks.select(
-            "doc_id",
-            gram.alias("_g"),
-            F.lead("w", k - 1).over(win).alias("_complete"),
-        )
-        .filter(F.col("_complete").isNotNull())
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("span_h"),
-        )
+    # spans via the BOUND-column in-row array form (words bound in its
+    # own projection, span hashes built over the bound attribute): each
+    # span hashed once, zero pre-aggregation shuffles — replaces the
+    # posexplode + lead() window spelling, which paid a doc_id exchange
+    # and a WindowExec over the token rows. (The UNBOUND in-row
+    # spelling stays the documented ~10x project-collapse trap.)
+    # Pinned because stats and the per-doc rollup both consume it.
+    w0 = fan_out(d).select("doc_id", words(F.col("text")).alias("_w"))
+    n = F.size(F.col("_w"))
+    mk = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("_w"), i + j + 1)
+                                for j in range(k)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    spans = pinned(
+        w0.select("doc_id", F.explode(mk).alias("span_h"))
     )
     stats = spans.groupBy("span_h").agg(
         F.count_distinct("doc_id").alias("n_docs")

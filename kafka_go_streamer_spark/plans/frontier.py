@@ -2143,33 +2143,87 @@ def stats_join_sample_estimators(
     o_key = _md5long(F.col("o_orderkey").cast("string"))
     l_key = _md5long(F.col("l_orderkey").cast("string"))
 
-    def branch(name: str, m: int, o_h, l_h, scale: int) -> DataFrame:
-        j = (
-            o.filter(o_h % m == 0)
-            .select("o_orderkey")
-            .join(
-                l.filter(l_h % m == 0).select(
-                    F.col("l_orderkey").alias("o_orderkey")
-                ),
-                "o_orderkey",
-            )
-            .agg(F.count(F.lit(1)).alias("n_sampled"))
+    # the hash-sample rates are NESTED (16 | 64 | 256: h % 256 == 0
+    # implies h % 64 == 0 implies h % 16 == 0), so ONE join per design
+    # at the loosest rate carries every finer rate as a conditional
+    # aggregate over the surviving pairs — 6 filtered corpus joins
+    # collapse to 2 (plus the shared actual-count join)
+    m0 = min(JOIN_SAMPLE_RATES)
+    ind = (
+        o.filter(o_row % m0 == 0)
+        .select("o_orderkey", o_row.alias("oh"))
+        .join(
+            l.filter(l_row % m0 == 0).select(
+                F.col("l_orderkey").alias("o_orderkey"), l_row.alias("lh")
+            ),
+            "o_orderkey",
         )
-        return j.select(
-            F.lit(name).alias("estimator"),
-            F.lit(m).cast("int").alias("inv_rate"),
-            F.col("n_sampled").cast("long"),
-            (F.col("n_sampled") * scale).cast("long").alias("est_rows"),
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("oh") % m == 0) & (F.col("lh") % m == 0),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"n_{m}")
+                for m in JOIN_SAMPLE_RATES
+            ]
         )
+    )
+    # correlated design: both sides filter on the SAME key hash, so a
+    # joined pair's two hashes are equal — the per-rate condition is
+    # one divisibility test
+    cor = (
+        o.filter(o_key % m0 == 0)
+        .select("o_orderkey", o_key.alias("kh"))
+        .join(
+            l.filter(l_key % m0 == 0).select(
+                F.col("l_orderkey").alias("o_orderkey")
+            ),
+            "o_orderkey",
+        )
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("kh") % m == 0, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"n_{m}")
+                for m in JOIN_SAMPLE_RATES
+            ]
+        )
+    )
 
-    est = None
-    for m in JOIN_SAMPLE_RATES:
-        for name, oh, lh, scale in (
-            ("independent_rows", o_row, l_row, m * m),
-            ("correlated_keys", o_key, l_key, m),
-        ):
-            b = branch(name, m, oh, lh, scale)
-            est = b if est is None else est.unionByName(b)
+    def unfold(frame: DataFrame, name: str, scale_of) -> DataFrame:
+        return frame.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("estimator"),
+                            F.lit(m).cast("int").alias("inv_rate"),
+                            F.col(f"n_{m}").alias("n_sampled"),
+                            (F.col(f"n_{m}") * scale_of(m))
+                            .cast("long")
+                            .alias("est_rows"),
+                        )
+                        for m in JOIN_SAMPLE_RATES
+                    ]
+                )
+            ).alias("s")
+        ).select("s.estimator", "s.inv_rate", "s.n_sampled", "s.est_rows")
+
+    est = unfold(ind, "independent_rows", lambda m: m * m).unionByName(
+        unfold(cor, "correlated_keys", lambda m: m)
+    )
     ok = F.col("n_sampled") > 0
     qe = F.greatest(
         F.col("est_rows") * 1.0, F.col("actual_rows") * 1.0

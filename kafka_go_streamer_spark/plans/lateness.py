@@ -751,15 +751,27 @@ def events_lateness_trigger_matrix(
     frontier reuses the two-level prefix scan; both bind back by
     equi-join/broadcast. Constant 3x3 grid fan, one 9-row
     aggregate."""
-    ev = with_running_max(
-        jittered_arrivals(load_table(spark, sf_dir, "events"))
-    )
+    base = jittered_arrivals(load_table(spark, sf_dir, "events"))
+    ev = with_running_max(base)
     fanned = ev.withColumn(
         "t", F.explode(F.array(*[F.lit(t) for t in TRIGGER_GRID_S]))
     ).withColumn(
         "tb", F.expr("arrival_us div (cast(t as bigint) * 1000000)")
     )
-    bframe = fanned.groupBy("t", "tb").agg(F.max("us").alias("bmax"))
+    # the per-batch max needs only (t, tb, us) — derive it from the
+    # CHEAP base projection, not from `fanned`: routing it through ev
+    # evaluated the whole two-level prefix scan a second time for the
+    # broadcast side (the running max plays no part in bmax)
+    bframe = (
+        base.withColumn(
+            "t", F.explode(F.array(*[F.lit(t) for t in TRIGGER_GRID_S]))
+        )
+        .withColumn(
+            "tb", F.expr("arrival_us div (cast(t as bigint) * 1000000)")
+        )
+        .groupBy("t", "tb")
+        .agg(F.max("us").alias("bmax"))
+    )
     bprev = bframe.select(
         "t",
         "tb",

@@ -624,6 +624,7 @@ def sketch_cms_error_profile(
     events fact is scanned once with a constant w x d fan into
     map-side-combined counts — no shuffle of the fact beyond those
     bounded aggregates."""
+    from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.sketches import CMS_D
 
     e = load_table(spark, sf_dir, "events")
@@ -637,16 +638,20 @@ def sketch_cms_error_profile(
         ).cast("long")
         % F.col("w")
     )
-    cells = (
-        e.select("user_id")
-        .select("user_id", w_fan)
-        .select("user_id", "w", d_fan)
-        .select("w", "d", bucket.alias("col"))
-        .groupBy("w", "d", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # counters from the PER-USER count frame, not the raw fact: the
+    # bucket depends only on (user_id, d), so hashing per (event, w, d)
+    # did |w_grid| x d times the md5 work on events instead of d times
+    # on distinct users; per-bucket counts are identical (sum of the
+    # users' counts that land there)
+    truth = pinned(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
     )
-    truth = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("true_count")
+    cells = (
+        truth.select("user_id", "true_count", w_fan)
+        .select("user_id", "true_count", "w", d_fan)
+        .select("w", "d", bucket.alias("col"), "true_count")
+        .groupBy("w", "d", "col")
+        .agg(F.sum("true_count").alias("cnt"))
     )
     top = truth.orderBy(
         F.col("true_count").desc(), F.col("user_id").asc()

@@ -1199,9 +1199,14 @@ def _kll_grid_sketch(li: DataFrame) -> DataFrame:
 
     from kafka_go_streamer_spark.operators.kll import KLLSketch
     from kafka_go_streamer_spark.plans.sketches import KLL_FANIN
-    from kafka_go_streamer_spark.sources.tables import fan_out
 
-    src = fan_out(li).withColumn("pid", F.spark_partition_id())
+    # NO fan_out: partial sketches build per SCAN partition — the
+    # production shape (guide §2.3: aggregate before you shuffle; only
+    # ~k·log(n/k) retained doubles ever cross the wire). The Python
+    # compactor is ~0.3 s for the whole sf0.1 fact even single-task
+    # (measured), so the round-robin exchange of the raw values cost
+    # more than the serial build it parallelized.
+    src = li.withColumn("pid", F.spark_partition_id())
 
     def build(batches):
         sks = {k: KLLSketch(k) for k in KLL_K_GRID}

@@ -1359,40 +1359,55 @@ def pipeline_dedup_order_sensitivity(
         gated.select("doc_id"), "doc_id", "left_semi"
     )
 
-    pairs_a = minhash_lsh_pairs(
-        gated, "doc_id", "text", min_intersection=2, sigs=sigs_gated
-    )
-    comp_a = connected_components(
-        gated.select(F.col("doc_id").alias("id")),
-        pairs_a.select("id_a", "id_b"),
-    )
-    kept_a = (
-        comp_a.filter(F.col("id") == F.col("comp"))
-        .select(F.col("id").alias("doc_id"))
-        .withColumn("in_a", F.lit(1))
-    )
+    # The two LSH+contraction passes are INDEPENDENT given the shared
+    # signature table, and each is a driver-looped sequence of small
+    # jobs (band join, verify, per-round pins) — run them from a
+    # 2-thread pool so one pass's tiny jobs back-fill the executor
+    # slots the other's stragglers leave idle (guide §2.6; job
+    # descriptions/pins are thread-local, results are deterministic
+    # DataFrames over checkpointed blocks).
+    from concurrent.futures import ThreadPoolExecutor
 
-    pairs_b = minhash_lsh_pairs(
-        docs.select("doc_id", "text"),
-        "doc_id",
-        "text",
-        min_intersection=2,
-        sigs=sigs_full,
-    )
-    comp_b = connected_components(
-        docs.select(F.col("doc_id").alias("id")),
-        pairs_b.select("id_a", "id_b"),
-    )
-    kept_b = (
-        comp_b.filter(F.col("id") == F.col("comp"))
-        .join(
-            gated.select(F.col("doc_id").alias("id")),
-            "id",
-            "left_semi",
+    def _pass_a():
+        pairs_a = minhash_lsh_pairs(
+            gated, "doc_id", "text", min_intersection=2, sigs=sigs_gated
         )
-        .select(F.col("id").alias("doc_id"))
-        .withColumn("in_b", F.lit(1))
-    )
+        comp_a = connected_components(
+            gated.select(F.col("doc_id").alias("id")),
+            pairs_a.select("id_a", "id_b"),
+        )
+        return (
+            comp_a.filter(F.col("id") == F.col("comp"))
+            .select(F.col("id").alias("doc_id"))
+            .withColumn("in_a", F.lit(1))
+        )
+
+    def _pass_b():
+        pairs_b = minhash_lsh_pairs(
+            docs.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            min_intersection=2,
+            sigs=sigs_full,
+        )
+        comp_b = connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs_b.select("id_a", "id_b"),
+        )
+        return (
+            comp_b.filter(F.col("id") == F.col("comp"))
+            .join(
+                gated.select(F.col("doc_id").alias("id")),
+                "id",
+                "left_semi",
+            )
+            .select(F.col("id").alias("doc_id"))
+            .withColumn("in_b", F.lit(1))
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(_pass_a), pool.submit(_pass_b)
+        kept_a, kept_b = fa.result(), fb.result()
 
     # No broadcast hint on kept_a/kept_b: both are one row per SURVIVING
     # document — O(corpus) frames. A forced broadcast would hit the 8 GB

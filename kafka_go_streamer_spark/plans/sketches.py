@@ -935,8 +935,10 @@ def exact_value_percentiles(
        against ``F.percentile`` on the sf0.1 fact.
 
     NULLs are dropped first (percentile semantics). The input pipeline
-    is evaluated twice (sizes pass + rank pass) — for anything hotter
-    than a column scan, pass a pinned frame.
+    is evaluated twice (sizes pass + rank pass) — measured CHEAPER at
+    sf0.1 than pinning the range-partitioned frame (the checkpoint job
+    costs more than re-running a column scan); for anything hotter
+    than a scan, hand in a pinned frame.
     """
     from pyspark.sql import Window
 
@@ -1091,12 +1093,17 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.operators.kll import KLLSketch
-    from kafka_go_streamer_spark.sources.tables import fan_out
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("v")
     )
-    src = fan_out(li).withColumn("pid", F.spark_partition_id())
+    # NO fan_out: partial sketches build per SCAN partition — the
+    # production shape (guide §2.3: aggregate before you shuffle; only
+    # ~k·log(n/k) retained doubles ever cross the wire). The Python
+    # compactor is ~0.1 s for the whole sf0.1 fact even single-task
+    # (measured), so the round-robin exchange of the raw values cost
+    # more than the serial build it parallelized.
+    src = li.withColumn("pid", F.spark_partition_id())
 
     def build(batches):
         sk = KLLSketch(KLL_K)

@@ -543,9 +543,11 @@ def test_quantile_bands_no_sort_merge(spark, sf_dir):
     df = QUERIES["sketch_quantile_bands"](spark, sf_dir)
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
-    # pass 1 (min/max/count) is pinned; the plan re-reads parquet only
-    # for the binning pass and the exact twin
-    assert plan.count("Scan parquet") == 2
+    # pass 1 (min/max/count) is pinned; the plan re-reads parquet for
+    # the binning pass and twice inside the exact twin
+    # (exact_value_percentiles: sizes pass + rank pass — re-running the
+    # pruned column scan measured cheaper than pinning)
+    assert plan.count("Scan parquet") == 3
     # every scan is pruned to the single priced column
     import re as _re
 
@@ -1571,7 +1573,11 @@ def test_kll_curve_one_pass_three_sketches(spark, sf_dir):
     plan = physical_plan(QUERIES["sketch_kll_error_curve"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
-    assert set(specs) == {"k"}
+    # "k": the sketch-frame prefix sum; "_pid": the exact-twin's
+    # range-partition rank windows (exact_value_percentiles — parallel
+    # per-partition row_number + the |partitions|-row offset cumsum),
+    # which replaced F.percentile's single-buffer final merge
+    assert set(specs) == {"k", "_pid"}
 
 
 def test_gate_sweep_single_pass(spark, sf_dir):

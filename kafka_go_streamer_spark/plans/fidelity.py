@@ -2066,6 +2066,7 @@ def dedup_shingle_selectivity(
     doc x doc); the |k-grid| fan is a constant multiplier on one
     corpus scan."""
     from kafka_go_streamer_spark.functions.text import words
+    from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.sources.tables import fan_out
 
     d0 = load_table(spark, sf_dir, "documents")
@@ -2089,7 +2090,11 @@ def dedup_shingle_selectivity(
 
     # words bound ONCE per branch in its own projection: inlining the
     # split into the transform re-evaluates it per element_at (see
-    # operators/dedup.py shingle_stream_of; measured 3x on the explode)
+    # operators/dedup.py shingle_stream_of; measured 3x on the explode).
+    # NOT pinned: checkpointing the word arrays measured ~1.5 s SLOWER
+    # than letting each k-branch re-run the scan + split (the arrays
+    # are text-sized; serializing them costs more than 2 extra pruned
+    # scans).
     dw = d.select("doc_id", words(F.col("text")).alias("_w"))
     ex = None
     for k in SHINGLE_K_GRID:

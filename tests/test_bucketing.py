@@ -45,7 +45,11 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
             .executedPlan()
             .toString()
         )
-    assert "SortMergeJoin" in plan
+    # SMJ on sorted buckets, or shuffled-hash under
+    # preferSortMergeJoin=false — either way the load-bearing facts
+    # are the absent Exchange (bucket co-partitioning reused) and the
+    # bucket-pruned scan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Exchange" not in plan
     assert "SelectedBucketsCount" in plan
 

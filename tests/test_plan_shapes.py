@@ -169,7 +169,11 @@ def test_tpch_q19_disjunction_stays_equi_join(spark, sf_dir):
     Catalyst must extract it and keep a hash join (the historical Q19
     trap is a cartesian product with a post-filter)."""
     plan = physical_plan(QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -174,6 +174,24 @@ ROTATE_FRONT = (
     #   this round's pool param) — the shared-helper blind spot
     #   VERDICT r16 task 4 calls out:
     "ann_ivf_store_probe",
+    # r16 OPTIMIZATION-touched spans (plans rewritten for performance,
+    # outputs proven identical vs the DuckDB oracle; re-front so the
+    # next driver window re-verifies each rewritten plan):
+    "text_decontaminate",
+    "ann_nprobe_recall_curve",
+    "ann_recall_at_k_grid",
+    "dedup_substring_spans",
+    "dedup_lsh_recall_eval",
+    "sketch_kll_error_curve",
+    "ann_nlist_tradeoff",
+    "dedup_shingle_selectivity",
+    "ann_ivf_operating_surface",
+    "events_lateness_trigger_matrix",
+    "ann_recall_cost_frontier",
+    "sketch_cms_error_profile",
+    "sketch_quantile_bands",
+    "sketch_kll_quantiles",
+    "graph_kcore_decomposition",
 )
 
 

@@ -973,27 +973,28 @@ def exact_value_percentiles(
     ).join(F.broadcast(offs), "_pid").select(
         "_v", (F.col("_r") + F.col("_off")).alias("_rn"), "_n"
     )
-    idx = (
-        offs.select(F.col("_n")).limit(1)
-        .select(
-            "_n",
-            F.explode(
-                F.array(*[F.lit(float(q)) for q in qs])
-            ).alias("_q"),
-        )
-        .select("_q", ((F.col("_n") - 1) * F.col("_q")).alias("_pos"))
-        .select(
-            "_q",
-            "_pos",
-            F.floor("_pos").cast("long").alias("_lo_i"),
-            F.ceil("_pos").cast("long").alias("_hi_i"),
-        )
+    # the quantile grid is a pure literal, so build it scan-free on a
+    # 1-row range and resolve the covering ranks against rn's OWN _n:
+    # deriving them in a separate frame re-ran the whole sizes pass
+    # (scan + per-partition count) a third time just to read the total.
+    # Arithmetic unchanged: pos = (n-1)q, covering ranks floor/ceil+1.
+    qlit = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("_q")
     )
+    pos = (F.col("_n") - 1) * F.col("_q")
     est = (
         rn.join(
-            F.broadcast(idx),
-            (F.col("_rn") == F.col("_lo_i") + 1)
-            | (F.col("_rn") == F.col("_hi_i") + 1),
+            F.broadcast(qlit),
+            (F.col("_rn") == F.floor(pos).cast("long") + 1)
+            | (F.col("_rn") == F.ceil(pos).cast("long") + 1),
+        )
+        .select(
+            "_v",
+            "_rn",
+            "_q",
+            pos.alias("_pos"),
+            F.floor(pos).cast("long").alias("_lo_i"),
+            F.ceil(pos).cast("long").alias("_hi_i"),
         )
         .groupBy("_q", "_pos", "_lo_i", "_hi_i")
         .agg(

@@ -2276,15 +2276,31 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type",
         F.lead("event_type").over(w).alias("next_type"),
-    ).filter(F.col("next_type").isNotNull())
-    t = seq.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     from kafka_go_streamer_spark.operators.iterate import pinned
 
-    t = pinned(t)  # consumed twice per iteration: never re-window events
-    states = pinned(ev.select("event_type").distinct())
+    # ONE pinned frame carries both the transition weights and the full
+    # state domain: keeping the null-next (terminal) rows through the
+    # aggregate means every event type still appears as a from_type
+    # (every event row emits exactly one pair row), so the state domain
+    # no longer needs its own events scan + distinct + checkpoint
+    # (2 events scans + 2 pin jobs -> 1 + 1; the extra null rows are
+    # at most |types|).
+    pairs = pinned(
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # consumed twice per iteration: never re-windows events (the filter
+    # is a narrow op over the checkpointed state^2-sized frame)
+    t = pairs.filter(F.col("to_type").isNotNull())
+    # states is referenced ~8x (zero-fill per half-step + final joins);
+    # pin the tiny distinct once so each reference is an RDD scan, not
+    # its own exchange+aggregate subtree (measured +0.4 s unpinned)
+    states = pinned(
+        pairs.select(F.col("from_type").alias("event_type")).distinct()
+    )
     h = states.select("event_type", F.lit(1.0).alias("hub"))
 
     def _propagate(vec: DataFrame, val: str, src: str, dst: str, out: str):

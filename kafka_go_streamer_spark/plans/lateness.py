@@ -83,7 +83,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
-from kafka_go_streamer_spark.operators.iterate import pinned
 from kafka_go_streamer_spark.plans.registry import query
 from kafka_go_streamer_spark.sources.tables import load_table
 
@@ -315,9 +314,14 @@ def events_lateness_watermark_grid(
     Scale: jitter is row-local scan arithmetic; the running frontier
     is the two-level prefix scan (module docstring — bucket frame +
     partition-bounded windows, NO global sort); the grid fan is a
-    constant 8x on the narrow per-event frame into one 8-group
-    aggregate. Window-dirty counts are count-distinct over window
-    ends (bounded by span/window, not by events)."""
+    constant 8x on the narrow per-event frame. The aggregate runs in
+    TWO levels keyed on the window end first: a count-distinct over
+    the fanned fact would plan an Expand (x3 replicas — one per
+    distinct column group plus the plain sums), so the first level
+    collapses the fan to (grid cell x wend) rows — bounded by
+    span/window, not by events, and map-side combinable — and the
+    8-group grid cell level computes the window counts as plain
+    count/sum over that tiny frame (no Expand anywhere)."""
     ev = with_running_max(
         jittered_arrivals(load_table(spark, sf_dir, "events"))
     )
@@ -325,21 +329,23 @@ def events_lateness_watermark_grid(
     wm = F.col("run_max_us") - F.col("delay_s").cast("long") * 1_000_000
     late = wm > F.col("us")
     dropped = wm >= F.col("wend")
+    per_wend = fan.groupBy("delay_s", "window_s", "wend").agg(
+        F.count(F.lit(1)).alias("w_n"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("w_late"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("w_dropped"),
+    )
     return (
-        fan.groupBy("delay_s", "window_s")
+        per_wend.groupBy("delay_s", "window_s")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
-            F.sum(F.when(dropped, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
+            F.sum("w_n").cast("long").alias("n_events"),
+            F.sum("w_late").cast("long").alias("n_late"),
+            F.sum("w_dropped").cast("long").alias("n_dropped"),
             stable_round(
-                F.sum(F.when(dropped, 1).otherwise(0)) * 1.0
-                / F.count(F.lit(1)),
+                F.sum("w_dropped") * 1.0 / F.sum("w_n"),
                 6,
             ).alias("drop_share"),
-            F.countDistinct("wend").cast("long").alias("n_windows"),
-            F.countDistinct(F.when(dropped, F.col("wend")))
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("w_dropped") > 0, 1).otherwise(0))
             .cast("long")
             .alias("n_windows_dirty"),
         )
@@ -516,9 +522,12 @@ def events_watermark_dedup_audit(
     kinds contribute their event time to the frontier (re-stamped
     redeliveries advance the watermark exactly as they do in the real
     stream); the shared two-level prefix scan prices the frontier at
-    every arrival with no global sort; the orig/dup pairing is one
-    equi-join on event_id; the delay grid fans only the dup-pair
-    frame (1/4 of events x 4) into a 4-row aggregate."""
+    every arrival with no global sort; the orig/dup pairing is ONE
+    conditional aggregation over event_id (the orig and dup rows of a
+    key meet in one hash-aggregate group — no self-join, so the runs
+    frame has a single consumer and needs no checkpoint barrier); the
+    delay grid fans only the dup-pair frame (1/4 of events x 4) into
+    a 4-row aggregate."""
     base = jittered_arrivals(load_table(spark, sf_dir, "events"))
     gap = _h60(F.col("event_id"), "dg") % (DUP_GAP_MAX_US + 1)
     origs = base.select(
@@ -540,30 +549,34 @@ def events_watermark_dedup_audit(
             gap.alias("gap_us"),
         )
     )
-    # pinned: the runs frame feeds BOTH sides of the orig/dup pairing —
-    # without the pin Catalyst re-inlines the whole prefix-scan
-    # pipeline per consumer (the minhash_lsh_pairs lesson)
-    runs = pinned(
-        with_running_max(
-            origs.unionByName(dups),
-            contrib="contrib",
-            order=("arrival_us", "kind", "event_id"),
-        )
+    # single consumer (the event_id aggregate below) — no pin needed:
+    # the prefix-scan pipeline is evaluated exactly once
+    runs = with_running_max(
+        origs.unionByName(dups),
+        contrib="contrib",
+        order=("arrival_us", "kind", "event_id"),
     )
+    # orig and dup rows of an event_id meet in one hash-aggregate
+    # group; conditional maxes replace the former self-join (one
+    # exchange + aggregate instead of two exchanges + join), and the
+    # NULL dup side filters the 3/4 of events with no redelivery
     pairs = (
-        runs.filter(F.col("kind") == 1)
-        .select(
-            "event_id",
-            "us",
-            (F.col("contrib") - F.col("us")).alias("et_gap_us"),
-            F.col("run_max_us").alias("rm_dup"),
+        runs.groupBy("event_id")
+        .agg(
+            F.max("us").alias("us"),
+            F.max(
+                F.when(
+                    F.col("kind") == 1, F.col("contrib") - F.col("us")
+                )
+            ).alias("et_gap_us"),
+            F.max(
+                F.when(F.col("kind") == 1, F.col("run_max_us"))
+            ).alias("rm_dup"),
+            F.max(
+                F.when(F.col("kind") == 0, F.col("run_max_us"))
+            ).alias("rm_orig"),
         )
-        .join(
-            runs.filter(F.col("kind") == 0).select(
-                "event_id", F.col("run_max_us").alias("rm_orig")
-            ),
-            "event_id",
-        )
+        .filter(F.col("rm_dup").isNotNull())
     )
     fan = pairs.withColumn(
         "delay_s", F.explode(F.array(*[F.lit(d) for d in WM_DELAYS_S]))

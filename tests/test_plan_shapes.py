@@ -1243,17 +1243,20 @@ def test_lateness_grid_two_level_prefix_scan(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(_bkt#\d+L, arrival_us", plan)
     # exactly one single-partition exchange: the ~120-row bucket frame
     assert plan.count("Exchange SinglePartition") == 1
+    # r16: window counts come from the two-level (cell x wend)
+    # aggregate, never a count-distinct Expand over the fanned fact
+    assert "Expand" not in plan
 
 
 def test_dedup_audit_union_prefix_scan(spark, sf_dir):
     """The dedup-leakage audit prices the frontier at each dup's
     arrival through the SAME bucketed scan over the originals+dups
-    union. The runs frame is pinned (it feeds both sides of the
-    orig/dup pairing), so the prefix-scan shape is asserted on the
-    UNPINNED upstream: bucket-partitioned fact window, broadcast
-    prefix bind, exactly one single-partition exchange (the bucket
-    frame); the final query plan must stay cartesian-free with the
-    delay grid as a Generate."""
+    union: bucket-partitioned fact window, broadcast prefix bind,
+    exactly one single-partition exchange (the bucket frame); the
+    final query plan must stay cartesian-free with the delay grid as
+    a Generate, and (r16) pair origs with dups via ONE conditional
+    aggregation over event_id — no orig/dup self-join, no checkpoint
+    barrier hiding a second evaluation of the prefix scan."""
     from pyspark.sql import functions as F
 
     from kafka_go_streamer_spark.plans import lateness as L
@@ -1290,6 +1293,12 @@ def test_dedup_audit_union_prefix_scan(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
+    # r16: the conditional-aggregation pairing replaced the self-join
+    # (only the broadcast prefix bind remains), and the full lineage
+    # (union + prefix scan) is one linear plan — no checkpoint barrier
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L, arrival_us", plan)
 
 
 def test_open_state_no_window_scalar_broadcast(spark, sf_dir):
@@ -1610,12 +1619,14 @@ def test_generalization_curve_class_frames(spark, sf_dir):
 
 def test_nlist_tradeoff_panel_shapes(spark, sf_dir):
     """The nlist sweep keeps the recall family's discipline: windows
-    only over panel-keyed frames (q_id rank cuts / vec_id assignment),
-    centroid binds broadcast, no cartesian of fact-sized sides."""
+    only over grid×panel-keyed frames (the r16 vectorized form ranks
+    once per (nlist, q_id) — partition count = |grid|×|panel|, never
+    corpus-scaled; vec_id windows cut per-vector assignments), centroid
+    binds broadcast, no cartesian of fact-sized sides."""
     plan = physical_plan(QUERIES["ann_nlist_tradeoff"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
-    assert specs and specs <= {"q_id", "vec_id"}
+    assert specs and specs <= {"q_id", "vec_id", "nlist"}
     assert "BroadcastNestedLoopJoin" in plan
 
 

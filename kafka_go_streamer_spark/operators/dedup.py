@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_go_streamer_spark.functions.rounding import stable_round
-from kafka_go_streamer_spark.operators.iterate import pinned
+from kafka_go_streamer_spark.operators.iterate import pinned, pinned_counted
 
 from kafka_go_streamer_spark.functions.text import (
     bag_fingerprint,
@@ -599,13 +599,17 @@ def connected_components(
         # at sf0.1; at scale it was one of ~4 per-round O(E)
         # shuffles). The pair generator already emits distinct edges,
         # so the working set stays bounded by the original pair count.
-        work = pinned(
+        # one job pins the round's edge set AND answers the convergence
+        # check (lazy checkpoint materialized by the count itself) —
+        # the former eager-pin + limit(1).count() pair was two jobs per
+        # round, pure scheduler overhead at every scale
+        work, n_work = pinned_counted(
             ru.select(
                 F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
             )
             .filter(F.col("a") != F.col("b"))
         )
-        if work.limit(1).count() == 0:
+        if n_work == 0:
             break
     # isolated nodes (in no edge) keep their own id as the component.
     isolated = nodes.join(touched, "id", "left_anti").select(

@@ -32,6 +32,20 @@ def pinned(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df`` and return a stats-fresh DataFrame
     over the materialized blocks (see module docstring)."""
     ck = df.localCheckpoint(eager=True)
+    return _stats_fresh(ck)
+
+
+def pinned_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """Like :func:`pinned`, but ONE job: a lazy localCheckpoint is
+    materialized by the ``count()`` action itself, so loops that need
+    the round's row count anyway (convergence checks) don't pay a
+    separate materialization job per round on top of the count job."""
+    ck = df.localCheckpoint(eager=False)
+    n = ck.count()
+    return _stats_fresh(ck), n
+
+
+def _stats_fresh(ck: DataFrame) -> DataFrame:
     try:
         jdf = ck._jdf
         spark = ck.sparkSession

@@ -556,27 +556,46 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines rank identically.
 
     Scale: at 100 TB the tf table IS the inverted index — build it
-    once, reuse per query; everything per-query is broadcast-sized."""
+    once, reuse per query; everything per-query is broadcast-sized.
+
+    r16 restructure (same results, the retrieval_hybrid_rrf shape):
+    document length is row-local (count of non-empty tokens), so the
+    corpus-wide (doc, word) aggregate is never built — one explode-free
+    scan prices lengths + corpus stats, one exploded scan builds the
+    query-term-filtered tf frame with dl in-row (pinned for its two
+    consumers), and every aggregate runs on term-filtered rows."""
     d = load_table(spark, sf_dir, "documents")
+    from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    w = fan_out(d).select(
-        "doc_id", F.explode(X.words(F.col("text"))).alias("w")
+    nonempty = F.size(
+        F.filter(X.words(F.col("text")), lambda x: x != F.lit(""))
+    ).cast("double")
+    dlf = (
+        fan_out(d)
+        .select("doc_id", nonempty.alias("dl"))
+        .filter(F.col("dl") > 0)
     )
-    tf = (
-        w.filter(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+    stats = dlf.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
-    dfq = (
-        tf.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    tft = pinned(
+        fan_out(d)
+        .select("doc_id", X.words(F.col("text")).alias("_w"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.col("_w"), lambda x: x != F.lit(""))
+            ).cast("double").alias("dl"),
+            F.explode("_w").alias("w"),
+        )
+        .filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfq = tft.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     idf = F.log(
         1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -585,9 +604,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     scored = (
-        tf.filter(F.col("w").isin(*BM25_TERMS))
-        .join(F.broadcast(dfq), "w")
-        .join(dl, "doc_id")
+        tft.join(F.broadcast(dfq), "w")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1929,6 +1946,12 @@ def retrieval_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    # dl stays derived from the PINNED tf (unlike text_bm25_topk /
+    # retrieval_hybrid_rrf, where the full tf existed only for dl):
+    # here the expansion stage needs the whole inverted index anyway,
+    # and one exchange over the materialized frame beats re-scanning
+    # and re-tokenizing the text column (plan-asserted: the final plan
+    # reads zero parquet — test_prf_reuses_one_tf_table)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -866,34 +866,55 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus, is what reaches the dense scorer. Both rank
     assignments order by rounded scores + doc_id so the engines fuse
     identical permutations; RRF itself is exact rational arithmetic in
-    doubles."""
+    doubles.
+
+    r16 restructure (same results): document length is ROW-LOCAL
+    (count of non-empty tokens — ``size(filter(words))``), so the
+    former corpus-wide (doc, word) aggregate consumed three times
+    (lengths, df, scores) is gone. One scan prices lengths + corpus
+    stats with no explode and no shuffle; one exploded scan builds the
+    QUERY-TERM-filtered tf frame with dl carried in-row (no dl join),
+    pinned once for its two consumers (df counts, score fold). The
+    only aggregates that remain run on the term-filtered frame —
+    bounded by docs containing a query term, not by corpus words."""
     d = load_table(spark, sf_dir, "documents")
-    w = fan_out(d).select(
-        "doc_id", F.explode(X.words(F.col("text"))).alias("w")
+    nonempty = F.size(
+        F.filter(X.words(F.col("text")), lambda x: x != F.lit(""))
+    ).cast("double")
+    dlf = (
+        fan_out(d)
+        .select("doc_id", nonempty.alias("dl"))
+        .filter(F.col("dl") > 0)
     )
-    tf = (
-        w.filter(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+    stats = dlf.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
-    dfq = (
-        tf.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    tft = pinned(
+        fan_out(d)
+        .select(
+            "doc_id", X.words(F.col("text")).alias("_w")
+        )
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.col("_w"), lambda x: x != F.lit(""))
+            ).cast("double").alias("dl"),
+            F.explode("_w").alias("w"),
+        )
+        .filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfq = tft.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     norm = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     bm25top = (
-        tf.filter(F.col("w").isin(*BM25_TERMS))
-        .join(F.broadcast(dfq), "w")
-        .join(dl, "doc_id")
+        tft.join(F.broadcast(dfq), "w")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id", (idf * (F.col("tf") * (BM25_K1 + 1)) / norm).alias("sc")

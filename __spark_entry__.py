@@ -192,6 +192,14 @@ ROTATE_FRONT = (
     "sketch_quantile_bands",
     "sketch_kll_quantiles",
     "graph_kcore_decomposition",
+    #   second r16 wave (session 2): Expand/self-join/extra-scan cuts
+    #   in the lateness audits + HITS, the BM25 corpus-aggregate
+    #   removal, and the one-pass nested-span packing fold:
+    "events_hits_hubs",
+    "events_lateness_watermark_grid",
+    "events_watermark_dedup_audit",
+    "retrieval_hybrid_rrf",
+    "text_bm25_topk",
 )
 
 

@@ -727,21 +727,30 @@ def pack_shard_span_sensitivity(
     ``pack_cap_sweep``'s cap axis: together they justify (or move)
     both deployed constants.
 
-    Scale: each span is one group-batched fold (``fold_packed`` — one
-    hash exchange, groups dispatched through a per-partition pandas
-    groupby) over (id, source, tokens) triples; token counting stays
-    JVM-side; everything after is a seqs-frame aggregate. The oracle
-    replays all three folds as recursive CTEs."""
+    Scale: the span grid is NESTED (250 | 1000 | 4000), so every
+    finer span's groups sit inside the coarsest span's groups — ONE
+    hash exchange on the coarsest shard and ONE per-partition pandas
+    pass fold all three spans (each group still folded by the
+    identical pure ``pack_group``), replacing one
+    exchange + mapInPandas per span (r16: 3 Python stages -> 1, 3
+    shuffles of the triples -> 1; local wall neutral at sf0.1 —
+    interleaved A/B 2.61 vs 2.75 s — because the tiny fixture is
+    key-limited either way; the win is the per-span exchange+boundary
+    crossing that scales with the corpus). Token counting stays
+    JVM-side;
+    everything after is one seqs-frame aggregate keyed by span. The
+    oracle replays all three folds as recursive CTEs."""
     from kafka_go_streamer_spark.functions import text as X
     from kafka_go_streamer_spark.operators.iterate import pinned
     from kafka_go_streamer_spark.plans.training_ops import (
         PACK_CAP,
-        fold_packed,
+        PACK_SCHEMA,
+        pack_group,
     )
 
     # pinned: the (id, source, tokens) triples are span-independent —
-    # count tokens ONCE and share the narrow frame across all three
-    # folds instead of re-running the regex scan per span
+    # count tokens ONCE and share the narrow frame across the folds
+    # instead of re-running the regex scan per span
     d = pinned(
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
@@ -749,42 +758,50 @@ def pack_shard_span_sensitivity(
             X.token_count(F.col("text")).alias("n_tokens"),
         )
     )
-    out = None
-    for span in SPAN_GRID:
-        sharded = d.withColumn("shard", F.expr(f"doc_id div {span}"))
-        packed = fold_packed(sharded)
-        seqs = packed.groupBy("source", "shard", "seq_id").agg(
-            F.sum("n_tokens").alias("real_toks"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-        pad = F.when(
-            F.col("real_toks") <= PACK_CAP,
-            F.lit(PACK_CAP) - F.col("real_toks"),
-        ).otherwise(0)
-        row = seqs.agg(
-            F.countDistinct("source", "shard").cast("long").alias(
-                "n_groups"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_sequences"),
-            F.sum("real_toks").cast("long").alias("real_tokens"),
-            F.sum(pad).cast("long").alias("pad_tokens"),
-            stable_round(
-                F.sum(pad) * 1.0 / (F.count(F.lit(1)) * PACK_CAP), 6
-            ).alias("pad_share"),
-            stable_round(
-                F.sum("n_docs") * 1.0 / F.count(F.lit(1)), 4
-            ).alias("mean_docs_per_seq"),
-        ).select(
-            F.lit(span).cast("long").alias("shard_span"),
-            "n_groups",
-            "n_sequences",
-            "real_tokens",
-            "pad_tokens",
-            "pad_share",
-            "mean_docs_per_seq",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    spans = SPAN_GRID
+    coarse = max(spans)
+    src = d.withColumn(
+        "shard", F.expr(f"doc_id div {coarse}")
+    ).repartition("source", "shard")
+
+    def per_partition(it):
+        import pandas as pd
+
+        frames = list(it)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        for span in spans:
+            sp = pdf.assign(shard=pdf["doc_id"] // span)
+            for _, g in sp.groupby(["source", "shard"], sort=False):
+                out = pack_group(g)
+                yield out.assign(shard_span=span)
+
+    packed = src.mapInPandas(
+        per_partition, PACK_SCHEMA + ", shard_span bigint"
+    )
+    seqs = packed.groupBy("shard_span", "source", "shard", "seq_id").agg(
+        F.sum("n_tokens").alias("real_toks"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    pad = F.when(
+        F.col("real_toks") <= PACK_CAP,
+        F.lit(PACK_CAP) - F.col("real_toks"),
+    ).otherwise(0)
+    return seqs.groupBy("shard_span").agg(
+        F.countDistinct("source", "shard").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_sequences"),
+        F.sum("real_toks").cast("long").alias("real_tokens"),
+        F.sum(pad).cast("long").alias("pad_tokens"),
+        stable_round(
+            F.sum(pad) * 1.0 / (F.count(F.lit(1)) * PACK_CAP), 6
+        ).alias("pad_share"),
+        stable_round(
+            F.sum("n_docs") * 1.0 / F.count(F.lit(1)), 4
+        ).alias("mean_docs_per_seq"),
+    )
 
 
 # ---------------------------------------------- multimodal_decode_quarantine

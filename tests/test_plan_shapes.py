@@ -1734,15 +1734,15 @@ def test_norm_profile_codegen_no_python(spark, sf_dir):
 
 def test_span_sensitivity_counts_tokens_once(spark, sf_dir):
     """Token counting is span-independent: the (id, source, tokens)
-    triples are pinned and each span's fold is a MapInPandas over one
-    hash exchange — |spans| Arrow stages, ONE regex scan."""
-    from kafka_go_streamer_spark.plans.frontier import SPAN_GRID
-
+    triples are pinned, and (r16) the NESTED span grid folds through
+    ONE MapInPandas over ONE hash exchange on the coarsest shard —
+    one Arrow boundary crossing and one shuffle of the triples for
+    the whole grid, ONE regex scan."""
     plan = physical_plan(
         QUERIES["pack_shard_span_sensitivity"](spark, sf_dir)
     )
     assert plan.count("Scan parquet") <= 1
-    assert plan.count("MapInPandas") == len(SPAN_GRID)
+    assert plan.count("MapInPandas") == 1
     assert "FlatMapGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
 

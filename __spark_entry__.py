@@ -200,6 +200,12 @@ ROTATE_FRONT = (
     "events_watermark_dedup_audit",
     "retrieval_hybrid_rrf",
     "text_bm25_topk",
+    #   third r16 wave (session 3): single-consumption CC output in the
+    #   drop-bias rollup (window total over the source aggregate
+    #   replaces the broadcast-scalar bind), and the weak-link audit's
+    #   shared pinned pair frame + isolated-free contraction:
+    "dedup_drop_bias_by_source",
+    "dedup_weak_link_audit",
 )
 
 

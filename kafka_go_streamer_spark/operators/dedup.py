@@ -479,7 +479,10 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    include_isolated: bool = True,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation with path
     compression — the dedup-cluster step that turns near-duplicate PAIRS
@@ -487,6 +490,14 @@ def connected_components(
     component as ``component_id``).
 
     ``nodes`` has one column ``id``; ``edges`` has ``id_a``/``id_b``.
+
+    ``include_isolated=False`` returns only nodes that appear in an
+    edge (every component of size >= 2, exactly): consumers that
+    filter singleton components out anyway (the weak-link audit) skip
+    the full-corpus ``nodes`` scan and the anti-join that the isolated
+    union costs — their answer is provably identical because isolated
+    nodes form singleton components with ``comp = id`` and doc ids are
+    unique.
 
     Scale shape: GRAPH CONTRACTION with a pointer-doubled merge
     mapping (the GraphX large-star/small-star family). Each round:
@@ -611,6 +622,8 @@ def connected_components(
         )
         if n_work == 0:
             break
+    if not include_isolated:
+        return labels
     # isolated nodes (in no edge) keep their own id as the component.
     isolated = nodes.join(touched, "id", "left_anti").select(
         F.col("id"), F.col("id").alias("comp")

@@ -1435,8 +1435,11 @@ def dedup_drop_bias_by_source(
     Scale: composes the audited contraction-loop CC (its own scale
     story); the canonical rule is a window PARTITIONED by component
     (bounded by cluster size — the same hot-key bound the histogram
-    documents); one broadcast scalar bind for the corpus rate; one
-    source-cardinality aggregate."""
+    documents); the corpus rate is a window total over the
+    source-cardinality aggregate, so the CC output is consumed
+    exactly once (the former broadcast-scalar bind evaluated the
+    whole contraction output a second time just to read the rate —
+    the grouped frame already carries the same totals)."""
     from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
 
     comp = _Q["dedup_connected_components"](spark, sf_dir)
@@ -1451,21 +1454,25 @@ def dedup_drop_bias_by_source(
         .alias("dropped"),
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    j = drops.join(d, "doc_id")
-    tot = j.agg(
-        (F.sum("dropped") * 1.0 / F.count(F.lit(1))).alias("overall")
-    )
-    share = F.sum("dropped") * 1.0 / F.count(F.lit(1))
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .groupBy("source", "overall")
+    g = (
+        drops.join(d, "doc_id")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("dropped").cast("long").alias("n_dropped"),
-            stable_round(share, 6).alias("drop_share"),
-            stable_round(
-                F.when(F.col("overall") > 0, share / F.col("overall")), 4
-            ).alias("drop_lift"),
         )
-        .drop("overall")
+    )
+    w = Window.partitionBy()
+    overall = (
+        F.sum("n_dropped").over(w) * 1.0 / F.sum("n_docs").over(w)
+    )
+    share = F.col("n_dropped") * 1.0 / F.col("n_docs")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_dropped",
+        stable_round(share, 6).alias("drop_share"),
+        stable_round(
+            F.when(overall > 0, share / overall), 4
+        ).alias("drop_lift"),
     )

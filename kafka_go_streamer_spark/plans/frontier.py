@@ -941,18 +941,31 @@ def dedup_weak_link_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rides the audited candidate path (capped-band equi-joins,
     exact-Jaccard verify) and the log-round graph contraction; the
     audit itself is two aggregates on the component frame (bounded by
-    the duplicate population, ≪ corpus). Oracle: recursive-CTE closure
-    + the same min-edge fold."""
+    the duplicate population, ≪ corpus). The verified pair frame is
+    PINNED once and shared by the contraction and the min-jaccard
+    fold (unshared, the whole LSH pipeline — shingles, signatures,
+    banding, verify join — executed twice); both aggregates only see
+    components of size >= 2, so the contraction runs
+    ``include_isolated=False`` — no full-corpus nodes scan, no
+    anti-join — and the bounded label frame is pinned for its two
+    consumers. Oracle: recursive-CTE closure + the same min-edge
+    fold."""
     from kafka_go_streamer_spark.operators.dedup import (
         connected_components,
         minhash_lsh_pairs,
     )
+    from kafka_go_streamer_spark.operators.iterate import pinned
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
-    comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")),
-        pairs.select("id_a", "id_b"),
+    pairs = pinned(
+        minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    )
+    comp = pinned(
+        connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs.select("id_a", "id_b"),
+            include_isolated=False,
+        )
     )
     sizes = (
         comp.groupBy("comp")

@@ -2296,10 +2296,16 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction); each round is a degree aggregate plus two
     semi-joins against the kept-node set — all equi-joins on the node
     key, re-using the edge partitioning, with the per-round edge frame
-    pinned so round r+1 never recomputes round r's lineage. Bounded
-    rounds here; production peels to fixpoint with the same
-    contraction discipline as connected_components."""
-    from kafka_go_streamer_spark.operators.iterate import pinned
+    pinned so round r+1 never recomputes round r's lineage; the pin's
+    materialization job answers the round's ``edges_kept`` count
+    itself (``pinned_counted``, same merge as the CC loop), so the
+    report never re-aggregates the edge frame. Bounded rounds here;
+    production peels to fixpoint with the same contraction discipline
+    as connected_components."""
+    from kafka_go_streamer_spark.operators.iterate import (
+        pinned,
+        pinned_counted,
+    )
     from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
 
     pairs = pinned(_Q["dedup_winnowing_pairs"](spark, sf_dir))
@@ -2320,18 +2326,17 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sides + the report count) re-derive a cheap subtree instead
         # of paying a localCheckpoint job per round
         kept = deg.filter(F.col("deg") >= KCORE_K).select("node")
-        e = pinned(
+        e, n_edges = pinned_counted(
             e.join(kept.withColumnRenamed("node", "a"), "a").join(
                 kept.withColumnRenamed("node", "b"), "b"
             ).select("a", "b")
         )
         reports.append(
             kept.agg(F.count(F.lit(1)).cast("long").alias("nodes_kept"))
-            .crossJoin(
-                e.agg(F.count(F.lit(1)).cast("long").alias("edges_kept"))
-            )
             .select(
-                F.lit(r).alias("round"), "nodes_kept", "edges_kept"
+                F.lit(r).alias("round"),
+                "nodes_kept",
+                F.lit(n_edges).cast("long").alias("edges_kept"),
             )
         )
     out = reports[0]

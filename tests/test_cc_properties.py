@@ -76,3 +76,28 @@ def test_cc_long_chain_converges(spark):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+@pytest.mark.slow  # one contraction run on a mixed graph
+def test_cc_exclude_isolated_equals_filtered_full(spark):
+    """``include_isolated=False`` must return exactly the full CC
+    output restricted to nodes that appear in an edge — i.e. every
+    component of size >= 2 and nothing else (the weak-link audit's
+    contract: it skips the corpus nodes scan + anti-join because its
+    aggregates filter singletons out anyway)."""
+    nodes = list(range(12))
+    edges = [(1, 2), (2, 3), (5, 6), (9, 9)]  # chain, pair, self-loop
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], "id int")
+    edges_df = spark.createDataFrame(edges, "id_a int, id_b int")
+    full = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    touched = {a for e in edges for a in e}
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            nodes_df, edges_df, include_isolated=False
+        ).collect()
+    }
+    assert got == {i: c for i, c in full.items() if i in touched}

@@ -206,6 +206,9 @@ ROTATE_FRONT = (
     #   shared pinned pair frame + isolated-free contraction:
     "dedup_drop_bias_by_source",
     "dedup_weak_link_audit",
+    #   ...and the histogram's label-frame aggregate form (no corpus
+    #   window, no countDistinct Expand, no isolated union):
+    "dedup_component_size_histogram",
 )
 
 

@@ -527,34 +527,69 @@ def dedup_component_size_histogram(
     is the hottest key downstream.
 
     Scale: everything above the histogram is the audited
-    contraction-loop CC (O(candidate pairs) per round); the histogram
-    collapses the assignment to ≤ max-cluster-size rows in one
-    map-side-combined pass, and the share column is window arithmetic
-    over that tiny frame."""
-    from kafka_go_streamer_spark.plans.registry import QUERIES as _Q
+    contraction-loop CC (O(candidate pairs) per round), run WITHOUT
+    the isolated-nodes union: component sizes come from one aggregate
+    over the touched-node label frame (every size >= 2 component,
+    exactly), the size-1 row is pure count arithmetic (corpus count
+    minus touched count — isolated docs are singleton components by
+    construction), and the share column is window arithmetic over the
+    ≤ max-cluster-size histogram frame. The former doc-grain spelling
+    paid a corpus-wide window (count per component) plus a
+    countDistinct Expand over the full assignment just to re-derive
+    counts this form reads off the label frame directly."""
+    from kafka_go_streamer_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
 
-    comp = _Q["dedup_connected_components"](spark, sf_dir)
-    return (
-        comp.groupBy(
-            F.col("component_size").cast("long").alias("component_size")
-        )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", min_intersection=2)
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+        include_isolated=False,
+    )
+    from kafka_go_streamer_spark.operators.iterate import pinned
+
+    # pinned: the tiny (≤ max-cluster-size rows) histogram frame feeds
+    # both the touched-count aggregate and the final union — unpinned,
+    # each consumer re-evaluates the whole contraction label chain
+    grp = pinned(
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("component_size"))
         .agg(
-            F.countDistinct("component_id")
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_touched = grp.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_touched")
+    )
+    singles = (
+        n_total.crossJoin(F.broadcast(n_touched))
+        .select(
+            F.lit(1).cast("long").alias("component_size"),
+            (F.col("n_corpus") - F.col("n_touched"))
             .cast("long")
             .alias("n_components"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.col("n_corpus") - F.col("n_touched"))
+            .cast("long")
+            .alias("n_docs"),
         )
-        .select(
-            "component_size",
-            "n_components",
-            "n_docs",
-            stable_round(
-                F.col("n_docs")
-                * 1.0
-                / F.sum("n_docs").over(Window.partitionBy()),
-                6,
-            ).alias("doc_share"),
-        )
+        .filter(F.col("n_docs") > 0)
+    )
+    return grp.unionByName(singles).select(
+        "component_size",
+        "n_components",
+        "n_docs",
+        stable_round(
+            F.col("n_docs")
+            * 1.0
+            / F.sum("n_docs").over(Window.partitionBy()),
+            6,
+        ).alias("doc_share"),
     )
 
 

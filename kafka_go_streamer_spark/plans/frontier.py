@@ -1398,6 +1398,14 @@ def pipeline_dedup_order_sensitivity(
     # DataFrames over checkpointed blocks).
     from concurrent.futures import ThreadPoolExecutor
 
+    # Both kept-sets via an ANTI-join of the gated universe against the
+    # BOUNDED dropped set (labels where comp != id, O(duplicates)):
+    # identical membership — isolated docs are in no edge so the former
+    # canonical filter kept them unconditionally — but the contraction
+    # skips the isolated-nodes union (a corpus-wide anti-join +
+    # distinct per pass), pass B loses its full-corpus nodes re-scan,
+    # and the kept-set joins' build sides shrink from O(survivors) to
+    # O(duplicates).
     def _pass_a():
         pairs_a = minhash_lsh_pairs(
             gated, "doc_id", "text", min_intersection=2, sigs=sigs_gated
@@ -1405,10 +1413,14 @@ def pipeline_dedup_order_sensitivity(
         comp_a = connected_components(
             gated.select(F.col("doc_id").alias("id")),
             pairs_a.select("id_a", "id_b"),
+            include_isolated=False,
+        )
+        dropped_a = comp_a.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("doc_id")
         )
         return (
-            comp_a.filter(F.col("id") == F.col("comp"))
-            .select(F.col("id").alias("doc_id"))
+            gated.select("doc_id")
+            .join(dropped_a, "doc_id", "left_anti")
             .withColumn("in_a", F.lit(1))
         )
 
@@ -1423,15 +1435,14 @@ def pipeline_dedup_order_sensitivity(
         comp_b = connected_components(
             docs.select(F.col("doc_id").alias("id")),
             pairs_b.select("id_a", "id_b"),
+            include_isolated=False,
+        )
+        dropped_b = comp_b.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("doc_id")
         )
         return (
-            comp_b.filter(F.col("id") == F.col("comp"))
-            .join(
-                gated.select(F.col("doc_id").alias("id")),
-                "id",
-                "left_semi",
-            )
-            .select(F.col("id").alias("doc_id"))
+            gated.select("doc_id")
+            .join(dropped_b, "doc_id", "left_anti")
             .withColumn("in_b", F.lit(1))
         )
 

@@ -756,14 +756,22 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv_docs.select("doc_id", "text"), "doc_id", "text",
         min_intersection=2,
     )
+    # keep-one-per-cluster as an ANTI-join against the bounded dropped
+    # set (labels where comp != id): identical to the former semi-join
+    # against the canonical ids — isolated docs are in no edge, so
+    # they are never dropped — but the join's small side shrinks from
+    # O(survivors) to O(duplicates), and the contraction skips the
+    # isolated-nodes union (a survivors-wide anti-join + distinct)
+    # whose rows this filter would keep unconditionally anyway
     comp = connected_components(
         surv_docs.select(F.col("doc_id").alias("id")),
         pairs.select("id_a", "id_b"),
+        include_isolated=False,
     )
-    canon_ids = comp.filter(F.col("comp") == F.col("id")).select(
+    dropped_ids = comp.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    canon = surv_docs.join(canon_ids, "doc_id", "left_semi")
+    canon = surv_docs.join(dropped_ids, "doc_id", "left_anti")
     # words bound in their own projection before the shingle transform
     # (see shingle_stream_of: the inline form re-splits per element)
     bench = (

@@ -45,7 +45,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_go_streamer_spark.plans import QUERIES
-from kafka_go_streamer_spark.session import get_spark, sf_dir, warm_python_workers
+from kafka_go_streamer_spark.session import (
+    cpu_count,
+    get_spark,
+    sf_dir,
+    warm_python_workers,
+)
 
 #: Fixed machine-state probe (never changes round over round): timed
 #: before/between/after the headline passes so a reader can tell
@@ -416,6 +421,7 @@ def main() -> None:
     target = sf_dir()
     m = re.search(r"sf([0-9.]+)", target)
     sf = float(m.group(1)) if m else -1.0
+    cpus = cpu_count()
     spark = get_spark("kgs-bench")
     # session warmup: JVM codegen paths + Python worker daemons, so the
     # per-query numbers measure the queries rather than session spin-up
@@ -491,6 +497,7 @@ def main() -> None:
         "unit": "sec",
         "n": len(timings),
         "sf": sf,
+        "cpus": cpus,
         "calibration_query": CALIBRATION_QUERY,
         "calibration_sec": calibration,
         "calibration_median_sec": calib_median,
@@ -546,9 +553,11 @@ def main() -> None:
             summary["normalized_total_sec"] = round(
                 total / max(probe_ratio, 1.0), 3
             )
-    # Keyed by sf (ADVICE r11): runs at different scale factors merge
-    # into one dict instead of clobbering each other, so both SFs'
-    # per-query detail persists across a closing sweep.
+    # Keyed by (sf, cpus) — VERDICT r16 #2: the driver's low-core
+    # scaling sweep at the same sf used to clobber the 32-core record
+    # (the pre-r17 layout keyed only by sf), losing the only complete
+    # per-query record of the round. Both dimensions now persist;
+    # legacy sf-only keys are left in place untouched.
     detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     detail: dict = {}
     try:
@@ -558,9 +567,10 @@ def main() -> None:
         detail = prior if "metric" not in prior else {str(prior["sf"]): prior}
     except (OSError, ValueError):
         pass
-    detail[str(sf)] = {**summary, "queries": timings}
+    key = f"{sf}|c{cpus}"
+    detail[key] = {**summary, "queries": timings}
     if ratios:
-        detail[str(sf)]["floor_ratios"] = ratios
+        detail[key]["floor_ratios"] = ratios
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(summary))

@@ -1361,22 +1361,20 @@ def sketch_kll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, i, q in cells
         ]
     )
-    ranks = li.crossJoin(F.broadcast(est_wide)).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.sum(
-                F.when(F.col("v") <= F.col(f"est_{k}_{i}"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"rank_{k}_{i}")
-            for k, i, _ in cells
-        ],
+    # rank certification FOLDED into the exact picker's sizes pass
+    # (VERDICT r16 #5, guide §1.2): all |grid|x|quantiles| conditional
+    # rank counts ride the picker's range-partitioned sizes aggregate,
+    # so the standalone certification scan of the fact is gone —
+    # 3 fact scans (sketch, certify, picker) → 2. l_extendedprice is
+    # non-nullable, so the picker's null-dropped n/rank counts equal
+    # the old full-frame conditional aggregate.
+    certified = exact_value_percentiles(
+        li, "v", KLL_QUANTILES, certify=est_wide
     )
-    # exact twin via the range-partitioned rank picker (scale-bounded,
-    # bit-identical to F.percentile — see sketches.exact_value_percentiles)
-    exact_row = exact_value_percentiles(li, "v", KLL_QUANTILES)
     return (
-        ranks.crossJoin(F.broadcast(exact_row))
+        certified.withColumnsRenamed(
+            {f"rank_est_{k}_{i}": f"rank_{k}_{i}" for k, i, _ in cells}
+        )
         .select(
             F.explode(
                 F.array(

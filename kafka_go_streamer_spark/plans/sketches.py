@@ -910,7 +910,10 @@ def sketch_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_value_percentiles(
-    df: DataFrame, col: str, qs: tuple[float, ...]
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...],
+    certify: DataFrame | None = None,
 ) -> DataFrame:
     """Exact ``percentile_cont`` values of ``df[col]`` as a ONE-row
     frame ``ps ARRAY<DOUBLE>`` in grid order — a drop-in for
@@ -939,6 +942,17 @@ def exact_value_percentiles(
     sf0.1 than pinning the range-partitioned frame (the checkpoint job
     costs more than re-running a column scan); for anything hotter
     than a scan, hand in a pinned frame.
+
+    ``certify`` (VERDICT r16 #5): an optional ONE-row frame of
+    estimate columns to rank-certify in the SAME sizes pass — the
+    returned row then also carries ``n`` (count of non-null values)
+    and one ``rank_<c> = count(v <= c)`` per certify column, so the
+    caller's standalone certification scan of the fact disappears
+    (guide §1.2: don't pay a pass for what an existing pass can
+    answer). Precondition: the certified ranks count only non-null
+    values of ``col`` — identical to a full-frame conditional count
+    whenever the column is non-nullable (true for every TPC-H fact
+    column this is used on).
     """
     from pyspark.sql import Window
 
@@ -1015,7 +1029,7 @@ def exact_value_percentiles(
             .alias("_est"),
         )
     )
-    return est.agg(
+    ps_row = est.agg(
         F.array(
             *[
                 F.first(
@@ -1026,6 +1040,30 @@ def exact_value_percentiles(
             ]
         ).alias("ps")
     )
+    if certify is None:
+        return ps_row
+    # Certification rides the picker's OWN range exchange: a third
+    # consumer of `parts` hangs directly off the exchange the sizes
+    # and rank passes already share at runtime (exchange reuse), so
+    # the old standalone certification SCAN of the fact disappears
+    # while the critical path is untouched — the conditional
+    # aggregate runs in parallel with the offsets/rank chain.
+    # NOTE: all consumers of `parts` must stay inside ONE action so
+    # they read the SAME materialized exchange; materializing any of
+    # them in its own job (pin) lets the others re-sample DIFFERENT
+    # range boundaries — offsets then disagree with the rank pass's
+    # partitions and the ranks are silently wrong (observed at
+    # sf0.001 during r17; the oracle caught it).
+    cert_row = parts.crossJoin(F.broadcast(certify)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("_v") <= F.col(c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"rank_{c}")
+            for c in certify.columns
+        ],
+    )
+    return ps_row.crossJoin(F.broadcast(cert_row))
 
 
 # ------------------------------------------------------------- KLL
@@ -1191,27 +1229,20 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(KLL_QUANTILES)
         ]
     )
-    # rank certification + exact twin: one conditional aggregate each
-    ranks = (
-        li.crossJoin(F.broadcast(est_wide))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            *[
-                F.sum(
-                    F.when(F.col("v") <= F.col(f"est_{i}"), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"rank_{i}")
-                for i in range(len(KLL_QUANTILES))
-            ],
-        )
+    # rank certification FOLDED into the exact picker's sizes pass
+    # (VERDICT r16 #5, guide §1.2): the picker's range-partitioned
+    # sizes aggregate answers count(v <= est_i) alongside the
+    # per-partition counts, so the standalone certification scan of
+    # the fact is gone — 3 fact scans (sketch, certify, picker) → 2.
+    # l_extendedprice is non-nullable, so the picker's null-dropped
+    # n/rank counts equal the old full-frame conditional aggregate.
+    certified = exact_value_percentiles(
+        li, "v", KLL_QUANTILES, certify=est_wide
     )
-    # exact twin via the range-partitioned rank picker (scale-bounded,
-    # bit-identical to F.percentile and ~2x faster — see
-    # exact_value_percentiles)
-    exact_row = exact_value_percentiles(li, "v", KLL_QUANTILES)
     return (
-        ranks.crossJoin(F.broadcast(exact_row))
+        certified.withColumnsRenamed(
+            {f"rank_est_{i}": f"rank_{i}" for i in range(len(KLL_QUANTILES))}
+        )
         .select(
             F.explode(
                 F.array(

@@ -483,6 +483,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     include_isolated: bool = True,
+    edges_prepinned: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation with path
     compression — the dedup-cluster step that turns near-duplicate PAIRS
@@ -491,13 +492,19 @@ def connected_components(
 
     ``nodes`` has one column ``id``; ``edges`` has ``id_a``/``id_b``.
 
-    ``include_isolated=False`` returns only nodes that appear in an
-    edge (every component of size >= 2, exactly): consumers that
-    filter singleton components out anyway (the weak-link audit) skip
-    the full-corpus ``nodes`` scan and the anti-join that the isolated
-    union costs — their answer is provably identical because isolated
-    nodes form singleton components with ``comp = id`` and doc ids are
-    unique.
+    ``include_isolated=False`` returns only nodes that appear in a
+    NON-self-loop edge (every component of size >= 2, exactly,
+    provided the loop converges within ``max_iter`` — contraction
+    converges in ~log n rounds, far under the default 25): consumers
+    that filter singleton components out anyway (the weak-link audit)
+    skip the full-corpus ``nodes`` scan and the anti-join that the
+    isolated union costs — their answer is provably identical because
+    isolated nodes form singleton components with ``comp = id`` and
+    doc ids are unique. Self-loop edges are dropped up front (ADVICE
+    r16): a node whose only edge is a self-loop counts as isolated,
+    identically on both paths — ``work`` never contained self-loops,
+    so with them in ``touched`` the False path would emit a size-1
+    group the size->=2 contract forbids.
 
     Scale shape: GRAPH CONTRACTION with a pointer-doubled merge
     mapping (the GraphX large-star/small-star family). Each round:
@@ -548,7 +555,16 @@ def connected_components(
     # with narrow ops (no further pins needed before the loop).
     # ``pinned`` (not raw localCheckpoint) also cuts the carried-stats
     # lineage — see operators/iterate.py for why that matters in a loop.
-    e0 = pinned(edges.select(F.col("id_a"), F.col("id_b")))
+    # ``edges_prepinned=True`` (ADVICE r16): callers that hand in a
+    # frame already materialized behind a checkpoint skip the second
+    # eager pin of the same O(pairs) data — the select+filter below
+    # stay narrow ops over the caller's pinned blocks, which the
+    # symmetric union's two branches re-read cheaply.
+    e0 = edges.select(F.col("id_a"), F.col("id_b")).filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    if not edges_prepinned:
+        e0 = pinned(e0)
     sym = e0.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(

@@ -2292,22 +2292,36 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("to_type"),
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    # consumed twice per iteration: never re-windows events (the filter
-    # is a narrow op over the checkpointed state^2-sized frame)
-    t = pairs.filter(F.col("to_type").isNotNull())
-    # states is referenced ~8x (zero-fill per half-step + final joins);
-    # pin the tiny distinct once so each reference is an RDD scan, not
-    # its own exchange+aggregate subtree (measured +0.4 s unpinned)
+    # states is referenced by the start vector and the self-loop
+    # completion; pin the tiny distinct once so each reference is an
+    # RDD scan, not its own exchange+aggregate subtree
     states = pinned(
         pairs.select(F.col("from_type").alias("event_type")).distinct()
+    )
+    # Zero-weight self-loops complete the edge list over the FULL state
+    # domain ONCE (r17, VERDICT r16 #7): with every state guaranteed to
+    # appear as both src and dst, each propagate's groupBy already
+    # covers the whole domain and the per-half-step zero-fill join
+    # over `states` (6 of them, each a broadcast exchange + hash join
+    # + coalesce projection) disappears from the plan. A 0-weight term
+    # adds exactly 0.0 to a sum of non-negative doubles, so the
+    # iterates are bit-identical. The real (to_type IS NOT NULL)
+    # filter stays a narrow op over the checkpointed frame.
+    t = pairs.filter(F.col("to_type").isNotNull()).unionByName(
+        states.select(
+            F.col("event_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            F.lit(0).cast("long").alias("n"),
+        )
     )
     h = states.select("event_type", F.lit(1.0).alias("hub"))
 
     def _propagate(vec: DataFrame, val: str, src: str, dst: str, out: str):
-        # new(dst) = sum over edges of n * vec(src), re-indexed on dst,
-        # zero-filled over the full state domain.  No normalization —
-        # see docstring; keeps each iterate a single-consumer frame.
-        contrib = (
+        # new(dst) = sum over edges of n * vec(src), re-indexed on dst.
+        # The self-loop completion makes the groupBy domain-complete —
+        # no zero-fill join. No normalization — see docstring; keeps
+        # each iterate a single-consumer frame.
+        return (
             t.join(
                 F.broadcast(
                     vec.select(
@@ -2318,13 +2332,8 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 src,
             )
             .groupBy(F.col(dst).alias("event_type"))
-            .agg(F.sum(F.col("n") * F.col("_v")).alias("v"))
+            .agg(F.sum(F.col("n") * F.col("_v")).alias(out))
         )
-        # contrib is state-cardinality: broadcast it so the zero-fill
-        # never plans a SortMergeJoin (exchange+sort) on a |types| frame
-        return states.join(
-            F.broadcast(contrib), "event_type", "left"
-        ).select("event_type", F.coalesce("v", F.lit(0.0)).alias(out))
 
     a = None
     for _ in range(HITS_ITERS):
@@ -2348,12 +2357,13 @@ def events_hits_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the only double-consumption in the plan: the two final iterates
     # feed their own L1 normalizer — a bounded 4x of a linear lineage,
-    # which Catalyst plans in one job (no barrier needed)
+    # which Catalyst plans in one job (no barrier needed). Both
+    # iterates are domain-complete (self-loop completion above), so
+    # the old re-join onto `states` added nothing — the two normalized
+    # frames join each other directly.
     return (
-        states.join(F.broadcast(_normed(h, "hub", "hub")), "event_type")
-        .join(
-            F.broadcast(_normed(a, "auth", "authority")), "event_type"
-        )
+        _normed(h, "hub", "hub")
+        .join(F.broadcast(_normed(a, "auth", "authority")), "event_type")
         .select("event_type", "hub", "authority")
         .orderBy("event_type")
     )

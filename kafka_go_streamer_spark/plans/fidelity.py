@@ -2086,28 +2086,47 @@ def dedup_shingle_selectivity(
             F.when(n >= k, make).otherwise(F.array(F.concat_ws(" ", w)))
         )
 
-    # words bound ONCE per branch in its own projection: inlining the
-    # split into the transform re-evaluates it per element_at (see
+    # words bound ONCE in its own projection: inlining the split into
+    # the transform re-evaluates it per element_at (see
     # operators/dedup.py shingle_stream_of; measured 3x on the explode).
-    # NOT pinned: checkpointing the word arrays measured ~1.5 s SLOWER
-    # than letting each k-branch re-run the scan + split (the arrays
-    # are text-sized; serializing them costs more than 2 extra pruned
-    # scans).
+    # ALL THREE k-grids build off that one binding in a single
+    # projection (r17, guide §1.2): the old per-k UNION branches each
+    # re-ran the scan + regex split — 3 text scans + 3 splits for one
+    # corpus. Each k's shingles hash to 60-bit keys in-row, tag
+    # themselves with k via a struct, and ONE explode of the
+    # concatenated arrays replaces the union — 1 scan, 1 split.
+    # (Checkpointing the word arrays instead measured ~1.5 s SLOWER
+    # in r16: text-sized arrays serialize worse than re-splitting —
+    # fusing in-row avoids both the pin and the re-splits.)
     dw = d.select("doc_id", words(F.col("text")).alias("_w"))
-    ex = None
-    for k in SHINGLE_K_GRID:
-        part = dw.select(
-            F.lit(k).alias("shingle_k"),
-            "doc_id",
-            # hash each shingle to a 60-bit key BEFORE anything
-            # shuffles: the audit only counts, so the string never
-            # needs to survive the explode (same md5-slice family on
-            # both engines; measured 13.5 s -> ~4 s at sf0.1)
-            F.explode(
-                F.transform(shingle_k_of(F.col("_w"), k), _md5long)
-            ).alias("sh"),
+    harr = dw.select(
+        "doc_id",
+        *[
+            F.transform(shingle_k_of(F.col("_w"), k), _md5long).alias(
+                f"_h{k}"
+            )
+            for k in SHINGLE_K_GRID
+        ],
+    )
+    def _tag(k: int):
+        # NB: a single-arg lambda — a two-arg lambda (e.g. closing over
+        # k via a default arg) is read by F.transform as (element,
+        # index) and the tag silently becomes the array INDEX.
+        return lambda x: F.struct(
+            F.lit(k).alias("shingle_k"), x.alias("sh")
         )
-        ex = part if ex is None else ex.unionByName(part)
+
+    ex = harr.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                *[
+                    F.transform(F.col(f"_h{k}"), _tag(k))
+                    for k in SHINGLE_K_GRID
+                ]
+            )
+        ).alias("_s"),
+    ).select(F.col("_s.shingle_k").alias("shingle_k"), "doc_id", F.col("_s.sh").alias("sh"))
     from kafka_go_streamer_spark.operators.iterate import pinned
 
     ex = pinned(ex)

@@ -965,6 +965,9 @@ def dedup_weak_link_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select(F.col("doc_id").alias("id")),
             pairs.select("id_a", "id_b"),
             include_isolated=False,
+            # pairs is pinned two lines up: skip the contraction's own
+            # eager re-pin of the same O(pairs) frame (ADVICE r16)
+            edges_prepinned=True,
         )
     )
     sizes = (

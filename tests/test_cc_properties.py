@@ -81,10 +81,14 @@ def test_cc_long_chain_converges(spark):
 @pytest.mark.slow  # one contraction run on a mixed graph
 def test_cc_exclude_isolated_equals_filtered_full(spark):
     """``include_isolated=False`` must return exactly the full CC
-    output restricted to nodes that appear in an edge — i.e. every
-    component of size >= 2 and nothing else (the weak-link audit's
-    contract: it skips the corpus nodes scan + anti-join because its
-    aggregates filter singletons out anyway)."""
+    output restricted to nodes that appear in a NON-self-loop edge —
+    i.e. every component of size >= 2 and nothing else (the weak-link
+    audit's contract: it skips the corpus nodes scan + anti-join
+    because its aggregates filter singletons out anyway). A node whose
+    only edge is a self-loop is isolated (ADVICE r16): it must appear
+    in the full output with comp = id and NOT appear in the
+    size->=2-only output — the old behavior emitted it as a size-1
+    group, breaking the contract the histogram query relies on."""
     nodes = list(range(12))
     edges = [(1, 2), (2, 3), (5, 6), (9, 9)]  # chain, pair, self-loop
     nodes_df = spark.createDataFrame([(i,) for i in nodes], "id int")
@@ -93,7 +97,9 @@ def test_cc_exclude_isolated_equals_filtered_full(spark):
         r["id"]: r["comp"]
         for r in connected_components(nodes_df, edges_df).collect()
     }
-    touched = {a for e in edges for a in e}
+    # full output unaffected by the self-loop drop: 9 is isolated
+    assert full == {i: i for i in nodes} | {2: 1, 3: 1, 6: 5}
+    touched = {a for e in edges if e[0] != e[1] for a in e}
     got = {
         r["id"]: r["comp"]
         for r in connected_components(
@@ -101,3 +107,4 @@ def test_cc_exclude_isolated_equals_filtered_full(spark):
         ).collect()
     }
     assert got == {i: c for i, c in full.items() if i in touched}
+    assert 9 not in got  # self-loop-only node: no size-1 group emitted

@@ -91,7 +91,7 @@ _SPARK_CLASS = {
 
 
 @pytest.mark.slow  # executes all 280+ DuckDB oracles (~2 min)
-def test_every_oracle_integer_columns_cast(spark, sf_dir):
+def test_every_oracle_integer_columns_cast(spark, sf_dir, built_query, oracle_df):
     """Registry-wide dtype contract: execute EVERY oracle (DuckDB only
     — cheap) and require each output column's dtype class to match the
     class the Spark plan's SCHEMA promises — in particular no float64
@@ -103,28 +103,26 @@ def test_every_oracle_integer_columns_cast(spark, sf_dir):
     drift."""
     from tests.oracle_harness import _dtype_class
 
-    spark_schemas = {
-        name: QUERIES[name](spark, sf_dir).schema for name in ORACLES
-    }
-    con = duck_connection(sf_dir)
+    # construction + oracle execution are session-memoized (conftest):
+    # this test pays them once and the parity sweep reuses both
     bad: list[str] = []
-    try:
-        for name, sql in sorted(ORACLES.items()):
-            ddf = con.execute(sql).df()
-            fields = {f.name: f.dataType.simpleString() for f in spark_schemas[name]}
-            for c in ddf.columns:
-                if c not in fields or fields[c] not in _SPARK_CLASS:
-                    continue  # column-name drift is the parity test's job
-                if ddf[c].isna().all():
-                    continue  # class of an all-null column is unknowable
-                ka, kb = _SPARK_CLASS[fields[c]], _dtype_class(ddf[c])
-                if ka == "int" and kb == "float" and ddf[c].isna().any():
-                    # NULLs promote int64 → float64 in pandas on BOTH
-                    # sides (rollup super-aggregates, first-row lag), so
-                    # the engines still agree — not the HUGEINT signature
-                    continue
-                if ka != kb:
-                    bad.append(f"{name}.{c}: spark={ka} duck={kb}")
-    finally:
-        con.close()
+    for name in sorted(ORACLES):
+        fields = {
+            f.name: f.dataType.simpleString()
+            for f in built_query(name).schema
+        }
+        ddf = oracle_df(name)
+        for c in ddf.columns:
+            if c not in fields or fields[c] not in _SPARK_CLASS:
+                continue  # column-name drift is the parity test's job
+            if ddf[c].isna().all():
+                continue  # class of an all-null column is unknowable
+            ka, kb = _SPARK_CLASS[fields[c]], _dtype_class(ddf[c])
+            if ka == "int" and kb == "float" and ddf[c].isna().any():
+                # NULLs promote int64 → float64 in pandas on BOTH
+                # sides (rollup super-aggregates, first-row lag), so
+                # the engines still agree — not the HUGEINT signature
+                continue
+            if ka != kb:
+                bad.append(f"{name}.{c}: spark={ka} duck={kb}")
     assert not bad, "; ".join(bad)

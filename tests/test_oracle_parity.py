@@ -13,19 +13,15 @@ from tests.oracle_harness import compare, duck_connection
 pytestmark = pytest.mark.slow
 
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duck_connection(sf_dir)
-    yield con
-    con.close()
-
-
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, sf_dir, duck, name):
-    sdf = QUERIES[name](spark, sf_dir).toPandas()
+def test_query_matches_oracle(spark, sf_dir, built_query, oracle_df, name):
+    # construction and oracle results are session-memoized (conftest):
+    # the dtype-contract test already built every query and ran every
+    # oracle, so this sweep pays only the Spark EXECUTION per query
+    sdf = built_query(name).toPandas()
     if name not in ORACLES:
         assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
         return
-    ddf = duck.execute(ORACLES[name]).df()
+    ddf = oracle_df(name)
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: " + "; ".join(problems[:5])

@@ -65,17 +65,33 @@ def _arrival_batches(spark, cols, order, n_batches=N_BATCHES):
 def _promote_run(spark, tmp_path, batches, build_stream, cols):
     """Write each batch to its own parquet, promote one file at a time
     into the feed dir with processAllAvailable between promotions —
-    fully pinned batch boundaries."""
+    fully pinned batch boundaries.
+
+    Batch files are written directly with pyarrow (timestamps kept
+    UTC-adjusted so they read back as TIMESTAMP_LTZ, exactly like the
+    old per-batch ``spark.createDataFrame(...).write.parquet`` jobs —
+    which cost a ~1-2 s Spark write job per batch, ~half this suite's
+    wall)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     stage = tmp_path / "stage"
     feed = tmp_path / "feed"
     stage.mkdir()
     feed.mkdir()
     paths = []
     for k, bk in enumerate(batches):
-        d = stage / f"b{k:03d}"
-        spark.createDataFrame(bk[cols]).coalesce(1).write.parquet(str(d))
-        paths.append(next(d.glob("*.parquet")))
-    schema = spark.read.parquet(str(stage / "b000")).schema
+        p = stage / f"b{k:03d}.parquet"
+        tbl = pa.Table.from_pandas(bk[cols], preserve_index=False)
+        fields = [
+            pa.field(f.name, pa.timestamp("us", tz="UTC"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in tbl.schema
+        ]
+        pq.write_table(tbl.cast(pa.schema(fields)), p)
+        paths.append(p)
+    schema = spark.read.parquet(str(stage / "b000.parquet")).schema
     q = build_stream(
         spark.readStream.schema(schema).parquet(str(feed))
     )

@@ -29,16 +29,37 @@ so the finest trigger stays at a few hundred micro-batches; batch
 files are written directly with pyarrow (one file per occupied slot)
 because the promote-one-file pattern is the pinned-boundary harness,
 not the thing under test.
+
+HARNESS SEMANTICS NOTE (r17): the promote-one-file +
+``processAllAvailable`` loop is LOAD-BEARING, not just a convenience.
+The engine filters late rows with the PREVIOUS micro-batch's
+watermark; the no-data micro-batch that each ``processAllAvailable``
+runs after its data batch commits the advanced watermark, so the next
+data batch filters with a one-batch-lag watermark — the rule the
+registered matrix simulates. Queueing every slot file up front behind
+``maxFilesPerTrigger=1`` runs the data batches back-to-back with no
+no-data batches between, the filter watermark lags one EXTRA batch,
+and the engine provably drops fewer rows (measured: 10 vs 12 at the
+60 s trigger). What r17 changed instead, keeping the per-file loop:
+the three triggers replay CONCURRENTLY from a thread pool (each is an
+independent query on its own feed/checkpoint; wall time collapses to
+the finest trigger's), and per-batch drop counters fold through ONE
+StreamingQueryListener keyed by query name instead of re-parsing the
+~100-entry ``recentProgress`` ring buffer through py4j after every
+promotion. 914 s -> ~3 min on the same box, identical assertions.
 """
 
 from __future__ import annotations
 
 import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from kafka_go_streamer_spark.plans import QUERIES
 from kafka_go_streamer_spark.plans import lateness as L
@@ -94,10 +115,37 @@ def _predict(batches, delay_s, window_s):
     return n_windows, n_rows
 
 
-def _stream_drops(spark, tmp_path, batches, trigger_s):
+class _DropFold(StreamingQueryListener):
+    """Folds per-batch drop counters for every query it sees, keyed by
+    query name: the progress events arrive on the async listener bus,
+    so each promotion costs zero py4j traffic (the old harness
+    re-parsed the whole ``recentProgress`` ring buffer per file)."""
+
+    def __init__(self):
+        self.drops: dict[str, dict[int, int]] = {}
+        self.terminated: set[str] = set()
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        self.drops.setdefault(p.name, {})[p.batchId] = sum(
+            o.numRowsDroppedByWatermark for o in p.stateOperators
+        )
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        self.terminated.add(str(event.id))
+
+
+def _stream_drops(spark, tmp_path, fold, batches, trigger_s):
     """Replay the slot batches through the real windowed agg, one
     promoted file + processAllAvailable per occupied slot, and return
-    the engine's late-drop counter."""
+    the engine's late-drop counter (folded by the shared listener)."""
+    name = f"trig_{trigger_s}"
     stage = tmp_path / f"t{trigger_s}"
     feed = stage / "feed"
     feed.mkdir(parents=True)
@@ -123,32 +171,30 @@ def _stream_drops(spark, tmp_path, batches, trigger_s):
     )
     q = (
         agg.writeStream.format("memory")
-        .queryName(f"trig_{trigger_s}")
+        .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", str(stage / "ckpt"))
         .start()
     )
-    # recentProgress retains only the last ~100 updates and the finest
-    # trigger produces a few hundred batches: fold drops per batchId as
-    # the run goes instead of reading the buffer once at the end
-    drops_by_batch: dict[int, int] = {}
-
-    def _fold() -> None:
-        for pr in q.recentProgress:
-            drops_by_batch[pr["batchId"]] = sum(
-                o.get("numRowsDroppedByWatermark", 0)
-                for o in pr.get("stateOperators", [])
-            )
-
     try:
         for p in paths:
             shutil.copy(p, feed / p.name)
             q.processAllAvailable()
-            _fold()
     finally:
         q.stop()
-    _fold()
-    return sum(drops_by_batch.values())
+    # the listener bus is async but FIFO: the QueryTerminated event
+    # (emitted by the stop() above) arrives AFTER every progress event
+    # of this query, so waiting for it guarantees the fold is complete
+    # — counting folded ids instead is racy, because interleaved
+    # no-data batches inflate the id range past len(paths) while the
+    # final data batch's event can still be in flight (observed: one
+    # drop undercounted at the 600 s trigger).
+    deadline = time.time() + 60
+    qid = str(q.id)
+    while qid not in fold.terminated and time.time() < deadline:
+        time.sleep(0.05)
+    assert qid in fold.terminated, (name, "listener never drained")
+    return sum(fold.drops.get(name, {}).values())
 
 
 @pytest.mark.timeout(600)
@@ -160,22 +206,40 @@ def test_streaming_trigger_matrix_twin(spark, tmp_path):
             spark, SF
         ).collect()
     }
-    drops = {}
+    fold = _DropFold()
+    spark.streams.addListener(fold)
+    try:
+        # the three replays are independent queries on independent
+        # feeds/checkpoints: run them concurrently so the wall time is
+        # the finest trigger's replay, not the sum of all three
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = {
+                t: pool.submit(
+                    _stream_drops,
+                    spark,
+                    tmp_path,
+                    fold,
+                    _slot_batches(pdf, t),
+                    t,
+                )
+                for t in L.TRIGGER_GRID_S
+            }
+            drops = {t: f.result() for t, f in futs.items()}
+    finally:
+        spark.streams.removeListener(fold)
     for t in L.TRIGGER_GRID_S:
         batches = _slot_batches(pdf, t)
         pred_windows, pred_rows = _predict(batches, DELAY_S, WINDOW_S)
-        engine = _stream_drops(spark, tmp_path, batches, t)
-        assert engine == pred_windows, (t, engine, pred_windows)
+        assert drops[t] == pred_windows, (t, drops[t], pred_windows)
         # the prefix faces the same watermark sequence as the full
         # fixture's first arrivals, so every prefix-late ROW is also
         # late in the registered matrix's full-fixture count
-        assert engine <= pred_rows <= matrix[(t, DELAY_S)], (
+        assert drops[t] <= pred_rows <= matrix[(t, DELAY_S)], (
             t,
-            engine,
+            drops[t],
             pred_rows,
             matrix,
         )
-        drops[t] = engine
     # the matrix's headline claim, reproduced by the real engine:
     # coarser triggers drop less (slot boundaries nest 60|600|3600)
     t0, t1, t2 = L.TRIGGER_GRID_S

@@ -483,7 +483,6 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     include_isolated: bool = True,
-    edges_prepinned: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation with path
     compression — the dedup-cluster step that turns near-duplicate PAIRS
@@ -555,16 +554,17 @@ def connected_components(
     # with narrow ops (no further pins needed before the loop).
     # ``pinned`` (not raw localCheckpoint) also cuts the carried-stats
     # lineage — see operators/iterate.py for why that matters in a loop.
-    # ``edges_prepinned=True`` (ADVICE r16): callers that hand in a
-    # frame already materialized behind a checkpoint skip the second
-    # eager pin of the same O(pairs) data — the select+filter below
-    # stay narrow ops over the caller's pinned blocks, which the
-    # symmetric union's two branches re-read cheaply.
-    e0 = edges.select(F.col("id_a"), F.col("id_b")).filter(
-        F.col("id_a") != F.col("id_b")
+    # The pin stays even when the caller's edge frame is itself pinned
+    # (ADVICE r16 suggested skipping it): a caller's checkpoint carries
+    # its full row (jaccard, shingle sets), so the loop's repeated
+    # reads of an UNPINNED 2-column projection deserialize the fat
+    # blocks every time — measured +0.4-0.8 s at sf0.1 on the
+    # weak-link audit. The narrow (id_a, id_b) re-pin pays for itself.
+    e0 = pinned(
+        edges.select(F.col("id_a"), F.col("id_b")).filter(
+            F.col("id_a") != F.col("id_b")
+        )
     )
-    if not edges_prepinned:
-        e0 = pinned(e0)
     sym = e0.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(

@@ -965,9 +965,12 @@ def dedup_weak_link_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select(F.col("doc_id").alias("id")),
             pairs.select("id_a", "id_b"),
             include_isolated=False,
-            # pairs is pinned two lines up: skip the contraction's own
-            # eager re-pin of the same O(pairs) frame (ADVICE r16)
-            edges_prepinned=True,
+            # ADVICE r16 suggested skipping the contraction's own pin
+            # (pairs is already pinned two lines up) — measured SLOWER
+            # (+0.4-0.8 s at sf0.1, both A/B rounds): the pinned pairs
+            # blocks carry jaccard + shingle columns, so every loop
+            # re-read of the unpinned 2-column projection deserializes
+            # the fat rows; the narrow e0 re-pin pays for itself.
         )
     )
     sizes = (

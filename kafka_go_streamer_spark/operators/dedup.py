@@ -145,7 +145,9 @@ def minhash_sig_sql(sh_expr: str, k: int) -> str:
     )
 
 
-def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_minhash(
+    df: DataFrame, text_col: str = "text", words_col: str | None = None
+) -> DataFrame:
     """Shingle set + NUM_HASHES minhash signature columns, one row per
     input row (keyed by every non-text column of ``df``).
 
@@ -167,13 +169,24 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     intersections/sizes, which are hash-invariant, and the 8-byte
     longs shuffle, checkpoint, and array_intersect far cheaper than
     ~20-char strings (measured −16% on the whole LSH pair path at
-    sf0.1). Use :func:`shingles` where the string VALUES matter."""
+    sf0.1). Use :func:`shingles` where the string VALUES matter.
+
+    ``words_col``: hand in a frame that ALREADY carries the bound
+    words array under this name (e.g. a pinned panel tokenization
+    shared with a SimHash build — r17, VERDICT r16 #6) and the
+    fan-out + regex split here are skipped; every other column is a
+    key."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    keys = [c for c in df.columns if c != text_col]
-    ex = fan_out(df).select(
-        *keys, words(F.col(text_col)).alias("_w")
-    ).select(
+    if words_col is not None:
+        keys = [c for c in df.columns if c != words_col]
+        bound = df.withColumnRenamed(words_col, "_w")
+    else:
+        keys = [c for c in df.columns if c != text_col]
+        bound = fan_out(df).select(
+            *keys, words(F.col(text_col)).alias("_w")
+        )
+    ex = bound.select(
         *keys, F.explode(shingle_stream_of(F.col("_w"))).alias("_sh")
     )
     hashed = ex.withColumn("_h", F.md5(F.col("_sh")))
@@ -334,7 +347,10 @@ _LONG_MIN = -9223372036854775807 - 1
 
 
 def simhash64_table(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    words_col: str | None = None,
 ) -> DataFrame:
     """64-bit SimHash per row, same relational shape as
     :func:`simhash_table` (explode words -> hash each word ONCE -> one
@@ -342,13 +358,23 @@ def simhash64_table(
     independent 32-bit halves (hex chars [1,8] and [9,16]) so no single
     BIGINT shift ever touches bit 63 before the final sign-bit
     assembly, which both engines build from the min-BIGINT literal
-    (``1 << 63`` overflows DuckDB's left shift)."""
+    (``1 << 63`` overflows DuckDB's left shift).
+
+    ``words_col``: as in :func:`with_minhash` — a pre-bound words
+    array skips the fan-out + regex split (shared panel tokenization,
+    r17)."""
     from kafka_go_streamer_spark.sources.tables import fan_out
 
-    exploded = fan_out(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
-    )
+    if words_col is not None:
+        exploded = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col(words_col))).alias("w"),
+        )
+    else:
+        exploded = fan_out(df).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(words(F.col(text_col)))).alias("w"),
+        )
     hashed = exploded.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("ha"),

@@ -1289,7 +1289,22 @@ def dedup_lsh_scurve_empirical(
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < DOC_PANEL_MAX_ID
     )
-    sigs = pinned(with_minhash(d.select("doc_id", "text")))
+    # ONE panel tokenization feeds BOTH hash families (r17, VERDICT
+    # r16 #6): the MinHash shingles and the SimHash word set use
+    # different hash inputs (that independence is load-bearing — see
+    # the selection-bias note below), but the text scan + regex split
+    # they share is not. The panel is bounded (DOC_PANEL_MAX_ID), so
+    # pinning the word arrays is cheap; before this the panel text was
+    # scanned and split twice, once per signature build.
+    from kafka_go_streamer_spark.functions.text import words as _words
+    from kafka_go_streamer_spark.sources.tables import fan_out
+
+    wd = pinned(
+        fan_out(d.select("doc_id", "text")).select(
+            "doc_id", _words(F.col("text")).alias("_w")
+        )
+    )
+    sigs = pinned(with_minhash(wd, words_col="_w"))
     bounds = d.agg(
         F.count(F.lit(1)).alias("nn"), F.min("doc_id").alias("lo")
     )
@@ -1318,7 +1333,7 @@ def dedup_lsh_scurve_empirical(
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    s64 = simhash64_table(d, "doc_id", "text")
+    s64 = simhash64_table(wd, "doc_id", words_col="_w")
     bands = s64.select(
         "doc_id",
         F.explode(

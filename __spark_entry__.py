@@ -131,84 +131,42 @@ DEMOTED = (
 #   events_cohort_half_life: retention ratio > 0 guard before the log
 #     on both engines (ADVICE r9 — rounded-to-zero retention ratio)
 ROTATE_FRONT = (
-    # r16 code-touched queries (tests/test_rotation_staleness.py; the
-    # r15 refronts all landed green in CORRECTNESS_r15 with code
-    # unchanged since, so they rotate out).
-    # Mechanical (span changed since newest green round):
-    #   pipeline_dedup_order_sensitivity — corpus-scaled broadcast
-    #     hints on kept_a/kept_b removed (VERDICT r15 task 1)
-    #   embedding_effective_dimensionality — zero-denominator guards
-    #     on participation_ratio/top1_var_share, both engines
-    #   multimodal_audio_meta / multimodal_resize — oracles now
-    #     interpolate the shared synthesis SQL builders
-    #   storage_zorder_skipping_audit — module shared with the new
-    #     layout-chooser constants
-    "pipeline_dedup_order_sensitivity",
-    "embedding_effective_dimensionality",
-    "multimodal_audio_meta",
-    "multimodal_resize",
-    "storage_zorder_skipping_audit",
-    # Helper-drift refronts the span fingerprint cannot see:
-    #   blob-synthesis arithmetic extracted to one helper
-    #   (multimodal.image_params_for + *_sql builders) consumed by
-    #   every synthesis site and the decode-family oracles:
-    "multimodal_decode_meta",
-    "multimodal_binary_stats",
-    "multimodal_format_mix",
-    "multimodal_aspect_ratio_buckets",
-    "multimodal_decode_quarantine",
-    "multimodal_phash_hamming_hist",
-    "multimodal_phash_bands",
-    "multimodal_dedup_blobs",
-    #   fold_packed now yields per-group frames (ADVICE r15 memory
-    #   fix) — same values, new Arrow batch shape:
-    "pack_sequences_greedy",
-    "pack_fill_rate_stats",
-    "pack_cap_sweep",
-    "pack_shard_span_sensitivity",
-    "pipeline_pretraining_full",
-    #   fidelity.py module guard rewritten -O-proof (width grid):
-    "dedup_minhash_width_curve",
-    #   operators/ivf_store.py drifted since this query's only green
-    #   round (r7: in-plan probe added d088e6b, serve-side dedup,
-    #   this round's pool param) — the shared-helper blind spot
-    #   VERDICT r16 task 4 calls out:
-    "ann_ivf_store_probe",
-    # r16 OPTIMIZATION-touched spans (plans rewritten for performance,
-    # outputs proven identical vs the DuckDB oracle; re-front so the
-    # next driver window re-verifies each rewritten plan):
-    "text_decontaminate",
-    "ann_nprobe_recall_curve",
-    "ann_recall_at_k_grid",
-    "dedup_substring_spans",
-    "dedup_lsh_recall_eval",
-    "sketch_kll_error_curve",
-    "ann_nlist_tradeoff",
-    "dedup_shingle_selectivity",
-    "ann_ivf_operating_surface",
-    "events_lateness_trigger_matrix",
-    "ann_recall_cost_frontier",
-    "sketch_cms_error_profile",
-    "sketch_quantile_bands",
+    # r17 OPTIMIZATION-touched spans (plans rewritten for performance,
+    # outputs proven identical vs the DuckDB oracle at sf0.001+sf0.01;
+    # re-front so the next driver window re-verifies each rewritten
+    # plan):
+    #   rank certification folded onto the exact picker's range
+    #   exchange (shared exact_value_percentiles helper — quantile_bands
+    #   consumes the same helper even though its own span is unchanged):
     "sketch_kll_quantiles",
-    "graph_kcore_decomposition",
-    #   second r16 wave (session 2): Expand/self-join/extra-scan cuts
-    #   in the lateness audits + HITS, the BM25 corpus-aggregate
-    #   removal, and the one-pass nested-span packing fold:
+    "sketch_kll_error_curve",
+    "sketch_quantile_bands",
+    #   three k-grid branches fused into one scan/split/explode:
+    "dedup_shingle_selectivity",
+    #   zero-weight self-loop edge completion, zero-fill joins removed:
     "events_hits_hubs",
-    "events_lateness_watermark_grid",
-    "events_watermark_dedup_audit",
-    "retrieval_hybrid_rrf",
-    "text_bm25_topk",
-    #   third r16 wave (session 3): single-consumption CC output in the
-    #   drop-bias rollup (window total over the source aggregate
-    #   replaces the broadcast-scalar bind), and the weak-link audit's
-    #   shared pinned pair frame + isolated-free contraction:
-    "dedup_drop_bias_by_source",
+    #   shared panel tokenization between the MinHash and SimHash
+    #   builds (new words_col variants of with_minhash/simhash64_table):
+    "dedup_lsh_scurve_empirical",
+    # connected_components now drops self-loop edges up front (ADVICE
+    # r16; provably output-neutral because every pair generator emits
+    # id_a < id_b, but the operator span changed — refront every CC
+    # consumer):
+    "dedup_connected_components",
     "dedup_weak_link_audit",
-    #   ...and the histogram's label-frame aggregate form (no corpus
-    #   window, no countDistinct Expand, no isolated union):
     "dedup_component_size_histogram",
+    "dedup_drop_bias_by_source",
+    "pipeline_pretraining_full",
+    "pipeline_dedup_order_sensitivity",
+    "dedup_cluster_manifest",
+    "dedup_cross_source_pairs",
+    # VERDICT r16 #8: shared-machinery rewrites from r16 whose names
+    # never got a direct driver row (their newest green verdicts
+    # predate the r16 operators/dedup.py + functions/text.py rewrites):
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_strict",
+    "dedup_winnow_containment",
+    "text_winnowing_fingerprints",
 )
 
 

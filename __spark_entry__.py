@@ -167,6 +167,19 @@ ROTATE_FRONT = (
     "dedup_minhash_lsh_strict",
     "dedup_winnow_containment",
     "text_winnowing_fingerprints",
+    # r17 scaling fixes (the sf1.0 c8-vs-c32 sweep): per-byte text
+    # stages ran SERIAL in the fixture's one scan task — row-aware
+    # cpu_fan added (sources/tables.py); outputs oracle-identical:
+    "text_quality",
+    "text_bpe_pair_merges",
+    "text_quality_classifier",
+    "text_feature_hashing",
+    "text_rake_keywords",
+    "text_char_entropy",
+    "text_pmi_cooccurrence",
+    "text_tfidf_topterms",
+    "quality_calibration_bins",
+    "quality_ece_summary",
 )
 
 

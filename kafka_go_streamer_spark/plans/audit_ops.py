@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.plans.registry import query
-from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.sources.tables import cpu_fan, load_table
 
 #: k-anonymity thresholds reported by the privacy profile.
 K_ANON_GRID = (2, 5, 10)
@@ -178,7 +178,12 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reliability table is one map-side-combined aggregate on a
     10-value key. The score is rounded at 4dp on both engines BEFORE
     the decile floor, so bin edges are deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     scored = scored_gold(d.select("text"))
     return scored.groupBy(
         F.least(F.floor(F.col("score") * 10), F.lit(9))
@@ -945,7 +950,12 @@ def quality_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no sort of the corpus."""
     from kafka_go_streamer_spark.operators.iterate import pinned
 
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     # pinned: the scored frame has three consumers (bins, Brier,
     # distinct-score AUC frame) — unpinned, the per-byte feature
     # projection re-plans under each

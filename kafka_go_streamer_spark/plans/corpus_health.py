@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.functions.rounding import stable_round
 from kafka_go_streamer_spark.plans.registry import query
-from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.sources.tables import fan_out, load_table
 
 #: Dedup-drop thresholds swept over the verified candidate pairs.
 SWEEP_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)

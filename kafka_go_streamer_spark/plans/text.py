@@ -12,7 +12,7 @@ from kafka_go_streamer_spark.functions.rounding import stable_round
 
 from kafka_go_streamer_spark.functions import text as X
 from kafka_go_streamer_spark.plans.registry import query
-from kafka_go_streamer_spark.sources.tables import load_table
+from kafka_go_streamer_spark.sources.tables import cpu_fan, load_table
 
 #: Training-prep gate thresholds — the ONE definition shared by
 #: ``prep_survivors`` / ``pipeline_training_prep`` (here),
@@ -69,7 +69,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The words array and both ratios are bound once via intermediate
     columns so the split/regexp work is done once per row, not once per
     output expression."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     bound = d.select(
         "doc_id",
         X.word_count(F.col("text")).alias("n_words"),
@@ -1038,7 +1043,12 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words don't have. The ×7.4 BENCH_SCALEUP ratio is linear
     per-byte generation with the small-SF side overhead-dominated —
     kept as-is deliberately."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     pairs = (
         d.select(F.explode(X.words(F.col("text"))).alias("w"))
         .filter(F.length("w") >= 2)
@@ -1107,7 +1117,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. The keep decision thresholds the ROUNDED score so both
     engines agree at the boundary; the weights are literals, so a
     model update is a constant swap with an unchanged plan."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     wc = X.word_count(F.col("text"))
     f = d.select(
         "doc_id",
@@ -1252,7 +1267,12 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass — the defining advantage of hashing over a fitted
     vocabulary encoder at 100 TB (the collision cost is the textbook
     trade, bounded by the bucket count)."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     tok = d.select(
         "doc_id", F.explode(X.words(F.col("text"))).alias("word")
     )
@@ -1537,7 +1557,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the DISTINCT phrase set — boilerplate-heavy corpora collapse
     hard here — against the broadcast-size word-stats frame. The
     top-k is a TakeOrdered, never a global sort materialization."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     s = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     for _ in range(2):
         for sw in RAKE_STOPWORDS:

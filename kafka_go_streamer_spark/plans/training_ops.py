@@ -51,7 +51,7 @@ from kafka_go_streamer_spark.plans.text import (
     PREP_MIN_WORDS,
     prep_survivors,
 )
-from kafka_go_streamer_spark.sources.tables import fan_out, load_table
+from kafka_go_streamer_spark.sources.tables import cpu_fan, fan_out, load_table
 
 #: Token budget of one packed training sequence. Small enough that the
 #: testdata's 10-120-token documents pack several to a sequence.
@@ -257,7 +257,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit (partial top-k before the window shuffle). The
     idf ln() is rounded at 6 decimals before ranking so both engines
     rank identical quanta."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     terms = (
         d.select("doc_id", F.explode(X.words(F.col("text"))).alias("term"))
@@ -1201,7 +1206,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram-vocabulary frame via the numerically stable form
     H = log2(n) − Σc·log2(c)/n — the identical expression tree in
     both engines, no per-row probability division."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     tg = (
         d.filter(F.length("text") >= 3)
         .select("lang", F.split("text", "").alias("cs"))
@@ -1269,7 +1279,12 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded pass (map-side combinable); margins join back on the
     vocab-sized frames and the top-20 compiles to
     TakeOrderedAndProject. The corpus is never self-joined."""
-    d = load_table(spark, sf_dir, "documents")
+    # cpu_fan: the per-byte text stage below is CPU-dense and the
+    # fixture scan is one row group (one task) — measured SERIAL at
+    # sf1.0 (r17 c8-vs-c32 sweep, ratio ~1.0). Row-aware width: the
+    # full-parallelism fan measured +0.5-2.5 s at sf0.1 (pinned
+    # frames fan every downstream stage); see sources/tables.cpu_fan.
+    d = cpu_fan(spark, load_table(spark, sf_dir, "documents"), sf_dir)
     bg = (
         d.select(X.words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 2)

@@ -108,6 +108,33 @@ def table_rows(sf_dir: str, table: str) -> int:
     ).num_rows
 
 
+#: Target rows per task for CPU-DENSE JVM text stages (per-byte regex
+#: sweeps, trigram explodes, feature projections): their per-row cost
+#: (~0.1-1 ms) amortizes the task overhead far sooner than the Arrow
+#: stages above, but fanning a small fixture to full cluster width
+#: multiplies every downstream stage of a pinned frame by the task
+#: overhead — measured +0.5-2.5 s per query at sf0.1 when the r17
+#: text fans used the full 32 (the pin's 32 blocks feed ~6 jobs of
+#: 32 near-empty tasks each). 1000 rows/task keeps sf0.1 at ~5
+#: partitions (overhead-free) and reaches full width by sf1.
+CPU_TASK_ROWS = 1000
+
+
+def cpu_fan(spark: SparkSession, df: DataFrame, sf_dir: str,
+            table: str = "documents") -> DataFrame:
+    """Row-aware :func:`fan_out` for CPU-dense text stages: width from
+    the parquet footer row count at CPU_TASK_ROWS rows/task, capped at
+    cluster parallelism. Fixes the r17 c8-vs-c32 sf1.0 finding that
+    the per-byte text queries ran their whole projection in the ONE
+    task the single-row-group fixture scan provides (12.3 s serial for
+    text_char_entropy at sf1.0 on 32 idle cores), without paying full
+    fan width on the sf0.1 bench fixture. A real cluster's pre-split
+    scan makes this a no-op-sized shuffle."""
+    return fan_out(
+        df, fan_width(spark, table_rows(sf_dir, table), CPU_TASK_ROWS)
+    )
+
+
 def fan_width(
     spark: SparkSession, rows: int, per_task: int = ARROW_TASK_ROWS
 ) -> int:

@@ -123,14 +123,27 @@ def test_window_partitions_by_group_key(spark, sf_dir):
         "route_documents",
         "filter_regex",
         "json_extraction",
-        "text_quality",
     ],
 )
 def test_narrow_queries_have_no_exchange(spark, sf_dir, name):
-    """Row-local queries (routing, filtering, extraction, scoring) must
-    stay narrow end to end: zero shuffles at any scale."""
+    """Row-local queries (routing, filtering, extraction) must stay
+    narrow end to end: zero shuffles at any scale."""
     plan = physical_plan(QUERIES[name](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_text_quality_single_cpu_fan_only(spark, sf_dir):
+    """text_quality is row-local EXCEPT for the deliberate cpu_fan
+    (r17): the fixture scan is one row group, so the per-byte scoring
+    ran serial without it. Exactly ONE round-robin exchange, nothing
+    keyed, and still zero Python eval."""
+    plan = physical_plan(QUERIES["text_quality"](spark, sf_dir))
+    # at sf0.001 cpu_fan's width is 1 and the repartition optimizes
+    # away entirely; at bench scale it is exactly one round-robin
+    assert plan.count("Exchange RoundRobinPartitioning") <= 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_tpch_q5_single_fact_shuffle(spark, sf_dir):
@@ -510,11 +523,17 @@ def test_hard_negatives_blocked_by_cells(spark, sf_dir):
 
 
 def test_quality_classifier_is_narrow_projection(spark, sf_dir):
-    """Model inference must stay a scan -> project: all four features
-    and the sigmoid are codegen'd expressions — zero Exchange, zero
-    Python eval at any corpus size."""
+    """Model inference must stay scan -> project: all four features
+    and the sigmoid are codegen'd expressions — zero Python eval and
+    no KEYED shuffle at any corpus size. The single round-robin
+    exchange is the deliberate r17 cpu_fan (the one-row-group fixture
+    scan ran the per-byte features serial without it)."""
     plan = physical_plan(QUERIES["text_quality_classifier"](spark, sf_dir))
-    assert "Exchange" not in plan
+    # at sf0.001 cpu_fan's width is 1 and the repartition optimizes
+    # away entirely; at bench scale it is exactly one round-robin
+    assert plan.count("Exchange RoundRobinPartitioning") <= 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
